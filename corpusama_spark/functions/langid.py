@@ -1,0 +1,251 @@
+"""Language identification stage.
+
+The reference's LI contract (corpusama/util/langid.py): per cleaned line,
+predict (lang, score); lines shorter than ``min_len`` chars are labeled
+``short`` with score 1 (:196-216); scores not above ``threshold`` (default
+0.6) relabel to ``unknown`` (:315-319); per-document byte shares are
+aggregated, rounded to 2, cut at ``1/(min(n_langs, max_langs)+1)`` and sorted
+descending (:290-339) — that dict is the ``lid`` column, from which ``l1``,
+``l1_size`` and ``multiling`` derive (:401-433).
+
+Model: the north_rule mandates the fastText slot (lid.176.bin). This sandbox
+has no fasttext wheel and no model file, so the default model is a
+deterministic character-trigram naive-Bayes classifier trained at import time
+on the embedded seed corpus — same surface (labels + confidence in (0,1]),
+swappable for real fastText via $CORPUSAMA_FASTTEXT_MODEL without touching the
+plan. The UDF is SCALAR_ITER so the model loads once per Python worker, not
+per batch (the reference's model-per-process pattern, util/parallel.py:53-72).
+
+Aggregation is 100% JVM-side: groupBy partial aggregation, no window over
+raw lines, one shuffle keyed by image id.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from corpusama_spark.functions.seedtext import SEED_SENTENCES
+from corpusama_spark.functions.textrules import clean_line
+
+DEFAULT_THRESHOLD = 0.6
+DEFAULT_MIN_LEN = 10
+DEFAULT_MAX_LANGS = 4
+DEFAULT_MIN_PORTION = 0.8  # export.py:77
+
+PREDICT_SCHEMA = StructType(
+    [
+        StructField("lang", StringType(), True),
+        StructField("score", DoubleType(), True),
+    ]
+)
+
+
+class TrigramModel:
+    """Char-trigram naive Bayes with add-one smoothing.
+
+    predict() mirrors the fastText API shape used by the reference
+    (util/langid.py:281-287): parallel label/score lists, scores in (0, 1].
+    Confidence is the length-normalized posterior, so out-of-domain text
+    lands near uniform (≈1/n_langs) and falls under the 0.6 threshold.
+    """
+
+    PAD = " "
+
+    def __init__(self, logp: dict[str, dict[str, float]], floor: dict[str, float]):
+        self.logp = logp
+        self.floor = floor
+        self.labels = sorted(logp)
+
+    @staticmethod
+    def _trigrams(line: str) -> list[str]:
+        s = f" {line} "
+        return [s[i : i + 3] for i in range(len(s) - 2)]
+
+    @classmethod
+    def train(cls, corpus: dict[str, list[str]]) -> "TrigramModel":
+        counts: dict[str, dict[str, int]] = {}
+        vocab: set[str] = set()
+        for lang, sents in sorted(corpus.items()):
+            c: dict[str, int] = {}
+            for sent in sents:
+                cleaned = clean_line(sent)
+                if not cleaned:
+                    continue
+                for t in cls._trigrams(cleaned.lower()):
+                    c[t] = c.get(t, 0) + 1
+                    vocab.add(t)
+            counts[lang] = c
+        v = len(vocab) + 1
+        logp: dict[str, dict[str, float]] = {}
+        floor: dict[str, float] = {}
+        for lang, c in counts.items():
+            total = sum(c.values()) + v
+            logp[lang] = {t: math.log((n + 1) / total) for t, n in c.items()}
+            floor[lang] = math.log(1 / total)
+        return cls(logp, floor)
+
+    def predict_one(self, line: str) -> tuple[str, float]:
+        grams = self._trigrams(line.lower())
+        if not grams:
+            return "unknown", 0.0
+        best_lang, best_ll = None, None
+        lls = []
+        for lang in self.labels:
+            table = self.logp[lang]
+            fl = self.floor[lang]
+            ll = sum(table.get(t, fl) for t in grams)
+            lls.append(ll)
+            if best_ll is None or ll > best_ll:
+                best_lang, best_ll = lang, ll
+        # softmax over total log-likelihoods (fastText-style confidence):
+        # in-domain text → near 1; out-of-domain → near uniform 1/n_labels
+        z = sum(math.exp(ll - best_ll) for ll in lls)
+        return best_lang, 1.0 / z
+
+    def predict(self, lines: list[str]) -> tuple[list[str], list[float]]:
+        langs, scores = [], []
+        for line in lines:
+            lang, score = self.predict_one(line)
+            langs.append(lang)
+            scores.append(score)
+        return langs, scores
+
+
+def load_model() -> object:
+    """Model loader run once per executor Python worker (SCALAR_ITER)."""
+    path = os.environ.get("CORPUSAMA_FASTTEXT_MODEL")
+    if path:  # pragma: no cover - real model absent in sandbox
+        import fasttext
+
+        ft = fasttext.load_model(path)
+
+        class _FtAdapter:
+            def predict(self, lines):
+                labels, scores = ft.predict(lines)
+                return (
+                    [x[0].replace("__label__", "") for x in labels],
+                    [float(x[0]) for x in scores],
+                )
+
+        return _FtAdapter()
+    return TrigramModel.train(SEED_SENTENCES)
+
+
+@F.pandas_udf(PREDICT_SCHEMA)
+def _predict_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    model = load_model()
+    for lines in batches:
+        vals = lines.fillna("")
+        langs, scores = model.predict(vals.tolist())
+        yield pd.DataFrame({"lang": langs, "score": scores})
+
+
+def predict_line(col: Column | str) -> Column:
+    """cleaned line → struct(lang, score); model cached per worker."""
+    return _predict_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def explode_lines(df: DataFrame, id_col: str = "image_id", lines_col: str = "lines") -> DataFrame:
+    """captions-with-lines → one row per cleaned line (narrow, no shuffle)."""
+    return df.select(
+        F.col(id_col), F.posexplode(F.col(lines_col)).alias("line_no", "line")
+    )
+
+
+def label_lines(
+    lines_df: DataFrame,
+    min_len: int = DEFAULT_MIN_LEN,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Per line: short-circuit `short` label, else model + threshold rule.
+
+    Short lines never reach the model (util/langid.py:196-216), which also
+    keeps model batches dense. `score > threshold` keeps the label — the
+    reference keeps only strictly-greater scores (:317).
+    """
+    is_short = F.length("line") < F.lit(min_len)
+    pred = predict_line(F.when(~is_short, F.col("line")))
+    df = lines_df.withColumn("_pred", pred)
+    return df.select(
+        "*",
+        F.when(is_short, F.lit("short"))
+        .when(F.col("_pred.score") > F.lit(threshold), F.col("_pred.lang"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang"),
+        F.when(is_short, F.lit(1.0)).otherwise(F.col("_pred.score")).alias("score"),
+        F.octet_length("line").alias("line_bytes"),
+    ).drop("_pred")
+
+
+def aggregate_lid(
+    labeled: DataFrame,
+    id_col: str = "image_id",
+    max_langs: int = DEFAULT_MAX_LANGS,
+) -> DataFrame:
+    """analyze() semantics as two-level hash aggregation (util/langid.py:290-339).
+
+    Returns (image_id, lid map<string,double>, lid_arr, l1, l1_size,
+    multiling). Shares are bround()ed to 2 (HALF_EVEN — Python round parity)
+    BEFORE the multilingual-threshold compare; num_langs counts distinct
+    labels INCLUDING unknown/short, capped at max_langs BEFORE computing
+    1/(n+1); ties sort lang-ascending (the reference's tie order is
+    set-iteration-dependent, i.e. unspecified).
+    """
+    per_lang = labeled.groupBy(id_col, "lang").agg(
+        F.sum("line_bytes").alias("lang_bytes")
+    )
+    per_doc = per_lang.groupBy(id_col).agg(
+        F.sum("lang_bytes").alias("filesize"),
+        F.count("*").alias("n_langs"),
+        F.collect_list(F.struct("lang", "lang_bytes")).alias("entries"),
+    )
+    # share rounded BEFORE the threshold compare; threshold uses the capped
+    # language count; result sorted share desc / lang asc
+    sorted_arr = F.expr(
+        "array_sort(filter(transform(entries, e -> struct(e.lang as lang,"
+        " bround(e.lang_bytes / filesize, 2) as share)),"
+        f" e -> e.share >= 1.0 / (least(n_langs, {max_langs}) + 1)),"
+        " (a, b) -> case when a.share > b.share then -1"
+        " when a.share < b.share then 1"
+        " when a.lang < b.lang then -1 when a.lang > b.lang then 1 else 0 end)"
+    )
+    empty = F.size("lid_arr") == 0
+    return (
+        per_doc.select(id_col, sorted_arr.alias("lid_arr"))
+        .select(
+            id_col,
+            "lid_arr",
+            F.when(~empty, F.map_from_entries("lid_arr")).alias("lid"),
+            F.element_at("lid_arr", 1)["lang"].alias("l1"),
+            F.element_at("lid_arr", 1)["share"].alias("l1_size"),
+            F.when(
+                ~empty,
+                F.size(
+                    F.filter(
+                        F.col("lid_arr"),
+                        lambda e: ~e["lang"].isin("unknown", "short"),
+                    )
+                )
+                > 1,
+            ).alias("multiling"),
+        )
+    )
+
+
+def lid_share(lid_col: Column | str, lang: str) -> Column:
+    """element_at(lid, lang) — the reference's json_extract($.lang)
+    (export.py:108, P3)."""
+    col = F.col(lid_col) if isinstance(lid_col, str) else lid_col
+    return F.element_at(col, F.lit(lang))
