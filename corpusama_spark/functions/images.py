@@ -1,0 +1,91 @@
+"""Image verification stage — decode + PSNR invariant inside Arrow batches.
+
+The reference's analogous operator is timeout-guarded PDF text extraction
+with corrupt-file tolerance (corpusama/source/pdf.py:36-64,91-136;
+corpusama/util/parallel.py:75-97): failures are logged and the row survives
+with a null payload. Here: decode the ``bytes`` column per declared ``fmt``,
+re-encode + re-decode, and assert the per-row invariant PSNR >= 40 dB
+(BASELINE.json input_hint); any failure → ``image_ok=false`` with a reason
+code, never an exception.
+
+Implemented as a SCALAR pandas_udf returning a struct — a narrow operator:
+no shuffle, no join; Spark ships only (bytes, fmt, w, h) to the Python
+worker and the binary column never crosses a shuffle boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from corpusama_spark.io.imagecodec import decode_image, encode_png, encode_qimg, psnr
+
+MIN_PSNR_DB = 40.0
+
+VERIFY_SCHEMA = StructType(
+    [
+        StructField("image_ok", BooleanType(), False),
+        StructField("image_reason", StringType(), True),
+        StructField("image_psnr", DoubleType(), True),
+    ]
+)
+
+
+def _verify_one(data, fmt: str, w, h) -> tuple:
+    if data is None:
+        return (False, "image_missing", None)
+    try:
+        arr = decode_image(bytes(data), fmt)
+    except ValueError:
+        return (False, "image_corrupt", None)
+    if arr.shape[0] != h or arr.shape[1] != w:
+        return (False, "image_dims_mismatch", None)
+    try:
+        if fmt == "png":
+            rt = decode_image(encode_png(arr), "png")
+        else:
+            rt = decode_image(encode_qimg(arr, fmt), fmt)
+        db = psnr(arr, rt)
+    except ValueError:
+        return (False, "image_reencode_failed", None)
+    if not np.isinf(db) and db < MIN_PSNR_DB:
+        return (False, "image_psnr_below_40db", float(db))
+    return (True, None, None if np.isinf(db) else float(db))
+
+
+@F.pandas_udf(VERIFY_SCHEMA)
+def _verify_udf(
+    data: pd.Series, fmt: pd.Series, w: pd.Series, h: pd.Series
+) -> pd.DataFrame:
+    rows = [
+        _verify_one(d, f, ww, hh)
+        for d, f, ww, hh in zip(data, fmt, w, h)
+    ]
+    return pd.DataFrame(rows, columns=["image_ok", "image_reason", "image_psnr"])
+
+
+def verify_image(
+    bytes_col: Column | str = "bytes",
+    fmt_col: Column | str = "fmt",
+    w_col: Column | str = "w",
+    h_col: Column | str = "h",
+) -> Column:
+    """struct(image_ok, image_reason, image_psnr) — narrow, Arrow-batched."""
+    as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+    return _verify_udf(as_col(bytes_col), as_col(fmt_col), as_col(w_col), as_col(h_col))
+
+
+def verify_images(df: DataFrame) -> DataFrame:
+    """Convenience: append the three verification columns to df."""
+    return df.withColumn("_iv", verify_image()).select(
+        "*", "_iv.image_ok", "_iv.image_reason", "_iv.image_psnr"
+    ).drop("_iv")

@@ -1,0 +1,131 @@
+"""End-to-end pipeline + scrub/perplexity/image-verify + resumability."""
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from corpusama_spark.checkpoint import run_checkpointed
+from corpusama_spark.functions import scrub as S
+from corpusama_spark.functions.perplexity import get_model
+from corpusama_spark.pipeline import FilterConfig, lineage, metrics, run_pipeline
+from corpusama_spark.session import assert_no_row_python
+from corpusama_spark.sources.synth import captions_df
+
+
+def test_scrub_chain(spark):
+    cases = {
+        "mail john.doe@example.org now": "mail <EMAIL> now",
+        "see https://www.example.com/x?q=1 ok": "see <URL> ok",
+        "at 192.168.12.34 yesterday": "at <IP> yesterday",
+        "call +1 555 123 4567 today": "call <PHONE> today",
+        "passport AB1234567 verified": "passport <ID> verified",
+        "that darnfool driver again": "that <TOX> driver again",
+        "clean text stays": "clean text stays",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"s": list(cases)}))
+    got = df.select("s", S.scrub_caption("s").alias("c")).collect()
+    for r in got:
+        assert r.c == cases[r.s], (r.s, r.c)
+        assert S.scrub_caption_py(r.s) == cases[r.s]
+
+
+def test_scrub_is_pure_jvm(spark):
+    df = spark.createDataFrame(pd.DataFrame({"s": ["a@b.co x"]}))
+    out = df.select(S.scrub_caption("s").alias("c"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # no UDF of any kind
+
+
+def test_perplexity_separates_fluent_from_garbage():
+    m = get_model()
+    ppl = m.perplexity_batch(
+        pd.Series(
+            [
+                "the distribution of food supplies continued",
+                "la distribution des vivres continue",
+                "zqxj wvkp zzqq xjwv zqxj",
+                None,
+                "",
+            ]
+        )
+    )
+    assert ppl[0] < 25 and ppl[1] < 25
+    assert ppl[2] > 40
+    assert ppl[3] == float("inf") and ppl[4] == float("inf")
+
+
+def test_pipeline_end_to_end(spark):
+    caps = captions_df(spark, 400, partitions=4)
+    out = run_pipeline(caps, FilterConfig())
+    assert_no_row_python(out)
+    rows = out.collect()
+    assert len(rows) == 400
+    assert "bytes" not in out.columns
+    reasons = {r.drop_reason for r in rows if not r.keep}
+    assert "caption_missing" in reasons
+    assert any(r.startswith("image_") for r in reasons if r)
+    kept = [r for r in rows if r.keep]
+    assert len(kept) > 150
+    for r in kept:
+        assert r.l1 not in (None, "unknown", "short")
+        assert r.image_ok
+        assert r.caption_scrubbed is not None
+        # scrubbed caption has no raw emails/urls left
+        assert not re.search(S.EMAIL_RE, r.caption_scrubbed)
+
+
+def test_pipeline_target_lang(spark):
+    caps = captions_df(spark, 300, partitions=4)
+    out = run_pipeline(caps, FilterConfig(target_lang="en"))
+    kept = out.where("keep").collect()
+    assert len(kept) > 10
+    for r in kept:
+        share = dict((e.lang, e.share) for e in r.lid_arr)
+        assert share.get("en", 0) >= 0.8
+
+
+def test_pipeline_deterministic(spark):
+    caps = captions_df(spark, 150, partitions=3)
+    a = {
+        r.image_id: (r.keep, r.drop_reason, r.l1)
+        for r in run_pipeline(caps, FilterConfig()).collect()
+    }
+    caps2 = captions_df(spark, 150, partitions=5)
+    b = {
+        r.image_id: (r.keep, r.drop_reason, r.l1)
+        for r in run_pipeline(caps2, FilterConfig()).collect()
+    }
+    assert a == b
+
+
+def test_metrics_and_lineage(spark):
+    caps = captions_df(spark, 200, partitions=2)
+    out = run_pipeline(caps, FilterConfig())
+    m = metrics(out).collect()
+    assert sum(r.n for r in m) == 200
+    lin = lineage(out, "run-x", 8).collect()
+    assert sum(r.n_rows for r in lin) == 200
+    assert all(r.run_id == "run-x" for r in lin)
+    assert {r.bucket for r in lin} <= set(range(8))
+
+
+def test_checkpoint_restart(spark, tmp_path):
+    caps = captions_df(spark, 200, partitions=4)
+    out_path = str(tmp_path / "out")
+    mani = str(tmp_path / "manifest")
+    cfg = FilterConfig(nbuckets=8, repartition=False)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, caps, out_path, mani, cfg, "run-1", fail_after_buckets=2
+        )
+    done_first = spark.read.parquet(mani).select("bucket").distinct().count()
+    assert 0 < done_first < 8
+    n2 = run_checkpointed(spark, caps, out_path, mani, cfg, "run-2")
+    assert n2 == 8 - done_first
+    result = spark.read.parquet(out_path)
+    assert result.count() == 200
+    assert result.select("image_id").distinct().count() == 200
+    # idempotent: a third run does nothing
+    assert run_checkpointed(spark, caps, out_path, mani, cfg, "run-3") == 0
