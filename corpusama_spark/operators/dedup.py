@@ -1,0 +1,185 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference dedupes only by primary-key upsert (`INSERT OR REPLACE`,
+corpusama/database/database.py:57, P14). A 10^12-row corpus build needs the
+full family; each operator here is shuffle-deliberate and deterministic:
+
+- exact: hash-groupBy canonicalization (keeps min id — deterministic, unlike
+  dropDuplicates' arbitrary row).
+- minhash + LSH: shingle → K permuted min-hashes → B bands → bucket-join.
+  One shuffle per band-join, candidate pairs only (never O(n²)).
+- simhash: 64-bit sign-aggregated token hashes; near-dups share the value
+  (or band thereof).
+- n-gram Jaccard verification: exact set overlap on candidate pairs.
+- embedding cosine near-dup: see operators/similarity.py.
+
+All hash math uses xxhash64 (JVM-side) with explicit seeds — deterministic
+across runs/retries/cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps a*h+b far below int64 overflow under ANSI arithmetic
+MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct text: (text_hash, canonical_id, n_dupes)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingle array from a whitespace-tokenized lowercased text."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    )
+
+
+def minhash_signature(shingle_col: F.Column, num_hashes: int = 16) -> F.Column:
+    """K min-hash values: min over shingles of (a_k * h + b_k) mod p.
+
+    Uses xxhash64 per shingle once, then K affine permutations — K cheap JVM
+    ops, not K hash passes.
+    """
+    base = F.transform(shingle_col, lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE))
+
+    def perm(a: int, b: int):
+        # closure, not default-arg lambda: pyspark infers HOF arity from the
+        # Python signature, so extra defaulted params break ArrayTransform
+        return lambda h: (h * a + b) % F.lit(MERSENNE)
+
+    sigs = [
+        F.array_min(F.transform(base, perm(2 * k + 1, 1_000_003 * (k + 1))))
+        for k in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, band) via banded LSH.
+
+    Scale shape: explode to (band_key, id), self-join per bucket — shuffle is
+    keyed by band hash so only colliding docs meet; skewed buckets (e.g.
+    empty-text) should be pre-filtered by the caller.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_bits(text_col: str, bits: int = 64) -> F.Column:
+    """SimHash over whitespace tokens as a '0'/'1' string (bit 0 first).
+
+    Single aggregate() pass with an array-of-counters accumulator — one array
+    traversal per row regardless of bit width; pure JVM. A string key avoids
+    int64 sign gymnastics and substrings directly into LSH bands.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+    )
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0), bits)
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    counters = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                idx,
+                lambda b: F.when(F.getbit(h, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    return F.array_join(
+        F.transform(counters, lambda c: F.when(c > 0, "1").otherwise("0")), ""
+    )
+
+
+def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by exact simhash value (near-dups land together)."""
+    return (
+        df.select(F.col(id_col), simhash_bits(text_col).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dupes"))
+    )

@@ -1,0 +1,71 @@
+"""Filtered corpus export — the reference's export_text re-expressed.
+
+J1/W1/P3/P4/S10 (corpusama/corpus/export.py:104-131): 3-way left join on id,
+language-share >= min_portion, date BETWEEN, ordered output, wrapped in
+`<doc …>` tags, batched ~10 000 docs per file.
+
+Spark shape: the side tables join with broadcast hints when small; ordering
+is a range-partitioned sort (no single-node funnel); file batching is
+`maxRecordsPerFile` so file count scales with data, not with a driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from corpusama_spark.functions.langid import lid_share
+
+
+def export_join(
+    lang_df: DataFrame,
+    attr_df: DataFrame,
+    raw_df: DataFrame,
+    lang: str,
+    min_portion: float = 0.8,
+    start_date: str = "1900-01-01",
+    end_date: str = "2100-12-31",
+    id_col: str = "id",
+    date_col: str = "date_original",
+    broadcast_side_tables: bool = True,
+) -> DataFrame:
+    """The reference's literal export query (export.py:104-110) as a plan:
+
+    SELECT … FROM _lang LEFT JOIN _attr USING(id) LEFT JOIN _raw USING(id)
+    WHERE lid share >= min_portion AND date BETWEEN … ORDER BY id, file_id
+    """
+    attr = F.broadcast(attr_df) if broadcast_side_tables else attr_df
+    filtered = lang_df.where(
+        F.coalesce(lid_share("lid", lang) >= F.lit(min_portion), F.lit(False))
+    )
+    joined = filtered.join(attr, id_col, "left").join(raw_df, id_col, "left")
+    dated = joined.where(
+        F.to_date(F.col(date_col)).between(F.lit(start_date), F.lit(end_date))
+    )
+    order_cols = [id_col] + (["file_id"] if "file_id" in dated.columns else [])
+    return dated.orderBy(*order_cols)
+
+
+def wrap_doc(doc_tag: Column, text: Column, file_id: Column | None = None) -> Column:
+    """doc_tag + "\\n" + text + "\\n</doc>" with the FILE_ID placeholder
+    filled (export.py:51-53,64-69); NULL text yields NULL (row skipped)."""
+    tag = doc_tag
+    if file_id is not None:
+        tag = F.replace(doc_tag, F.lit("FILE_ID"), file_id.cast("string"))
+    return F.when(
+        text.isNotNull(), F.concat(tag, F.lit("\n"), text, F.lit("\n</doc>"))
+    )
+
+
+def write_batched_text(
+    df: DataFrame, text_col: str, path: str, docs_per_file: int = 10000
+) -> None:
+    """S10: ceil(n/chunksize) text files of ≤ chunksize docs each —
+    partition-parallel, no driver loop (export.py:112-131)."""
+    (
+        df.select(F.col(text_col).alias("value"))
+        .where(F.col("value").isNotNull())
+        .write.option("maxRecordsPerFile", docs_per_file)
+        .mode("overwrite")
+        .text(path)
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data companion operators (no reference analogue — corpusama has no
+embeddings; the slot parallels its langid scoring as "model-derived column
+math"). Two tiers:
+
+- brute-force cosine top-k: the correctness baseline. Cross join pruned by a
+  broadcast of the (small) query set; dot products via zip_with/aggregate —
+  pure JVM, whole-stage codegen.
+- LSH-bucketed ANN (random hyperplanes → sign bits → bucket join): the scale
+  path. Hyperplanes derive from xxhash64 of (dim, plane) — deterministic, no
+  stored model. At 10^12 rows the bucket join replaces the full cross
+  product; recall tunes with nplanes/nprobes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (query set broadcast)."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_bits(
+    vec_col: Column, nplanes: int = 16, dim: int = 64, table: int = 0
+) -> Column:
+    """Sign-bit string of projections onto deterministic pseudo-random planes.
+
+    Plane p component d = xxhash64("<table>_<p>_<d>") scaled to (-1, 1) —
+    fully reproducible on any cluster with zero stored state. ``table`` seeds
+    independent hash tables for multi-probe LSH.
+    """
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(nplanes - 1)),
+        lambda p: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.xxhash64(
+                    F.concat(
+                        F.lit(f"{table}_"), p.cast("string"), F.lit("_"), d.cast("string")
+                    )
+                )
+                % F.lit(10_000)
+            ).cast("double")
+            / F.lit(10_000.0),
+        ),
+    )
+    return F.array_join(
+        F.transform(
+            planes,
+            lambda plane: F.when(dot(plane, vec_col) > 0, "1").otherwise("0"),
+        ),
+        "",
+    )
+
+
+def lsh_buckets(
+    vec_col: Column, nplanes: int = 8, ntables: int = 4, dim: int = 64
+) -> Column:
+    """Array of per-table bucket keys (table index prefixed)."""
+    return F.array(
+        *[
+            F.concat(F.lit(f"{t}:"), hyperplane_bits(vec_col, nplanes, dim, t))
+            for t in range(ntables)
+        ]
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nplanes: int = 8,
+    ntables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table LSH: candidates = union of the
+    query's buckets over ``ntables`` independent tables, reranked by exact
+    cosine. Equi-join on (table-prefixed) bucket key — never a cross join;
+    recall tunes with nplanes (bucket size) x ntables (probes).
+    """
+    from pyspark.sql.window import Window
+
+    dim = 64
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.explode(lsh_buckets(F.col(vec_col), nplanes, ntables, dim)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(lsh_buckets(F.col(vec_col), nplanes, ntables, dim)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nplanes: int = 8,
+    ntables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold within LSH buckets."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(lsh_buckets(F.col(vec_col), nplanes, ntables, 64)).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

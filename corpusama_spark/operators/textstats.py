@@ -1,0 +1,122 @@
+"""Text-analysis operators over document tables — all pure Spark SQL.
+
+Covers the reference's descriptive/statistical surface (file_stats
+util/langid.py:528-567 → A8; byte sums A1-A2; argmax A5) plus the
+training-pipeline extras: SQL-expressible language ID (stopword voting),
+quality scoring, token counting, and document fingerprinting. Everything here
+has a DuckDB-equivalent oracle — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# tiny high-frequency stopword sets per language (public linguistic facts)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with", "that", "this"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "un", "une", "est"],
+    "es": ["el", "la", "los", "de", "las", "y", "en", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "von", "zu", "den", "mit", "ein", "ist"],
+}
+
+
+def tokens_col(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count (F21/F22 family)."""
+    return F.size(tokens_col(text_col))
+
+
+def stopword_hits(text_col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens_col(text_col), lambda t: t.isin(*words))
+    )
+
+
+def langid_sql(text_col: Column) -> Column:
+    """Stopword-vote language guess — the SQL-only LI baseline.
+
+    Greatest hit count wins; ties and zero hits → 'unknown'. (The model-based
+    stage is functions/langid.py; this variant exists for oracle-checkable
+    relational plans and cheap pre-filters.)
+    """
+    hits = {lang: stopword_hits(text_col, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hits.values())
+    out = F.lit("unknown")
+    # later languages win ties here, so iterate reversed-alphabetical to make
+    # earlier-alphabetical the winner on ties
+    for lang in sorted(hits, reverse=True):
+        out = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text_col: Column, lang: str | None = None) -> Column:
+    """[0,1] heuristic quality — length, alpha share, stopword share.
+
+    Mirrors the reference's filter-feature family (char-class drops
+    util/langid.py:73-77, min-length corpus/langid.py:105-111, boilerplate
+    share) as one bounded score; components weighted equally.
+    """
+    length = F.length(F.trim(text_col))
+    len_score = F.least(length / F.lit(200.0), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(text_col, r"[^\p{L}]", ""))
+    alpha_score = F.when(length > 0, alpha / length).otherwise(F.lit(0.0))
+    nt = token_count(text_col)
+    if lang:
+        sw = stopword_hits(text_col, lang)
+    else:
+        sw = F.greatest(*[stopword_hits(text_col, lg) for lg in sorted(STOPWORDS)])
+    sw_score = F.when(nt > 0, F.least(sw * F.lit(4.0) / nt, F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+    return F.round((len_score + alpha_score + sw_score) / F.lit(3.0), 4)
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the casefolded,
+    whitespace-collapsed text (exact-dedup key; F24 hash-slot analogue)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "))
+
+
+def char_quartiles_nearest(
+    df: DataFrame, group_col: str, value_col: Column, qs=(0.0, 0.25, 0.5, 0.75, 1.0)
+) -> DataFrame:
+    """numpy method='nearest' quantiles (util/langid.py:551-553, A8) as a
+    rank-selection plan — reproducible exactly in any SQL engine:
+    pick the value at 1-indexed rank round(q*(n-1))+1 under ascending order
+    (round half away from zero, matching numpy's nearest for these grids)."""
+    w = Window.partitionBy(group_col).orderBy(value_col.asc())
+    ranked = df.select(
+        F.col(group_col),
+        value_col.alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("n"),
+    )
+    aggs = []
+    for i, q in enumerate(qs):
+        target = (F.floor(F.lit(q) * (F.col("n") - 1) + F.lit(0.5)) + 1).cast("int")
+        aggs.append(
+            F.max(F.when(F.col("rn") == target, F.col("v"))).alias(f"q{i}")
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def byte_share_by(
+    df: DataFrame, group_col: str, lang_col: str, bytes_col: Column
+) -> DataFrame:
+    """A1+A2: per (group, lang) byte sums and share-of-group rounded to 2."""
+    per = df.groupBy(group_col, lang_col).agg(bytes_col.alias("lang_bytes"))
+    w = Window.partitionBy(group_col)
+    return per.select(
+        group_col,
+        lang_col,
+        "lang_bytes",
+        F.bround(F.col("lang_bytes") / F.sum("lang_bytes").over(w), 2).alias("share"),
+    )

@@ -1,0 +1,194 @@
+"""Operator library: flatten/doc-tag, dedup family, similarity, textstats."""
+
+import xml.sax.saxutils
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from corpusama_spark.operators import dedup as D
+from corpusama_spark.operators import flatten as FL
+from corpusama_spark.operators import similarity as SIM
+from corpusama_spark.operators import textstats as TS
+
+
+def test_flatten_nested(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                id=1,
+                date=Row(changed="2023-01-02", original="2022-05-06"),
+                country=[
+                    Row(name="A", iso3="AAA"),
+                    Row(name="B", iso3="BBB"),
+                ],
+            )
+        ]
+    )
+    flat = FL.flatten_columns(df)
+    assert set(flat.columns) == {
+        "id",
+        "date__changed",
+        "date__original",
+        "country__name",
+        "country__iso3",
+    }
+    row = flat.collect()[0]
+    assert row.country__name == ["A", "B"]
+    yeared = FL.add_year_columns(flat)
+    r = yeared.collect()[0]
+    assert r.date__changed__year == "2023" and r.date__original__year == "2022"
+    joined = FL.join_multivalues(yeared)
+    r2 = joined.collect()[0]
+    assert r2.country__name == "A|B"
+
+
+def test_multivalue_guard_and_empty(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, vals=["a|b", "c", None]), Row(id=2, vals=[None]), Row(id=3, vals=[])]
+    )
+    out = {r.id: r.vals for r in FL.join_multivalues(df).collect()}
+    assert out[1] == "a%7Cb|c"
+    assert out[2] is None and out[3] is None
+
+
+@pytest.mark.parametrize(
+    "val",
+    ["plain", 'has "dq"', "has 'sq'", "has \"both\" and 'sq'", "a&b<c>d", "  pad  "],
+)
+def test_xml_quoteattr_parity(spark, val):
+    df = spark.createDataFrame([Row(s=val)])
+    got = df.select(FL.xml_quoteattr_col(F.col("s")).alias("q")).collect()[0].q
+    assert got == xml.sax.saxutils.quoteattr(val.strip())
+
+
+def test_doc_tag(spark):
+    df = spark.createDataFrame(
+        [(2, "hello", "a|b|c", None)],
+        "id int, disaster string, multi string, skip string",
+    )
+    tag = FL.doc_tag_col(
+        F.col("id"),
+        {"disaster__a__1": F.col("disaster"), "multi": F.col("multi"), "skip": F.col("skip")},
+    )
+    got = df.select(tag.alias("t")).collect()[0].t
+    # golden shape from the reference's own test expectation
+    # (test/test_corpus/test_attribute.py:28-42)
+    assert got == '<doc id="2" file_id="FILE_ID" disaster__a__1="hello" multi="a|b|c" >'
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (3, "completely different text about humanitarian aid"),
+    (4, "another unrelated sentence mentioning water supplies"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs_df):
+    out = D.exact_dedup(docs_df, "text", "doc_id").collect()
+    assert len(out) == 4
+    by_canon = {r.canonical_id: r.n_dupes for r in out}
+    assert by_canon[0] == 2
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs_df):
+    pairs = D.minhash_lsh_pairs(docs_df, "text", "doc_id", num_hashes=16, bands=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got  # near dup collides in some band
+    assert (0, 3) not in got and (3, 4) not in got
+    verified = D.jaccard_pairs(docs_df, "text", "doc_id", pairs).collect()
+    jac = {(r.id_a, r.id_b): r.jaccard for r in verified}
+    assert jac[(0, 1)] == 1.0
+    for (a, b), j in jac.items():
+        assert 0.0 <= j <= 1.0
+
+
+def test_simhash_dedup(spark, docs_df):
+    out = D.simhash_dedup(docs_df, "text", "doc_id").collect()
+    groups = {r.canonical_id: r.n_dupes for r in out}
+    assert groups[0] == 2  # identical texts share simhash
+    sh = docs_df.select(D.simhash_bits("text").alias("s")).collect()
+    near = [r.s for r in sh]
+    ham_01 = sum(a != b for a, b in zip(near[0], near[2]))
+    ham_03 = sum(a != b for a, b in zip(near[0], near[3]))
+    assert ham_01 < ham_03  # near-dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, emb_df):
+    corpus = emb_df.limit(300)
+    queries = emb_df.where("vec_id < 3")
+    out = SIM.brute_force_topk(corpus, queries, k=5).collect()
+    assert len(out) == 15
+    for r in out:
+        assert -1.0 <= r.cos_sim <= 1.0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim))
+    for q, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_vs_brute_force_recall(spark, emb_df):
+    corpus = emb_df.limit(500)
+    queries = emb_df.where("vec_id < 10")
+    exact = SIM.brute_force_topk(corpus, queries, k=3).collect()
+    approx = SIM.ann_topk(corpus, queries, k=3, nplanes=4, ntables=8).collect()
+    exact_pairs = {(r.query_id, r.cand_id) for r in exact}
+    approx_pairs = {(r.query_id, r.cand_id) for r in approx}
+    # LSH with few planes on clustered synthetic data: some overlap expected
+    assert len(approx_pairs) > 0
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall > 0.4, recall
+
+
+def test_langid_sql_and_quality(spark):
+    rows = [
+        (1, "the supplies and the team went to the north", "en"),
+        (2, "la distribution de les vivres est en cours", "fr"),
+        (3, "el acceso de los equipos en la zona es limitado", "es"),
+        (4, "zzz qqq xxx", "unknown"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, want string")
+    got = df.select("want", TS.langid_sql(F.col("text")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, r
+    q = df.select(TS.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in q)
+    assert q[0].q > q[3].q
+
+
+def test_char_quartiles_nearest(spark):
+    import numpy as np
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.source: (r.q0, r.q1, r.q2, r.q3, r.q4)
+        for r in TS.char_quartiles_nearest(
+            df, "source", F.length("text")
+        ).collect()
+    }
+    pdf = df.select("source", F.length("text").alias("n")).toPandas()
+    for src, grp in pdf.groupby("source"):
+        want = tuple(
+            int(x)
+            for x in np.quantile(
+                sorted(grp["n"]), [0, 0.25, 0.5, 0.75, 1], method="nearest"
+            )
+        )
+        assert got[src] == want, (src, got[src], want)
