@@ -1,38 +1,798 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry` runs the flagship quality-filter pipeline (SURVEY.md §7) over the
+driver's sf0.001 documents table re-shaped to the authoritative captions
+schema (BASELINE.json input_hint). `queries`/`oracle_sql` cover the operator
+inventory of SURVEY.md §2 — every SQL-expressible operator carries a DuckDB
+oracle; model-/hash-UDF-based operators (trigram langid, perplexity, image
+verify, xxhash64 LSH) are rows-only checks, as documented per entry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from corpusama_spark.functions.langid import lid_share  # noqa: E402
+from corpusama_spark.functions.normalize import fold_quotes_dashes_col  # noqa: E402
+from corpusama_spark.functions.scrub import (  # noqa: E402
+    EMAIL_RE,
+    ID_RE,
+    IP_RE,
+    URL_RE,
+    toxicity_pattern,
+)
+from corpusama_spark.functions.textrules import (  # noqa: E402
+    alpha_ratio_col,
+    caps_ratio_col,
+    is_nanlike,
+    token_count_col,
+)
+from corpusama_spark.operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_dedup,
+)
+from corpusama_spark.operators.flatten import doc_tag_col  # noqa: E402
+from corpusama_spark.operators.similarity import ann_topk, cosine  # noqa: E402
+from corpusama_spark.operators.textstats import (  # noqa: E402
+    STOPWORDS,
+    char_quartiles_nearest,
+    fingerprint,
+    langid_sql,
+    quality_score,
+    stopword_hits,
+)
+from corpusama_spark.pipeline import FilterConfig, metrics, run_pipeline  # noqa: E402
+from corpusama_spark.sources.synth import captions_from_documents  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
+# RE2-safe scrub chain (PHONE_RE uses lookbehind, which DuckDB's RE2 lacks;
+# it stays in the flagship pipeline and is exercised by rows-only checks)
+SCRUB_SQL_CHAIN: list[tuple[str, str]] = [
+    (EMAIL_RE, "<EMAIL>"),
+    (URL_RE, "<URL>"),
+    (IP_RE, "<IP>"),
+    (ID_RE, "<ID>"),
+    (toxicity_pattern(), "<TOX>"),
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    captions = captions_from_documents(docs)
+    decisions = run_pipeline(captions, FilterConfig(nbuckets=16, salt_buckets=4))
+    return decisions.select(
+        "image_id",
+        "fmt",
+        "w",
+        "h",
+        "caption",
+        "caption_norm",
+        "caption_scrubbed",
+        F.round("ppl", 4).alias("ppl"),
+        "l1",
+        "l1_size",
+        "multiling",
+        "image_ok",
+        "image_reason",
+        "drop_reason",
+        "keep",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship keep/drop pipeline on sf0.001 (driver checks rows >= 0)."""
+    return _flagship(spark, SF0001)
+
+
+# --------------------------------------------------------------------------
+# oracle-checked relational queries (SURVEY.md §2 ids in each docstring)
+# --------------------------------------------------------------------------
+
+
+def q_export_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+P4+W1: 3-way left join with date-range filter and broadcast dims
+    (export.py:104-110 shape)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate").between("1994-01-01", "1996-12-31")
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            "o_orderpriority",
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/P2: IN-subquery as left-semi join (attribute.py:144-145)."""
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    li = _t(spark, sf_dir, "lineitem").join(
+        urgent.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+    )
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/U3: explode token arrays + parent-key aggregation
+    (reliefweb.py:152-173 explode shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.length("token") > 0)
+    return tok.groupBy("token").agg(F.count("*").alias("n"))
+
+
+def q_byte_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2: per-(source,lang) byte sums + share-of-group rounded to 2
+    (util/langid.py:320-336)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.sum(F.octet_length("text")).alias("lang_bytes")
+    )
+    w = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "lang",
+        "lang_bytes",
+        F.round(F.col("lang_bytes") / F.sum("lang_bytes").over(w), 2).alias("share"),
+    )
+
+
+def q_argmax_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: per-source top language by doc count, ties lang-asc
+    (util/langid.py:401-433 `_l1`)."""
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "n")
+    )
+
+
+def q_char_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: nearest-rank char-length quartiles per lang (util/langid.py:551-553)."""
+    docs = _t(spark, sf_dir, "documents")
+    return char_quartiles_nearest(docs, "lang", F.col("n_chars"))
+
+
+def q_window_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3: per-group renumbering from 0 (base_pipeline.py:160-171)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return docs.select(
+        "doc_id", "lang", (F.row_number().over(w) - 1).cast("long").alias("sent_id")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: exact dedup via hash-groupBy canonicalization (database.py:57)."""
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id").select(
+        "text_hash", "canonical_id", "n_dupes"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of casefolded collapsed text (F24 slot)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21/F22 + quality features: token counts and character-class ratios
+    (util/langid.py:73-77,212-215)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(alpha_ratio_col(F.col("text")), 4).alias("alpha_ratio"),
+        F.round(caps_ratio_col(F.col("text")), 4).alias("caps_ratio"),
+    )
+
+
+def q_langid_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-only stopword-vote language ID (cheap LI pre-filter baseline)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        langid_sql(F.col("text")).alias("lang_guess"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded heuristic quality score (length/alpha/stopword components)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/toxicity scrub chain (north_rule stage; RE2-safe subset so DuckDB
+    can oracle it — the lookbehind PHONE rule runs in the flagship only)."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact admin"),
+            F.col("doc_id").cast("string"),
+            F.lit("@relief.org see https://example.org/r/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" case AB"),
+            (F.col("doc_id") + 1234567).cast("string"),
+            F.lit(" you frakking fool"),
+        ).alias("seeded"),
+    )
+    out = F.col("seeded")
+    for pattern, token in SCRUB_SQL_CHAIN:
+        out = F.regexp_replace(out, pattern, token)
+    return seeded.select("doc_id", out.alias("scrubbed"))
+
+
+def q_nanlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P9: NaN/none/empty nullifier semantics (convert.py:53-70) over a
+    deterministically polluted column."""
+    docs = _t(spark, sf_dir, "documents")
+    polluted = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("none"))
+        .when(F.col("doc_id") % 11 == 1, F.lit("   "))
+        .when(F.col("doc_id") % 11 == 2, F.lit("NULL"))
+        .when(F.col("doc_id") % 11 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return polluted.groupBy("lang").agg(
+        F.sum(is_nanlike(F.col("t")).cast("long")).alias("n_nanlike"),
+        F.sum((~is_nanlike(F.col("t"))).cast("long")).alias("n_valid"),
+    )
+
+
+def q_min_portion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: min-portion language-share filter (export.py:108 semantics) over
+    byte shares."""
+    per = q_byte_share(spark, sf_dir)
+    return per.where((F.col("lang") == "en") & (F.col("share") >= 0.3)).select(
+        "source", F.col("share").alias("share_en")
+    )
+
+
+def q_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+F20: date-range filter + year derivation (attribute.py:102-116)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") >= F.lit("1993-01-01")
+    )
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy").alias("o_year"), "o_orderkey"
+        )
+        .groupBy("o_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over embeddings (similarity baseline);
+    ranked on the 6-decimal-rounded similarity for cross-engine stability."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), vec.alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), vec.alias("cvec"))
+    scored = c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id")).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName of two filtered halves (util/langid.py:380-381)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return a.unionByName(b).groupBy("lang").agg(F.count("*").alias("n"))
+
+
+def q_multivalue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15/U2: distinct-set assembly + '|'-joined multivalue string
+    (convert.py:84-106)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(F.sort_array(F.collect_set("source")), "|").alias("sources"),
+        F.size(F.collect_set("source")).cast("long").alias("n_sources"),
+    )
+
+
+def q_doc_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19/F13: XML <doc> start-tag assembly with quoteattr semantics
+    (attribute.py:69-99; util.py:106-118)."""
+    docs = _t(spark, sf_dir, "documents")
+    tag = doc_tag_col(
+        F.col("doc_id").cast("string"),
+        {"lang": F.col("lang"), "source": F.col("source")},
+        file_id=F.lit("0"),
+    )
+    return docs.select("doc_id", tag.alias("doc_tag"))
+
+
+def q_wrap_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: dehyphenation of wrapped lines (base_pipeline.py:100-112) over a
+    deterministically hyphen-wrapped column."""
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.substring("text", 1, 40), F.lit("-\n"), F.expr("substring(text, 41)")
+    )
+    fixed = F.regexp_replace(wrapped, r"( \w+)-\n(\w+ *)", "$1$2\n")
+    return docs.select("doc_id", fixed.alias("unwrapped"))
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27: JSON path extraction from string cells (export.py:108) +
+    grouped aggregation over events."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+    )
+
+
+def q_quote_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5: pure-JVM quote/dash folding (uninorm_4.py:49-74) over text with
+    injected typographic variants."""
+    docs = _t(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.lit("\u201cquoted\u201d \u2014 "),
+        F.col("text"),
+        F.lit(" \u2018x\u2019 \u2011y"),
+    )
+    return docs.select("doc_id", fold_quotes_dashes_col(decorated).alias("folded"))
+
+
+def q_stopword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/stopword-share feature (quality-rule family)."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = [
+        stopword_hits(F.col("text"), lg).cast("long").alias(f"hits_{lg}")
+        for lg in sorted(STOPWORDS)
+    ]
+    return docs.select("doc_id", *cols)
+
+
+def q_lang_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+A6 slot: documents from sources whose lang set is multilingual
+    (>= 3 langs) — semi-join against an aggregated side."""
+    docs = _t(spark, sf_dir, "documents")
+    multi = (
+        docs.groupBy("source")
+        .agg(F.countDistinct("lang").alias("nl"))
+        .where(F.col("nl") >= 3)
+        .select("source")
+    )
+    return (
+        docs.join(multi, "source", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (model-/hash-UDF operators with no ANSI-SQL equivalent)
+# --------------------------------------------------------------------------
+
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship keep/drop pipeline (langid UDF + perplexity UDF + image
+    verify + scrub) over captions derived from documents."""
+    return _flagship(spark, sf_dir)
+
+
+def q_flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(fmt, drop_reason) metrics table of the flagship run."""
+    docs = _t(spark, sf_dir, "documents")
+    captions = captions_from_documents(docs)
+    return metrics(run_pipeline(captions, FilterConfig(nbuckets=16, salt_buckets=4)))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (xxhash64-based; rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=8)
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup grouping (xxhash64-based; rows-only)."""
+    return simhash_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k neighbors (xxhash64 planes; rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+def q_lid_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+A1-A6 composite: trigram-model langid shares over caption lines
+    (rows-only; model is a UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    captions = captions_from_documents(docs)
+    decisions = run_pipeline(captions, FilterConfig(nbuckets=16, salt_buckets=4))
+    return decisions.select(
+        "image_id",
+        "l1",
+        "l1_size",
+        "multiling",
+        lid_share("lid", "en").alias("share_en"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "export_join": q_export_join,
+        "semi_join": q_semi_join,
+        "explode_tokens": q_explode_tokens,
+        "byte_share": q_byte_share,
+        "argmax_lang": q_argmax_lang,
+        "char_quartiles": q_char_quartiles,
+        "window_renumber": q_window_renumber,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "langid_sql": q_langid_sql,
+        "quality_score": q_quality_score,
+        "scrub": q_scrub,
+        "nanlike": q_nanlike,
+        "min_portion": q_min_portion,
+        "year_rollup": q_year_rollup,
+        "topk_cosine": q_topk_cosine,
+        "union_halves": q_union,
+        "multivalue_join": q_multivalue_join,
+        "doc_tag": q_doc_tag,
+        "wrap_lines": q_wrap_lines,
+        "json_extract": q_json_extract,
+        "quote_fold": q_quote_fold,
+        "stopword_hits": q_stopword_hits,
+        "lang_presence": q_lang_presence,
+        "flagship": q_flagship,
+        "flagship_metrics": q_flagship_metrics,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_groups": q_simhash_groups,
+        "ann_topk": q_ann_topk,
+        "lid_shares": q_lid_shares,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+
+def _sql_stopword_hits(lang: str, text: str = "text") -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(lower(trim({text})), '\\s+'),"
+        f" x -> x IN ({words})))"
+    )
+
+
+def _sql_token_count(text: str = "text") -> str:
+    return (
+        f"len(list_filter(string_split_regex(lower(trim({text})), '\\s+'),"
+        " x -> len(x) > 0))"
+    )
+
+
+def _sql_scrub_chain(col: str) -> str:
+    out = col
+    for pattern, token in SCRUB_SQL_CHAIN:
+        pat = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
+def _sql_quote_fold(col: str) -> str:
+    from corpusama_spark.functions.normalize import (
+        DASHES,
+        DOUBLE_QUOTES,
+        HYPHENS,
+        SINGLE_QUOTES,
+    )
+
+    mapping = (
+        [(c, "'") for c in SINGLE_QUOTES]
+        + [(c, '"') for c in DOUBLE_QUOTES]
+        + [(c, "-") for c in HYPHENS]
+        + [(c, "–") for c in DASHES]
+    )
+    out = col
+    for src, dst in mapping:
+        if src == dst:
+            continue
+        s = src.replace("'", "''")
+        d = dst.replace("'", "''")
+        out = f"replace({out}, '{s}', '{d}')"
+    return out
+
+
+def _sql_quartile(i: int, q: float) -> str:
+    return (
+        f"max(CASE WHEN rn = CAST(floor({q} * (n - 1) + 0.5) AS BIGINT) + 1"
+        f" THEN v END) AS q{i}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langid_case = "CASE "
+    for lg in sorted(STOPWORDS):
+        langid_case += f"WHEN h_{lg} = best AND best > 0 THEN '{lg}' "
+    langid_case += "ELSE 'unknown' END"
+    hits_cols = ", ".join(
+        f"{_sql_stopword_hits(lg)} AS h_{lg}" for lg in sorted(STOPWORDS)
+    )
+    greatest_hits = "greatest(" + ", ".join(
+        f"h_{lg}" for lg in sorted(STOPWORDS)
+    ) + ")"
+
+    return {
+        "export_join": """
+            SELECT o_orderkey, c_name, n_name AS nation_name, o_orderpriority
+            FROM orders
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1994-01-01'
+                  AND DATE '1996-12-31'
+        """,
+        "semi_join": """
+            SELECT l_orderkey, count(*) AS n_items,
+                   sum(CAST(l_quantity AS BIGINT)) AS qty_sum
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_orderkey
+        """,
+        "explode_tokens": """
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            WHERE len(token) > 0
+            GROUP BY token
+        """,
+        "byte_share": """
+            SELECT source, lang, lang_bytes,
+                   round(lang_bytes / sum(lang_bytes)
+                         OVER (PARTITION BY source), 2) AS share
+            FROM (
+                SELECT source, lang, sum(strlen(text)) AS lang_bytes
+                FROM documents GROUP BY source, lang)
+        """,
+        "argmax_lang": """
+            SELECT source, lang AS top_lang, n FROM (
+                SELECT source, lang, count(*) AS n,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY count(*) DESC, lang) AS rn
+                FROM documents GROUP BY source, lang)
+            WHERE rn = 1
+        """,
+        "char_quartiles": f"""
+            SELECT lang, {_sql_quartile(0, 0.0)}, {_sql_quartile(1, 0.25)},
+                   {_sql_quartile(2, 0.5)}, {_sql_quartile(3, 0.75)},
+                   {_sql_quartile(4, 1.0)}
+            FROM (
+                SELECT lang, n_chars AS v,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents)
+            GROUP BY lang
+        """,
+        "window_renumber": """
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1
+                       AS sent_id
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+                   count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   {_sql_token_count()} AS n_tokens,
+                   round(CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))
+                              / CAST(length(text) AS DOUBLE) END, 4) AS alpha_ratio,
+                   round(CASE WHEN length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) = 0
+                         THEN 0.0
+                         ELSE length(regexp_replace(text, '[^\\p{{Lu}}]', '', 'g'))
+                              / CAST(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))
+                                     AS DOUBLE) END, 4) AS caps_ratio
+            FROM documents
+        """,
+        "langid_sql": f"""
+            SELECT doc_id, lang, {langid_case} AS lang_guess
+            FROM (
+                SELECT doc_id, lang, h_de, h_en, h_es, h_fr,
+                       {greatest_hits} AS best
+                FROM (SELECT doc_id, lang, {hits_cols} FROM documents))
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   round((least(length(trim(text)) / 200.0, 1.0)
+                        + CASE WHEN length(text) > 0
+                               THEN length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))
+                                    / CAST(length(text) AS DOUBLE)
+                               ELSE 0.0 END
+                        + CASE WHEN {_sql_token_count()} > 0
+                               THEN least({greatest_hits.replace('h_', 'hh_')} * 4.0
+                                          / {_sql_token_count()}, 1.0)
+                               ELSE 0.0 END) / 3.0, 4) AS quality
+            FROM (
+                SELECT doc_id, text,
+                       {', '.join(f'{_sql_stopword_hits(lg)} AS hh_{lg}' for lg in sorted(STOPWORDS))}
+                FROM documents)
+        """,
+        "scrub": f"""
+            SELECT doc_id, {_sql_scrub_chain('seeded')} AS scrubbed
+            FROM (
+                SELECT doc_id,
+                       text || ' contact admin' || doc_id
+                            || '@relief.org see https://example.org/r/' || doc_id
+                            || ' from 10.0.0.' || (doc_id % 256)
+                            || ' case AB' || (doc_id + 1234567)
+                            || ' you frakking fool' AS seeded
+                FROM documents)
+        """,
+        "nanlike": """
+            SELECT lang,
+                   sum(CASE WHEN t IS NULL
+                            OR regexp_matches(trim(t), '(?i)^(none|null|nan)?$')
+                            THEN 1 ELSE 0 END) AS n_nanlike,
+                   sum(CASE WHEN t IS NOT NULL
+                            AND NOT regexp_matches(trim(t), '(?i)^(none|null|nan)?$')
+                            THEN 1 ELSE 0 END) AS n_valid
+            FROM (
+                SELECT lang,
+                       CASE WHEN doc_id % 11 = 0 THEN 'none'
+                            WHEN doc_id % 11 = 1 THEN '   '
+                            WHEN doc_id % 11 = 2 THEN 'NULL'
+                            WHEN doc_id % 11 = 3 THEN NULL
+                            ELSE text END AS t
+                FROM documents)
+            GROUP BY lang
+        """,
+        "min_portion": """
+            SELECT source, share AS share_en FROM (
+                SELECT source, lang,
+                       round(lang_bytes / sum(lang_bytes)
+                             OVER (PARTITION BY source), 2) AS share
+                FROM (
+                    SELECT source, lang, sum(strlen(text)) AS lang_bytes
+                    FROM documents GROUP BY source, lang))
+            WHERE lang = 'en' AND share >= 0.3
+        """,
+        "year_rollup": """
+            SELECT strftime(o_orderdate, '%Y') AS o_year,
+                   count(*) AS n_orders,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1993-01-01'
+            GROUP BY strftime(o_orderdate, '%Y')
+        """,
+        "topk_cosine": """
+            SELECT query_id, cand_id, cos_sim, rnk FROM (
+                SELECT query_id, cand_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, cand_id) AS rnk
+                FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           round(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+                    FROM embeddings c, embeddings q
+                    WHERE q.vec_id < 8 AND c.vec_id != q.vec_id))
+            WHERE rnk <= 5
+        """,
+        "union_halves": """
+            SELECT lang, count(*) AS n FROM (
+                SELECT * FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT * FROM documents WHERE doc_id % 2 = 1)
+            GROUP BY lang
+        """,
+        "multivalue_join": """
+            SELECT lang,
+                   string_agg(DISTINCT source, '|' ORDER BY source) AS sources,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "doc_tag": """
+            SELECT doc_id,
+                   '<doc id="' || doc_id || '" file_id="0" lang="' || lang
+                   || '" source="' || source || '" >' AS doc_tag
+            FROM documents
+        """,
+        "wrap_lines": """
+            SELECT doc_id,
+                   regexp_replace(substr(text, 1, 40) || '-' || chr(10)
+                                  || substr(text, 41),
+                                  '( \\w+)-\\n(\\w+ *)', '\\1\\2' || chr(10),
+                                  'g') AS unwrapped
+            FROM documents
+        """,
+        "json_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS k_sum,
+                   max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS k_max
+            FROM events GROUP BY event_type
+        """,
+        "quote_fold": f"""
+            SELECT doc_id,
+                   {_sql_quote_fold("(chr(8220) || 'quoted' || chr(8221) || ' ' || chr(8212) || ' ' || text || ' ' || chr(8216) || 'x' || chr(8217) || ' ' || chr(8209) || 'y')")}
+                       AS folded
+            FROM documents
+        """,
+        "stopword_hits": f"""
+            SELECT doc_id,
+                   {', '.join(f'{_sql_stopword_hits(lg)} AS hits_{lg}' for lg in sorted(STOPWORDS))}
+            FROM documents
+        """,
+        "lang_presence": """
+            SELECT source, count(*) AS n_docs
+            FROM documents
+            WHERE source IN (
+                SELECT source FROM documents
+                GROUP BY source HAVING count(DISTINCT lang) >= 3)
+            GROUP BY source
+        """,
+    }

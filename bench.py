@@ -1,0 +1,97 @@
+"""Benchmark driver — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline metric is the flagship quality-filter pipeline's throughput
+(images filtered/sec — BASELINE.json "metric") over a captions table of the
+authoritative input_hint shape, synthesized deterministically (seed 42) at
+``$BENCH_CAPTIONS_N`` rows (default 40000). Relational/operator queries run
+over the driver's sf tables.
+
+Scaling evidence (north_rule N vs 4N executors): run this file twice, e.g.
+``SPARK_GRAFT_CPUS=8 python bench.py`` and ``SPARK_GRAFT_CPUS=32 python
+bench.py`` — see scripts/scaling.py which automates it and updates BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from corpusama_spark.pipeline import FilterConfig, run_pipeline  # noqa: E402
+from corpusama_spark.session import get_spark  # noqa: E402
+from corpusama_spark.sources.synth import captions_df  # noqa: E402
+
+BENCH_QUERIES = [
+    "export_join",
+    "semi_join",
+    "explode_tokens",
+    "byte_share",
+    "char_quartiles",
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash_groups",
+    "topk_cosine",
+    "ann_topk",
+    "scrub",
+    "quality_score",
+    "langid_sql",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_captions = int(os.environ.get("BENCH_CAPTIONS_N", "40000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM + Python workers (excluded from timings)
+    captions_df(spark, 256).select(F.count("*")).collect()
+
+    t0 = time.perf_counter()
+    captions = captions_df(spark, n_captions)
+    decisions = run_pipeline(captions, FilterConfig())
+    n_out = decisions.select(
+        F.count("*").alias("n"), F.sum(F.col("keep").cast("long")).alias("k")
+    ).collect()[0]
+    flagship_sec = time.perf_counter() - t0
+    timings["flagship_filter"] = round(flagship_sec, 3)
+    images_per_sec = n_captions / flagship_sec
+
+    qs = E.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).select(F.count(F.lit(1))).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "images_filtered_per_sec": round(images_per_sec, 1),
+                "flagship_rows": n_captions,
+                "flagship_keep": int(n_out["k"]),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,65 @@ def _gen_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _mutate_caption(base: str, rng: np.random.Generator) -> str | None:
+    """Deterministically inject the reference's noise classes into a base
+    text (same taxonomy as _make_caption; citations in the module docstring)."""
+    roll = rng.integers(0, 100)
+    base = base[:300]
+    if roll < 4:
+        return BAD_CAPTIONS[int(rng.integers(0, len(BAD_CAPTIONS)))]
+    if roll < 8:
+        return "ok" if roll < 6 else "tiny cap"
+    if roll < 12:
+        return base.upper()
+    if roll < 16:
+        return f"### {int(rng.integers(10, 99))} *** {base} +++ 12345 !!!"
+    if roll < 20:
+        extra, _ = FANCY[int(rng.integers(0, len(FANCY)))]
+        return f"{base} {extra}"
+    if roll < 24:
+        noise = PII_SAMPLES[int(rng.integers(0, len(PII_SAMPLES)))]
+        if rng.integers(0, 2) == 1:
+            noise = f"that {TOXIC_TERMS[int(rng.integers(0, len(TOXIC_TERMS)))]} driver"
+        return f"{base} {noise}"
+    if roll < 27:
+        return "\n".join([base, "##", "x", "*****"])
+    if roll < 32:
+        cut = max(1, len(base) // 2)
+        return base[:cut] + "-\n" + base[cut:]
+    return base
+
+
+def captions_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive the captions-shaped input table from the driver's `documents`
+    table — deterministic per doc_id (rng keyed (GLOBAL_SEED, doc_id)), so the
+    flagship pipeline runs over testdata with the authoritative input_hint
+    schema. Distributed mapInPandas; no driver-side materialization."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"].astype(int), pdf["text"]):
+                rng = _rng(doc_id)
+                caption = _mutate_caption(text if isinstance(text, str) else "", rng)
+                data, w, h, fmt = _make_image(doc_id, rng)
+                image_id = hashlib.sha1(
+                    f"img-{GLOBAL_SEED}-{doc_id}".encode()
+                ).hexdigest()[:16]
+                phash = int.from_bytes(
+                    hashlib.blake2b(image_id.encode(), digest_size=8).digest(), "big"
+                ) - (1 << 63)
+                rows.append((image_id, data, w, h, fmt, caption, phash))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(gen, schema=CAPTIONS_SCHEMA)
+
+
 def captions_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
     """Distributed deterministic captions table of n rows."""
     if partitions is None:
