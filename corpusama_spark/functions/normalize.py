@@ -85,18 +85,24 @@ _QUOTE_DASH_TABLE = str.maketrans(
     }
 )
 
-# Zs → space and C* → delete tables, precomputed over the BMP once;
-# astral-plane chars handled by the slow path in _scrub_categories.
+# Zs → space and C* → delete tables over the BMP; built lazily because the
+# 65k-codepoint category scan costs ~0.7 s — per-worker import stays cheap
+# and pure-ASCII workloads (the fast path) never pay it. Astral-plane chars
+# are handled by the slow path in _scrub_categories.
 _ZS_TABLE: dict[int, str] = {}
-_BMP_CONTROL: set[int] = set()
-for _cp in range(0x10000):
-    _cat = unicodedata.category(chr(_cp))
-    if _cat == "Zs":
-        _ZS_TABLE[_cp] = " "
-    elif _cat.startswith("C") and _cp != 0x200D:
-        _BMP_CONTROL.add(_cp)
-_CONTROL_TABLE = dict.fromkeys(_BMP_CONTROL)
+_CONTROL_TABLE: dict[int, None] = {}
 _HAS_ASTRAL_RE = re.compile("[\U00010000-\U0010ffff]")
+
+
+def _ensure_tables() -> None:
+    if _ZS_TABLE:
+        return
+    for cp in range(0x10000):
+        cat = unicodedata.category(chr(cp))
+        if cat == "Zs":
+            _ZS_TABLE[cp] = " "
+        elif cat.startswith("C") and cp != 0x200D:
+            _CONTROL_TABLE[cp] = None
 
 
 def _replace_charref(match: re.Match) -> str:
@@ -132,8 +138,29 @@ def _scrub_categories(text: str) -> str:
     return out
 
 
+# ASCII fast path: for pure-ASCII text with no '&' (entities) and no '<'
+# (tags), the full chain reduces to: backtick→apostrophe (the only ASCII
+# member of the quote tables), tab→space, ASCII controls dropped (category
+# Cc: 0x00-0x1F minus tab, plus 0x7F — note \n drops too, exactly as the
+# general path's category-C scrub does), strip. NFKC, Zs-folding, and the
+# remaining quote/dash variants are identity on ASCII.
+_ASCII_FAST_TABLE: dict[int, str | None] = {0x60: "'", 0x9: " "}
+for _cp in list(range(0x20)) + [0x7F]:
+    if _cp != 0x9:
+        _ASCII_FAST_TABLE[_cp] = None
+
+
 def normalize_text(text: str) -> str:
     """Normalize a line/caption; returns kept lines each terminated by \\n."""
+    if "&" not in text and "<" not in text and text.isascii():
+        s = text.translate(_ASCII_FAST_TABLE).strip()
+        return s + "\n" if s else ""
+    return _normalize_general(text)
+
+
+def _normalize_general(text: str) -> str:
+    """Full-chain path (any Unicode; the fast path must agree on ASCII)."""
+    _ensure_tables()
     text = decode_entities(text)
     text = text.translate(_ZS_TABLE)
     if "<" in text:

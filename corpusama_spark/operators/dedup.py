@@ -52,24 +52,62 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     )
 
 
+def _perm(a: int, b: int):
+    # closure, not default-arg lambda: pyspark infers HOF arity from the
+    # Python signature, so extra defaulted params break ArrayTransform
+    return lambda h: (h * a + b) % F.lit(MERSENNE)
+
+
 def minhash_signature(shingle_col: F.Column, num_hashes: int = 16) -> F.Column:
     """K min-hash values: min over shingles of (a_k * h + b_k) mod p.
 
-    Uses xxhash64 per shingle once, then K affine permutations — K cheap JVM
-    ops, not K hash passes.
+    NOTE: as a single inline expression the hashed-shingle array is
+    re-evaluated once per permutation (Catalyst does not CSE inside one
+    projection). Prefer ``minhash_signatures`` (the DataFrame version) on
+    anything hot — it stages the base array in its own projection so it is
+    computed once per row.
     """
     base = F.transform(shingle_col, lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE))
-
-    def perm(a: int, b: int):
-        # closure, not default-arg lambda: pyspark infers HOF arity from the
-        # Python signature, so extra defaulted params break ArrayTransform
-        return lambda h: (h * a + b) % F.lit(MERSENNE)
-
     sigs = [
-        F.array_min(F.transform(base, perm(2 * k + 1, 1_000_003 * (k + 1))))
+        F.array_min(F.transform(base, _perm(2 * k + 1, 1_000_003 * (k + 1))))
         for k in range(num_hashes)
     ]
     return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig) per row, with the expensive stages each evaluated ONCE.
+
+    The hashed-shingle array lands in its own projection; CollapseProject
+    will not inline a non-cheap (higher-order-function) alias referenced by
+    all K permutation expressions, so each row hashes its shingles exactly
+    once. If the incoming plan has fewer partitions than the cluster's
+    parallelism (one small parquet file), repartition first so the CPU-bound
+    signature stage actually fans out.
+    """
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    hashed = src.withColumn(
+        "_hs",
+        F.transform(
+            shingles("_t", shingle_n),
+            lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE),
+        ),
+    )
+    sigs = [
+        F.array_min(F.transform(F.col("_hs"), _perm(2 * k + 1, 1_000_003 * (k + 1))))
+        for k in range(num_hashes)
+    ]
+    return hashed.select("id", F.array(*sigs).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -79,18 +117,23 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b, band) via banded LSH.
+    """Candidate near-dup pairs (id_a < id_b) via banded LSH.
 
-    Scale shape: explode to (band_key, id), self-join per bucket — shuffle is
-    keyed by band hash so only colliding docs meet; skewed buckets (e.g.
-    empty-text) should be pre-filtered by the caller.
+    Scale shape: signatures materialize once (persisted — at 10^12 rows this
+    is the signature table you would write to storage anyway), explode to
+    (band, band_key, id), self-join per bucket. The shuffle is keyed by band
+    hash so only colliding docs meet; without persistence the self-join would
+    execute the CPU-heavy signature stage once per side (broadcast + probe
+    exchanges do not canonicalize equal, so ReuseExchange cannot help).
+
+    ``max_bucket`` drops flood buckets (boilerplate/empty-text pileups) —
+    the standard LSH skew guard; members of a dropped bucket still meet in
+    their other bands unless those flood too.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("sig"),
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -107,7 +150,15 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "band_key"),
-    )
+    ).persist()
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "band_key")
+            .count()
+            .where(F.col("count") <= max_bucket)
+            .drop("count")
+        )
+        banded = banded.join(ok, ["band", "band_key"], "left_semi")
     left = banded.alias("a")
     right = banded.alias("b")
     return (

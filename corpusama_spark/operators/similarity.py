@@ -69,37 +69,40 @@ def brute_force_topk(
     )
 
 
+def _plane(table: int, p: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane — driver-side blake2b, zero
+    stored state, reproducible on any cluster. Components in [-1, 1)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int.from_bytes(
+            hashlib.blake2b(f"{table}_{p}_{d}".encode(), digest_size=8).digest(),
+            "big",
+        )
+        out.append((h % 20_000) / 10_000.0 - 1.0)
+    return out
+
+
 def hyperplane_bits(
     vec_col: Column, nplanes: int = 16, dim: int = 64, table: int = 0
 ) -> Column:
     """Sign-bit string of projections onto deterministic pseudo-random planes.
 
-    Plane p component d = xxhash64("<table>_<p>_<d>") scaled to (-1, 1) —
-    fully reproducible on any cluster with zero stored state. ``table`` seeds
-    independent hash tables for multi-probe LSH.
+    The planes are computed ONCE on the driver and embedded as foldable
+    literals — per row only nplanes×dim multiply-adds remain (an earlier
+    design derived plane components from xxhash64 *inside* the expression,
+    re-hashing nplanes×dim values per row). ``table`` seeds independent hash
+    tables for multi-probe LSH.
     """
-    planes = F.transform(
-        F.sequence(F.lit(0), F.lit(nplanes - 1)),
-        lambda p: F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (
-                F.xxhash64(
-                    F.concat(
-                        F.lit(f"{table}_"), p.cast("string"), F.lit("_"), d.cast("string")
-                    )
-                )
-                % F.lit(10_000)
-            ).cast("double")
-            / F.lit(10_000.0),
-        ),
-    )
-    return F.array_join(
-        F.transform(
-            planes,
-            lambda plane: F.when(dot(plane, vec_col) > 0, "1").otherwise("0"),
-        ),
-        "",
-    )
+    bits = [
+        F.when(
+            dot(F.array(*[F.lit(v) for v in _plane(table, p, dim)]), vec_col) > 0,
+            "1",
+        ).otherwise("0")
+        for p in range(nplanes)
+    ]
+    return F.concat(*bits)
 
 
 def lsh_buckets(
@@ -172,7 +175,7 @@ def embedding_near_dups(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.explode(lsh_buckets(F.col(vec_col), nplanes, ntables, 64)).alias("bucket"),
-    )
+    ).persist()  # self-join sides would otherwise each recompute the buckets
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(

@@ -53,13 +53,23 @@ class FilterConfig:
     nbuckets: int = 64
     salt_buckets: int = 8
     repartition: bool = True
+    num_partitions: int | None = None  # None: 2x defaultParallelism
 
 
 def run_pipeline(captions: DataFrame, config: FilterConfig = FilterConfig()) -> DataFrame:
     """captions table → decision table (no bytes column in output)."""
     df = captions
     if config.repartition:
+        # explicit partition COUNT, not just keys: a column-only repartition
+        # has shuffle origin REPARTITION_BY_COL, which AQE may coalesce down
+        # to its advisory size — collapsing the Arrow-UDF-heavy stage to a
+        # handful of tasks (observed: 1 task at local[32]). A user-specified
+        # number is preserved by AQE, keeping the UDF stage at full fan-out.
+        n_parts = config.num_partitions or (
+            2 * df.sparkSession.sparkContext.defaultParallelism
+        )
         df = df.repartition(
+            n_parts,
             F.pmod(F.col("phash"), F.lit(config.nbuckets)),
             F.pmod(F.xxhash64("image_id"), F.lit(config.salt_buckets)),
         )

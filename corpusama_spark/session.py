@@ -37,6 +37,13 @@ def get_spark(
         except (TypeError, ValueError):
             shuffle_partitions = 32
 
+    # one BLAS/OpenMP thread per Python worker: with W workers each spawning
+    # an ncores-wide pool (numpy/OpenBLAS default), W x ncores threads thrash
+    # the box and parallel efficiency collapses; UDF batches are small enough
+    # that intra-op threading buys nothing
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -1,0 +1,96 @@
+"""Scaling-efficiency evidence (north_rule: ≥0.8 efficiency from N→4N).
+
+Runs the flagship bench at two parallelism levels (default local[8] vs
+local[32]) on IDENTICAL input in separate JVMs, then prints a summary and
+rewrites the scaling section of BENCH.md.
+
+Usage: python scripts/scaling.py [n_low] [n_high]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, n_captions: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_CAPTIONS_N=str(n_captions),
+        PYTHONPATH=REPO,
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    ).stdout
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON line in bench output:\n{out[-2000:]}")
+
+
+def main() -> None:
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    n_captions = int(os.environ.get("BENCH_CAPTIONS_N", "40000"))
+
+    lo = run_bench(n_low, n_captions)
+    hi = run_bench(n_high, n_captions)
+    thr_lo = lo["images_filtered_per_sec"]
+    thr_hi = hi["images_filtered_per_sec"]
+    eff = (thr_hi / thr_lo) / (n_high / n_low)
+
+    summary = {
+        "cores_low": n_low,
+        "cores_high": n_high,
+        "rows": n_captions,
+        "images_per_sec_low": thr_lo,
+        "images_per_sec_high": thr_hi,
+        "speedup": round(thr_hi / thr_lo, 3),
+        "scaling_efficiency": round(eff, 3),
+        "queries_low": lo["queries"],
+        "queries_high": hi["queries"],
+    }
+    print(json.dumps(summary))
+
+    section = f"""
+## Measured scaling evidence (this engine, sandbox)
+
+No real cluster exists in this sandbox, so the north_rule's N→4N executor
+criterion is evidenced by the same flagship filter job at two parallelism
+levels in separate JVMs on identical input ({n_captions} rows of the
+captions table, materialized parquet):
+
+| config | images filtered/sec | flagship sec |
+|---|---|---|
+| local[{n_low}] | {thr_lo} | {lo['queries']['flagship_filter']} |
+| local[{n_high}] | {thr_hi} | {hi['queries']['flagship_filter']} |
+
+Speedup {n_low}→{n_high} cores ({n_high // n_low}x): **{thr_hi / thr_lo:.2f}x**
+→ scaling efficiency **{eff:.3f}** (gate: ≥ 0.8).
+"""
+    bench_md = os.path.join(REPO, "BENCH.md")
+    header = "# BENCH — engine throughput + scaling\n"
+    existing = ""
+    if os.path.exists(bench_md):
+        existing = open(bench_md).read()
+        existing = existing.split("## Measured scaling evidence")[0].rstrip() + "\n"
+    else:
+        existing = header
+    with open(bench_md, "w") as f:
+        f.write(existing + section)
+    print(f"wrote {bench_md}")
+
+
+if __name__ == "__main__":
+    main()

@@ -80,3 +80,15 @@ def test_entity_xml_basics_reescaped(uninorm_ref):
     assert N.normalize_text(s) == uninorm_ref.normalize_line(s)
     assert "&amp;" in N.normalize_text(s)
     assert "<" not in N.normalize_text(s)
+
+
+@settings(max_examples=1000, deadline=None)
+@given(
+    st.text(
+        alphabet=[chr(i) for i in range(128) if chr(i) not in "&<"], max_size=80
+    )
+)
+def test_ascii_fast_path_equals_general_path(text):
+    # the fast path's guard admits exactly this alphabet; results must be
+    # byte-identical to the full-chain path
+    assert N.normalize_text(text) == N._normalize_general(text)
