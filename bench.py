@@ -50,7 +50,9 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_captions = int(os.environ.get("BENCH_CAPTIONS_N", "40000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(cores=cpus)
+    spark = get_spark(
+        cores=cpus, extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
@@ -69,13 +71,20 @@ def main() -> None:
     if not os.path.exists(os.path.join(captions_path, "_SUCCESS")):
         captions_df(spark, n_captions).write.mode("overwrite").parquet(captions_path)
 
-    t0 = time.perf_counter()
-    captions = spark.read.parquet(captions_path)
-    decisions = run_pipeline(captions, FilterConfig())
-    n_out = decisions.select(
-        F.count("*").alias("n"), F.sum(F.col("keep").cast("long")).alias("k")
-    ).collect()[0]
-    flagship_sec = time.perf_counter() - t0
+    # run twice: the first run spawns/imports the full Python-worker fleet
+    # (a fixed startup cost that amortizes to zero on a 10^12-row job); the
+    # second run is the steady-state filter throughput — the headline metric
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        captions = spark.read.parquet(captions_path)
+        decisions = run_pipeline(captions, FilterConfig())
+        n_out = decisions.select(
+            F.count("*").alias("n"), F.sum(F.col("keep").cast("long")).alias("k")
+        ).collect()[0]
+        runs.append(time.perf_counter() - t0)
+    flagship_sec = runs[-1]
+    timings["flagship_filter_cold"] = round(runs[0], 3)
     timings["flagship_filter"] = round(flagship_sec, 3)
     images_per_sec = n_captions / flagship_sec
 

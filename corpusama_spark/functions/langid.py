@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     StringType,
     StructField,
@@ -242,6 +244,111 @@ def aggregate_lid(
             ).alias("multiling"),
         )
     )
+
+
+LID_STRUCT_SCHEMA = StructType(
+    [
+        StructField(
+            "lid_arr",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("lang", StringType(), True),
+                        StructField("share", DoubleType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("l1", StringType(), True),
+        StructField("l1_size", DoubleType(), True),
+        StructField("multiling", BooleanType(), True),
+    ]
+)
+
+
+def analyze_lines(
+    lines: list[str],
+    model,
+    min_len: int = DEFAULT_MIN_LEN,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_langs: int = DEFAULT_MAX_LANGS,
+):
+    """Pure-Python analyze() (util/langid.py:290-339,401-433) over one
+    caption's cleaned lines — MUST stay value-identical to the distributed
+    label_lines → aggregate_lid plan (tested in test_pipeline):
+    Python round() is round-half-even on the exact binary double, matching
+    F.bround; threshold uses the capped distinct-label count INCLUDING
+    unknown/short; sort share desc then lang asc.
+    """
+    if not lines:
+        return None
+    to_predict = [ln for ln in lines if len(ln) >= min_len]
+    preds = {}
+    if to_predict:
+        langs, scores = model.predict(to_predict)
+        preds = dict(zip(to_predict, zip(langs, scores)))
+    byte_sums: dict[str, int] = {}
+    for ln in lines:
+        if len(ln) < min_len:
+            lang = "short"
+        else:
+            lang, score = preds[ln]
+            if not score > threshold:
+                lang = "unknown"
+        byte_sums[lang] = byte_sums.get(lang, 0) + len(ln.encode("utf8"))
+    total = sum(byte_sums.values())
+    n_langs = len(byte_sums)
+    cut = 1.0 / (min(n_langs, max_langs) + 1)
+    entries = [
+        (lang, round(b / total, 2))
+        for lang, b in byte_sums.items()
+        if round(b / total, 2) >= cut
+    ]
+    entries.sort(key=lambda e: (-e[1], e[0]))
+    if not entries:
+        return ([], None, None, None)
+    multiling = sum(1 for lang, _ in entries if lang not in ("unknown", "short")) > 1
+    return (entries, entries[0][0], entries[0][1], multiling)
+
+
+def lid_struct(
+    lines_col: Column | str,
+    min_len: int = DEFAULT_MIN_LEN,
+    threshold: float = DEFAULT_THRESHOLD,
+    max_langs: int = DEFAULT_MAX_LANGS,
+) -> Column:
+    """Fused per-caption language ID: lines array → struct(lid_arr, l1,
+    l1_size, multiling) in ONE Arrow exchange.
+
+    The distributed twin (explode_lines → label_lines → aggregate_lid →
+    join) costs two shuffles; language shares need no cross-row state, so
+    fusing the aggregation into the UDF removes both. Captions with NULL /
+    empty line arrays yield an all-NULL struct — identical to the left
+    join's missed-key rows in the distributed plan. Batches still hit the
+    model as one flat list per Arrow batch, so prediction density matches
+    the exploded plan.
+    """
+
+    @F.pandas_udf(LID_STRUCT_SCHEMA)
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        model = load_model()
+        none_row = (None, None, None, None)
+        for series in batches:
+            rows = []
+            for lines in series:
+                if lines is None or len(lines) == 0:
+                    rows.append(none_row)
+                    continue
+                res = analyze_lines(
+                    list(lines), model, min_len, threshold, max_langs
+                )
+                rows.append(res if res is not None else none_row)
+            yield pd.DataFrame(
+                rows, columns=["lid_arr", "l1", "l1_size", "multiling"]
+            )
+
+    return _udf(F.col(lines_col) if isinstance(lines_col, str) else lines_col)
 
 
 def lid_share(lid_col: Column | str, lang: str) -> Column:

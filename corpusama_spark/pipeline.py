@@ -2,24 +2,38 @@
 
 Spark-first re-expression of the reference's end-to-end flow
 (rw_corpora_update.py:36-79): ingest → language-ID → attributes → filtered
-export, collapsed into ONE declarative plan over the captions table:
+export, collapsed into one declarative plan over the captions table, split
+into two branches so the image payload NEVER crosses a shuffle:
 
-    captions ──(salted repartition)──► prep UDF (normalize+clean, 1 Arrow pass)
-        ├─► perplexity UDF, scrub exprs, image-verify UDF      (all narrow)
-        └─► posexplode lines ─► langid UDF ─► share agg ─┐     (1 shuffle)
-    ◄──────────── join lid on image_id ◄─────────────────┘     (2nd shuffle,
-    rules (pure exprs) ─► keep / drop_reason                    bytes pruned)
+    captions ─┬─► image branch: verify UDF in the SCAN stage (narrow);
+              │     output is (image_id, fmt, w, h, ok, reason, psnr) —
+              │     tens of bytes per row
+              └─► text branch: select only (image_id, phash, caption)
+                    ─► repartition(n, image_id)           (≤ ~1 KB/row)
+                    ─► prep UDF (normalize+clean, 1 Arrow pass)
+                    ─► fused lid UDF ─► ppl UDF ─► scrub exprs (all narrow)
+    decision = text ⋈ image on image_id — the text side already satisfies
+    the join's hash distribution from its repartition, so only the tiny
+    image-branch output shuffles.
 
 Scale notes (the 100 TB story):
-- Exactly two shuffles: the lid aggregation (partial/final hash agg) and the
-  lid join back. The joined side drops `bytes` first, so image payloads never
-  cross a shuffle.
-- The UDF-heavy stage is preceded by an explicit salted repartition —
-  `repartition(pmod(phash, nbuckets), salt)` — because caption-length skew
-  concentrates UDF cost; AQE alone cannot rebalance a narrow UDF stage
-  (SURVEY.md §4). Salt = pmod(xxhash64(image_id), salt_buckets).
+- Shuffled bytes ≈ caption text once + the small image-verify table. At
+  10^12 rows with ~100 KB images, shuffling `bytes` (the previous design)
+  would move the whole corpus; this plan moves ~0.1% of it.
+- Default langid is the FUSED path (functions/langid.lid_struct): language
+  shares need no cross-row state, so the explode → shuffle → aggregate →
+  join-back plan (kept under ``fused_langid=False`` for parity testing and
+  for the oracle-checked operator family) collapses into the same Arrow
+  exchange that already carries the cleaned lines.
+- Skew: the repartition hashes image_id, decorrelating caption-length cost
+  from the storage layout (phash buckets). The unfused path repartitions by
+  (pmod(phash, nbuckets), salt) — the explicit salt the north rule asks
+  for — because its explode stage multiplies long captions into many rows.
+- The repartition passes an explicit partition COUNT: AQE would coalesce a
+  column-only repartition to its advisory size, serializing the UDF stage.
 - All predicates are JVM expressions: whole-stage codegen end-to-end except
-  the three Arrow UDF exchanges (prep, langid, ppl+image).
+  the Arrow UDF exchanges (prep+lid+ppl on the text branch, verify on the
+  image branch).
 """
 
 from __future__ import annotations
@@ -54,48 +68,90 @@ class FilterConfig:
     salt_buckets: int = 8
     repartition: bool = True
     num_partitions: int | None = None  # None: 2x defaultParallelism
+    fused_langid: bool = True
+
+
+def _n_parts(df: DataFrame, config: FilterConfig) -> int:
+    return config.num_partitions or (
+        2 * df.sparkSession.sparkContext.defaultParallelism
+    )
 
 
 def run_pipeline(captions: DataFrame, config: FilterConfig = FilterConfig()) -> DataFrame:
     """captions table → decision table (no bytes column in output)."""
-    df = captions
-    if config.repartition:
-        # explicit partition COUNT, not just keys: a column-only repartition
-        # has shuffle origin REPARTITION_BY_COL, which AQE may coalesce down
-        # to its advisory size — collapsing the Arrow-UDF-heavy stage to a
-        # handful of tasks (observed: 1 task at local[32]). A user-specified
-        # number is preserved by AQE, keeping the UDF stage at full fan-out.
-        n_parts = config.num_partitions or (
-            2 * df.sparkSession.sparkContext.defaultParallelism
-        )
-        df = df.repartition(
-            n_parts,
-            F.pmod(F.col("phash"), F.lit(config.nbuckets)),
-            F.pmod(F.xxhash64("image_id"), F.lit(config.salt_buckets)),
-        )
+    image_side = captions.select(
+        "image_id", "fmt", "w", "h", verify_image().alias("_iv")
+    ).select(
+        "image_id",
+        "fmt",
+        "w",
+        "h",
+        F.col("_iv.image_ok").alias("image_ok"),
+        F.col("_iv.image_reason").alias("image_reason"),
+        F.col("_iv.image_psnr").alias("image_psnr"),
+    )
 
-    enriched = (
-        df.withColumn("_p", T.prep_caption("caption"))
+    text = captions.select("image_id", "phash", "caption")
+    if config.repartition:
+        if config.fused_langid:
+            # hash(image_id) both balances caption-length skew and already
+            # satisfies the final join's required distribution
+            text = text.repartition(_n_parts(text, config), F.col("image_id"))
+        else:
+            text = text.repartition(
+                _n_parts(text, config),
+                F.pmod(F.col("phash"), F.lit(config.nbuckets)),
+                F.pmod(F.xxhash64("image_id"), F.lit(config.salt_buckets)),
+            )
+
+    prepped = (
+        text.withColumn("_p", T.prep_caption("caption"))
         .withColumn("caption_norm", F.col("_p.caption_norm"))
         .withColumn("lines", F.col("_p.lines"))
         .drop("_p")
         .withColumn("ppl", perplexity("caption_norm"))
         .withColumn("caption_scrubbed", scrub_caption("caption_norm"))
-        .withColumn("_iv", verify_image())
-        .withColumn("image_ok", F.col("_iv.image_ok"))
-        .withColumn("image_reason", F.col("_iv.image_reason"))
-        .withColumn("image_psnr", F.col("_iv.image_psnr"))
-        .drop("_iv", "bytes")
     )
 
-    labeled = L.label_lines(
-        L.explode_lines(enriched.select("image_id", "lines")),
-        min_len=config.min_len,
-        threshold=config.threshold,
-    )
-    lid = L.aggregate_lid(labeled, max_langs=config.max_langs)
+    if config.fused_langid:
+        empty = F.size("lid_arr") == 0
+        with_lid = (
+            prepped.withColumn(
+                "_lid",
+                L.lid_struct(
+                    "lines",
+                    min_len=config.min_len,
+                    threshold=config.threshold,
+                    max_langs=config.max_langs,
+                ),
+            )
+            .drop("lines")
+            .select(
+                "*",
+                F.col("_lid.lid_arr").alias("lid_arr"),
+                F.col("_lid.l1").alias("l1"),
+                F.col("_lid.l1_size").alias("l1_size"),
+                F.col("_lid.multiling").alias("multiling"),
+            )
+            .drop("_lid")
+            .withColumn(
+                "lid",
+                F.when(
+                    F.col("lid_arr").isNotNull() & ~empty,
+                    F.map_from_entries("lid_arr"),
+                ),
+            )
+        )
+    else:
+        labeled = L.label_lines(
+            L.explode_lines(prepped.select("image_id", "lines")),
+            min_len=config.min_len,
+            threshold=config.threshold,
+        )
+        lid = L.aggregate_lid(labeled, max_langs=config.max_langs)
+        with_lid = prepped.drop("lines").join(lid, "image_id", "left")
 
-    joined = enriched.drop("lines").join(lid, "image_id", "left")
+    joined = with_lid.join(image_side, "image_id")
 
     total_chars = F.length(T.collapse_ws_col(F.coalesce("caption_norm", F.lit(""))))
     total_tokens = T.token_count_col(

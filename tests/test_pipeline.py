@@ -129,3 +129,50 @@ def test_checkpoint_restart(spark, tmp_path):
     assert result.select("image_id").distinct().count() == 200
     # idempotent: a third run does nothing
     assert run_checkpointed(spark, caps, out_path, mani, cfg, "run-3") == 0
+
+
+def test_fused_langid_equals_distributed_plan(spark):
+    # the fused in-UDF analyze (langid.lid_struct / analyze_lines) must be
+    # value-identical to the explode -> label -> aggregate -> join plan,
+    # including NULL-vs-empty lid_arr edge cases and bround share rounding
+    caps = captions_df(spark, 400, partitions=8)
+    cols = [
+        "image_id",
+        "lid",
+        "lid_arr",
+        "l1",
+        "l1_size",
+        "multiling",
+        "drop_reason",
+        "keep",
+    ]
+    fused = {
+        r["image_id"]: tuple(r)
+        for r in run_pipeline(caps, FilterConfig(fused_langid=True))
+        .select(*cols)
+        .collect()
+    }
+    dist = {
+        r["image_id"]: tuple(r)
+        for r in run_pipeline(caps, FilterConfig(fused_langid=False))
+        .select(*cols)
+        .collect()
+    }
+    assert fused.keys() == dist.keys()
+    mismatches = [(fused[k], dist[k]) for k in fused if fused[k] != dist[k]]
+    assert not mismatches, mismatches[:3]
+
+
+def test_bytes_never_shuffled(spark):
+    # the image payload must be consumed in the scan stage: no Exchange may
+    # appear below the image-verify UDF in the physical plan
+    caps = captions_df(spark, 50, partitions=4)
+    plan = (
+        run_pipeline(caps, FilterConfig())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "bytes" in line and "Exchange" in line:
+            raise AssertionError(f"bytes column crosses a shuffle: {line}")
