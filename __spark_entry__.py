@@ -420,9 +420,64 @@ def q_lang_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: deterministic majority vote (chunk-vote slot,
+    secondary_pipeline.py:175-184) — modal event_type per user."""
+    from corpusama_spark.operators.textstats import deterministic_mode
+
+    ev = _t(spark, sf_dir, "events")
+    return deterministic_mode(ev, "user_id", "event_type", "top_event")
+
+
+def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten operators (flatten.py:11-65; attribute.py:102-116): nested
+    structs → `parent__child` columns + date__*__year twins."""
+    from corpusama_spark.operators.flatten import add_year_columns, flatten_columns
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta"),
+        F.struct(F.col("o_orderdate").cast("string").alias("original")).alias("date"),
+    )
+    flat = add_year_columns(flatten_columns(orders))
+    return flat.select(
+        "o_orderkey", "meta__status", "meta__priority", "date__original__year"
+    )
+
+
+def q_export_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/F19 export shape: doc_tag + wrapped text (export.py:64-69)."""
+    from corpusama_spark.operators.export import wrap_doc
+    from corpusama_spark.operators.flatten import doc_tag_col
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = doc_tag_col(
+        F.col("doc_id").cast("string"), {"lang": F.col("lang")}, file_id=None
+    )
+    return docs.select(
+        "doc_id",
+        wrap_doc(tag, F.col("text"), file_id=F.lit(0)).alias("doc_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (model-/hash-UDF operators with no ANSI-SQL equivalent)
 # --------------------------------------------------------------------------
+
+
+def q_narrow_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle single-branch variant of the flagship plan (the
+    Structured-Streaming shape; value-identical to `flagship`)."""
+    from corpusama_spark.pipeline import narrow_decisions
+
+    docs = _t(spark, sf_dir, "documents")
+    captions = captions_from_documents(docs)
+    return narrow_decisions(captions, FilterConfig()).select(
+        "image_id", "l1", "l1_size", "multiling", "image_ok", "drop_reason", "keep"
+    )
 
 
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,7 +552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_fold": q_quote_fold,
         "stopword_hits": q_stopword_hits,
         "lang_presence": q_lang_presence,
+        "majority_vote": q_majority_vote,
+        "flatten": q_flatten,
+        "export_doc": q_export_doc,
         "flagship": q_flagship,
+        "narrow_flagship": q_narrow_flagship,
         "flagship_metrics": q_flagship_metrics,
         "minhash_pairs": q_minhash_pairs,
         "simhash_groups": q_simhash_groups,
@@ -794,5 +853,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source FROM documents
                 GROUP BY source HAVING count(DISTINCT lang) >= 3)
             GROUP BY source
+        """,
+        "majority_vote": """
+            SELECT user_id, event_type AS top_event, n AS n_votes FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1
+        """,
+        "flatten": """
+            SELECT o_orderkey, o_orderstatus AS meta__status,
+                   o_orderpriority AS meta__priority,
+                   strftime(o_orderdate, '%Y') AS date__original__year
+            FROM orders
+        """,
+        "export_doc": """
+            SELECT doc_id,
+                   '<doc id="' || doc_id || '" file_id="0" lang="' || lang
+                   || '" >' || chr(10) || text || chr(10) || '</doc>' AS doc_text
+            FROM documents
         """,
     }

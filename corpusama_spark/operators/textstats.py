@@ -108,6 +108,22 @@ def char_quartiles_nearest(
     return ranked.groupBy(group_col).agg(*aggs)
 
 
+def deterministic_mode(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "mode_value"
+) -> DataFrame:
+    """A7 majority vote (secondary_pipeline.py:175-184 `Counter.most_common`)
+    with deterministic ties: highest count wins, then smallest value — the
+    reference's tie order is insertion-dependent, i.e. unspecified, so the
+    engine pins it for replay stability."""
+    counts = df.groupBy(group_col, value_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc(value_col))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(group_col, F.col(value_col).alias(out_col), F.col("n").alias("n_votes"))
+    )
+
+
 def byte_share_by(
     df: DataFrame, group_col: str, lang_col: str, bytes_col: Column
 ) -> DataFrame:

@@ -152,7 +152,11 @@ def run_pipeline(captions: DataFrame, config: FilterConfig = FilterConfig()) -> 
         with_lid = prepped.drop("lines").join(lid, "image_id", "left")
 
     joined = with_lid.join(image_side, "image_id")
+    return _decide(joined, config)
 
+
+def _decide(df: DataFrame, config: FilterConfig) -> DataFrame:
+    """Apply the keep/drop rule chain to a fully-enriched decision input."""
     total_chars = F.length(T.collapse_ws_col(F.coalesce("caption_norm", F.lit(""))))
     total_tokens = T.token_count_col(
         T.collapse_ws_col(F.coalesce("caption_norm", F.lit("")))
@@ -178,9 +182,68 @@ def run_pipeline(captions: DataFrame, config: FilterConfig = FilterConfig()) -> 
         .otherwise(F.lit(None).cast("string"))
     )
 
-    return joined.withColumn("drop_reason", drop_reason).withColumn(
+    return df.withColumn("drop_reason", drop_reason).withColumn(
         "keep", F.col("drop_reason").isNull()
     )
+
+
+def narrow_decisions(
+    captions: DataFrame, config: FilterConfig = FilterConfig()
+) -> DataFrame:
+    """Single-branch ZERO-SHUFFLE variant of the filter plan.
+
+    Image verify, prep, fused lid, perplexity, scrub, and the rule chain all
+    evaluate in the scan stage — no repartition, no join. This is the plan
+    used by Structured Streaming (a streaming self-join would need
+    watermarks; a narrow plan needs nothing) and is also the right batch
+    shape when the input layout is already well-balanced. Decision values
+    are identical to run_pipeline's.
+    """
+    enriched = (
+        captions.withColumn("_iv", verify_image())
+        .withColumn("_p", T.prep_caption("caption"))
+        .select(
+            "image_id",
+            "fmt",
+            "w",
+            "h",
+            "phash",
+            "caption",
+            F.col("_p.caption_norm").alias("caption_norm"),
+            F.col("_p.lines").alias("lines"),
+            F.col("_iv.image_ok").alias("image_ok"),
+            F.col("_iv.image_reason").alias("image_reason"),
+            F.col("_iv.image_psnr").alias("image_psnr"),
+        )
+        .withColumn("ppl", perplexity("caption_norm"))
+        .withColumn("caption_scrubbed", scrub_caption("caption_norm"))
+        .withColumn(
+            "_lid",
+            L.lid_struct(
+                "lines",
+                min_len=config.min_len,
+                threshold=config.threshold,
+                max_langs=config.max_langs,
+            ),
+        )
+        .drop("lines")
+        .select(
+            "*",
+            F.col("_lid.lid_arr").alias("lid_arr"),
+            F.col("_lid.l1").alias("l1"),
+            F.col("_lid.l1_size").alias("l1_size"),
+            F.col("_lid.multiling").alias("multiling"),
+        )
+        .drop("_lid")
+        .withColumn(
+            "lid",
+            F.when(
+                F.col("lid_arr").isNotNull() & (F.size("lid_arr") > 0),
+                F.map_from_entries("lid_arr"),
+            ),
+        )
+    )
+    return _decide(enriched, config)
 
 
 def metrics(decisions: DataFrame) -> DataFrame:
