@@ -420,6 +420,19 @@ def q_lang_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity (dedup verification stage; J7 slot)
+    over a deterministic pair set (doc_id, doc_id+1)."""
+    from corpusama_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    out = jaccard_pairs(docs, "text", "doc_id", pairs)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: deterministic majority vote (chunk-vote slot,
     secondary_pipeline.py:175-184) — modal event_type per user."""
@@ -510,6 +523,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets (rows-only:
+    bucket keys are engine-hashed)."""
+    from corpusama_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal; 0.35 surfaces the top of the
+    # in-bucket cosine distribution so the operator's output shape is tested
+    return embedding_near_dups(emb, threshold=0.35)
+
+
 def q_lid_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+A1-A6 composite: trigram-model langid shares over caption lines
     (rows-only; model is a UDF)."""
@@ -552,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quote_fold": q_quote_fold,
         "stopword_hits": q_stopword_hits,
         "lang_presence": q_lang_presence,
+        "jaccard_adjacent": q_jaccard_adjacent,
         "majority_vote": q_majority_vote,
         "flatten": q_flatten,
         "export_doc": q_export_doc,
@@ -561,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_groups": q_simhash_groups,
         "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "lid_shares": q_lid_shares,
     }
 
@@ -853,6 +879,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source FROM documents
                 GROUP BY source HAVING count(DISTINCT lang) >= 3)
             GROUP BY source
+        """,
+        "jaccard_adjacent": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_distinct(list_transform(
+                               generate_series(1, greatest(len(toks) - 2, 1)),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' '))),
+                           s -> len(s) > 0) AS s
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                       x -> len(x) > 0) AS toks
+                    FROM documents))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))
+                         / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
         "majority_vote": """
             SELECT user_id, event_type AS top_event, n AS n_votes FROM (

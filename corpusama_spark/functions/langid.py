@@ -16,8 +16,11 @@ swappable for real fastText via $CORPUSAMA_FASTTEXT_MODEL without touching the
 plan. The UDF is SCALAR_ITER so the model loads once per Python worker, not
 per batch (the reference's model-per-process pattern, util/parallel.py:53-72).
 
-Aggregation is 100% JVM-side: groupBy partial aggregation, no window over
-raw lines, one shuffle keyed by image id.
+Two aggregation surfaces, proven value-identical (tests/test_pipeline.py):
+the distributed plan (explode → label → groupBy partial agg → join, 100%
+JVM-side aggregation) and the default fused plan (`lid_struct`), which folds
+the per-caption analyze() into the same Arrow exchange that carries the
+cleaned lines — zero extra shuffles, since shares need no cross-row state.
 """
 
 from __future__ import annotations
@@ -61,14 +64,38 @@ class TrigramModel:
     (util/langid.py:281-287): parallel label/score lists, scores in (0, 1].
     Confidence is the length-normalized posterior, so out-of-domain text
     lands near uniform (≈1/n_langs) and falls under the 0.6 threshold.
+
+    Scoring is numpy-vectorized across a whole batch: trigram→id lookup into
+    a (n_langs, vocab+1) log-prob matrix (last column = per-lang unseen
+    floor), per-line sums via one `add.reduceat` over the concatenated gram
+    stream — no per-gram Python in the hot loop.
     """
 
     PAD = " "
 
-    def __init__(self, logp: dict[str, dict[str, float]], floor: dict[str, float]):
-        self.logp = logp
-        self.floor = floor
-        self.labels = sorted(logp)
+    def __init__(self, labels: list[str], vocab: dict[str, int], matrix):
+        import numpy as np
+
+        self.labels = labels
+        self.vocab = vocab
+        self.matrix = np.asarray(matrix, dtype=np.float64)  # (n_langs, V+1)
+        # row-major transpose for the per-gram gather: fancy-indexing rows
+        # of a C-contiguous (V+1, n_langs) array is ~4x faster than columns
+        self._matrix_t = np.ascontiguousarray(self.matrix.T)
+        self.oov = self.matrix.shape[1] - 1
+        # numeric gram pipeline: codepoint → small alphabet id (OOV = K-1),
+        # then dense a*K²+b*K+c key → vocab id table. Lets predict() run
+        # with zero per-gram Python.
+        charset = sorted({c for t in vocab for c in t})
+        self._K = len(charset) + 1
+        self._char_lut = np.full(0x110000, self._K - 1, dtype=np.uint32)
+        for i, c in enumerate(charset):
+            self._char_lut[ord(c)] = i
+        k = self._K
+        self._gram_table = np.full(k * k * k, self.oov, dtype=np.intp)
+        for t, idx in vocab.items():
+            a, b, c = (self._char_lut[ord(ch)] for ch in t)
+            self._gram_table[(int(a) * k + int(b)) * k + int(c)] = idx
 
     @staticmethod
     def _trigrams(line: str) -> list[str]:
@@ -77,8 +104,10 @@ class TrigramModel:
 
     @classmethod
     def train(cls, corpus: dict[str, list[str]]) -> "TrigramModel":
+        import numpy as np
+
         counts: dict[str, dict[str, int]] = {}
-        vocab: set[str] = set()
+        vocab_set: set[str] = set()
         for lang, sents in sorted(corpus.items()):
             c: dict[str, int] = {}
             for sent in sents:
@@ -87,41 +116,67 @@ class TrigramModel:
                     continue
                 for t in cls._trigrams(cleaned.lower()):
                     c[t] = c.get(t, 0) + 1
-                    vocab.add(t)
+                    vocab_set.add(t)
             counts[lang] = c
+        labels = sorted(counts)
+        vocab = {t: i for i, t in enumerate(sorted(vocab_set))}
         v = len(vocab) + 1
-        logp: dict[str, dict[str, float]] = {}
-        floor: dict[str, float] = {}
-        for lang, c in counts.items():
+        matrix = np.empty((len(labels), len(vocab) + 1), dtype=np.float64)
+        for li, lang in enumerate(labels):
+            c = counts[lang]
             total = sum(c.values()) + v
-            logp[lang] = {t: math.log((n + 1) / total) for t, n in c.items()}
-            floor[lang] = math.log(1 / total)
-        return cls(logp, floor)
+            floor = math.log(1 / total)
+            matrix[li, :] = floor
+            for t, n in c.items():
+                matrix[li, vocab[t]] = math.log((n + 1) / total)
+        return cls(labels, vocab, matrix)
 
     def predict_one(self, line: str) -> tuple[str, float]:
-        grams = self._trigrams(line.lower())
-        if not grams:
-            return "unknown", 0.0
-        best_lang, best_ll = None, None
-        lls = []
-        for lang in self.labels:
-            table = self.logp[lang]
-            fl = self.floor[lang]
-            ll = sum(table.get(t, fl) for t in grams)
-            lls.append(ll)
-            if best_ll is None or ll > best_ll:
-                best_lang, best_ll = lang, ll
-        # softmax over total log-likelihoods (fastText-style confidence):
-        # in-domain text → near 1; out-of-domain → near uniform 1/n_labels
-        z = sum(math.exp(ll - best_ll) for ll in lls)
-        return best_lang, 1.0 / z
+        langs, scores = self.predict([line])
+        return langs[0], scores[0]
 
     def predict(self, lines: list[str]) -> tuple[list[str], list[float]]:
-        langs, scores = [], []
-        for line in lines:
-            lang, score = self.predict_one(line)
-            langs.append(lang)
-            scores.append(score)
+        import numpy as np
+
+        n = len(lines)
+        if n == 0:
+            return [], []
+        langs = ["unknown"] * n
+        scores = [0.0] * n
+        # one UTF-32 decode per line (C-speed), concatenated into a single
+        # codepoint stream; everything after is whole-batch numpy
+        bufs = [f" {line} ".lower().encode("utf-32-le") for line in lines]
+        line_lens = np.array([len(b) >> 2 for b in bufs])
+        gram_counts = np.maximum(line_lens - 2, 0)
+        total_grams = int(gram_counts.sum())
+        if total_grams == 0:
+            return langs, scores
+        cps = np.frombuffer(b"".join(bufs), dtype=np.uint32)
+        cids = self._char_lut[np.minimum(cps, 0x10FFFF)]
+        k = self._K
+        keys = (cids[:-2].astype(np.int64) * k + cids[1:-1]) * k + cids[2:]
+        # ragged windows: line i's grams start at concat offset start_i and
+        # span gram_counts[i] positions (windows crossing line boundaries
+        # are never selected)
+        line_starts = np.concatenate(([0], np.cumsum(line_lens)[:-1]))
+        rep_starts = np.repeat(line_starts, gram_counts)
+        out_offsets = np.concatenate(([0], np.cumsum(gram_counts)[:-1]))
+        inc = np.arange(total_grams) - np.repeat(out_offsets, gram_counts)
+        gram_ids = self._gram_table[keys[rep_starts + inc]]
+        per_gram = self._matrix_t[gram_ids]  # (total_grams, n_langs)
+        nonempty = np.flatnonzero(gram_counts > 0)
+        # reduceat over NON-EMPTY segment starts only: consecutive non-empty
+        # starts bound exactly one line's grams, and an empty index pair
+        # would corrupt neighbouring sums
+        lls = np.add.reduceat(per_gram, out_offsets[nonempty], axis=0).T
+        m = len(nonempty)
+        best_idx = lls.argmax(axis=0)
+        best_ll = lls[best_idx, np.arange(m)]
+        z = np.exp(lls - best_ll).sum(axis=0)
+        conf = 1.0 / z
+        for j, i in enumerate(nonempty):
+            langs[i] = self.labels[best_idx[j]]
+            scores[i] = float(conf[j])
         return langs, scores
 
 
@@ -273,6 +328,7 @@ def analyze_lines(
     min_len: int = DEFAULT_MIN_LEN,
     threshold: float = DEFAULT_THRESHOLD,
     max_langs: int = DEFAULT_MAX_LANGS,
+    preds: dict | None = None,
 ):
     """Pure-Python analyze() (util/langid.py:290-339,401-433) over one
     caption's cleaned lines — MUST stay value-identical to the distributed
@@ -280,14 +336,18 @@ def analyze_lines(
     Python round() is round-half-even on the exact binary double, matching
     F.bround; threshold uses the capped distinct-label count INCLUDING
     unknown/short; sort share desc then lang asc.
+
+    ``preds`` may carry precomputed line → (lang, score) predictions (the
+    fused UDF batches the model across all captions of an Arrow batch).
     """
     if not lines:
         return None
-    to_predict = [ln for ln in lines if len(ln) >= min_len]
-    preds = {}
-    if to_predict:
-        langs, scores = model.predict(to_predict)
-        preds = dict(zip(to_predict, zip(langs, scores)))
+    if preds is None:
+        to_predict = [ln for ln in lines if len(ln) >= min_len]
+        preds = {}
+        if to_predict:
+            langs, scores = model.predict(to_predict)
+            preds = dict(zip(to_predict, zip(langs, scores)))
     byte_sums: dict[str, int] = {}
     for ln in lines:
         if len(ln) < min_len:
@@ -335,13 +395,26 @@ def lid_struct(
         model = load_model()
         none_row = (None, None, None, None)
         for series in batches:
+            # ONE model call per Arrow batch: unique model-eligible lines
+            # across every caption in the batch, predictions scattered back
+            unique = sorted(
+                {
+                    ln
+                    for lines in series
+                    if lines is not None
+                    for ln in lines
+                    if len(ln) >= min_len
+                }
+            )
+            langs, scores = model.predict(unique)
+            preds = dict(zip(unique, zip(langs, scores)))
             rows = []
             for lines in series:
                 if lines is None or len(lines) == 0:
                     rows.append(none_row)
                     continue
                 res = analyze_lines(
-                    list(lines), model, min_len, threshold, max_langs
+                    list(lines), model, min_len, threshold, max_langs, preds
                 )
                 rows.append(res if res is not None else none_row)
             yield pd.DataFrame(

@@ -104,45 +104,17 @@ def run_pipeline(captions: DataFrame, config: FilterConfig = FilterConfig()) -> 
                 F.pmod(F.xxhash64("image_id"), F.lit(config.salt_buckets)),
             )
 
-    prepped = (
-        text.withColumn("_p", T.prep_caption("caption"))
-        .withColumn("caption_norm", F.col("_p.caption_norm"))
-        .withColumn("lines", F.col("_p.lines"))
-        .drop("_p")
-        .withColumn("ppl", perplexity("caption_norm"))
-        .withColumn("caption_scrubbed", scrub_caption("caption_norm"))
-    )
-
     if config.fused_langid:
-        empty = F.size("lid_arr") == 0
-        with_lid = (
-            prepped.withColumn(
-                "_lid",
-                L.lid_struct(
-                    "lines",
-                    min_len=config.min_len,
-                    threshold=config.threshold,
-                    max_langs=config.max_langs,
-                ),
-            )
-            .drop("lines")
-            .select(
-                "*",
-                F.col("_lid.lid_arr").alias("lid_arr"),
-                F.col("_lid.l1").alias("l1"),
-                F.col("_lid.l1_size").alias("l1_size"),
-                F.col("_lid.multiling").alias("multiling"),
-            )
-            .drop("_lid")
-            .withColumn(
-                "lid",
-                F.when(
-                    F.col("lid_arr").isNotNull() & ~empty,
-                    F.map_from_entries("lid_arr"),
-                ),
-            )
-        )
+        with_lid = _apply_text_stage(text, config)
     else:
+        prepped = (
+            text.withColumn("_p", T.prep_caption("caption"))
+            .withColumn("caption_norm", F.col("_p.caption_norm"))
+            .withColumn("lines", F.col("_p.lines"))
+            .drop("_p")
+            .withColumn("ppl", perplexity("caption_norm"))
+            .withColumn("caption_scrubbed", scrub_caption("caption_norm"))
+        )
         labeled = L.label_lines(
             L.explode_lines(prepped.select("image_id", "lines")),
             min_len=config.min_len,
@@ -153,6 +125,42 @@ def run_pipeline(captions: DataFrame, config: FilterConfig = FilterConfig()) -> 
 
     joined = with_lid.join(image_side, "image_id")
     return _decide(joined, config)
+
+
+def _apply_text_stage(text: DataFrame, config: FilterConfig) -> DataFrame:
+    """One Arrow exchange for the whole text stage (functions/fused.py),
+    plus the JVM-side scrub exprs and lid-map derivation."""
+    from corpusama_spark.functions.fused import text_stage
+
+    return (
+        text.withColumn(
+            "_t",
+            text_stage(
+                "caption",
+                min_len=config.min_len,
+                threshold=config.threshold,
+                max_langs=config.max_langs,
+            ),
+        )
+        .select(
+            "*",
+            F.col("_t.caption_norm").alias("caption_norm"),
+            F.col("_t.lid_arr").alias("lid_arr"),
+            F.col("_t.l1").alias("l1"),
+            F.col("_t.l1_size").alias("l1_size"),
+            F.col("_t.multiling").alias("multiling"),
+            F.col("_t.ppl").alias("ppl"),
+        )
+        .drop("_t")
+        .withColumn("caption_scrubbed", scrub_caption("caption_norm"))
+        .withColumn(
+            "lid",
+            F.when(
+                F.col("lid_arr").isNotNull() & (F.size("lid_arr") > 0),
+                F.map_from_entries("lid_arr"),
+            ),
+        )
+    )
 
 
 def _decide(df: DataFrame, config: FilterConfig) -> DataFrame:
@@ -199,51 +207,18 @@ def narrow_decisions(
     shape when the input layout is already well-balanced. Decision values
     are identical to run_pipeline's.
     """
-    enriched = (
-        captions.withColumn("_iv", verify_image())
-        .withColumn("_p", T.prep_caption("caption"))
-        .select(
-            "image_id",
-            "fmt",
-            "w",
-            "h",
-            "phash",
-            "caption",
-            F.col("_p.caption_norm").alias("caption_norm"),
-            F.col("_p.lines").alias("lines"),
-            F.col("_iv.image_ok").alias("image_ok"),
-            F.col("_iv.image_reason").alias("image_reason"),
-            F.col("_iv.image_psnr").alias("image_psnr"),
-        )
-        .withColumn("ppl", perplexity("caption_norm"))
-        .withColumn("caption_scrubbed", scrub_caption("caption_norm"))
-        .withColumn(
-            "_lid",
-            L.lid_struct(
-                "lines",
-                min_len=config.min_len,
-                threshold=config.threshold,
-                max_langs=config.max_langs,
-            ),
-        )
-        .drop("lines")
-        .select(
-            "*",
-            F.col("_lid.lid_arr").alias("lid_arr"),
-            F.col("_lid.l1").alias("l1"),
-            F.col("_lid.l1_size").alias("l1_size"),
-            F.col("_lid.multiling").alias("multiling"),
-        )
-        .drop("_lid")
-        .withColumn(
-            "lid",
-            F.when(
-                F.col("lid_arr").isNotNull() & (F.size("lid_arr") > 0),
-                F.map_from_entries("lid_arr"),
-            ),
-        )
+    with_image = captions.withColumn("_iv", verify_image()).select(
+        "image_id",
+        "fmt",
+        "w",
+        "h",
+        "phash",
+        "caption",
+        F.col("_iv.image_ok").alias("image_ok"),
+        F.col("_iv.image_reason").alias("image_reason"),
+        F.col("_iv.image_psnr").alias("image_psnr"),
     )
-    return _decide(enriched, config)
+    return _decide(_apply_text_stage(with_image, config), config)
 
 
 def metrics(decisions: DataFrame) -> DataFrame:

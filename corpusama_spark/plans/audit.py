@@ -1,0 +1,91 @@
+"""Physical-plan audits — the engine's optimizer contract, enforced.
+
+The reference hand-codes its optimizations (SQL-string pushdown, chunked
+streaming, drop lists — SURVEY.md §4); here Catalyst does them, and these
+helpers make the *result* checkable in tests and ops tooling instead of
+trusted blindly:
+
+- filters/projection must reach the parquet scan (PushedFilters / ReadSchema),
+- no row-at-a-time Python may appear (only Arrow exchanges),
+- shuffle count must match the plan's design budget,
+- whole-stage codegen must cover the JVM expression work.
+
+Each check raises AssertionError with the offending plan text, so a failed
+audit is directly debuggable.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def _formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    """explain() output as a string (Spark only prints it)."""
+    if mode == "formatted":
+        return _formatted(df)
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+@dataclass
+class PlanReport:
+    n_exchanges: int
+    n_broadcasts: int
+    n_arrow_evals: int
+    n_row_python: int
+    n_codegen_spans: int
+    pushed_filters: list[str]
+    read_schemas: list[str]
+
+    def assert_no_row_python(self) -> "PlanReport":
+        assert self.n_row_python == 0, "BatchEvalPython (row-at-a-time UDF) in plan"
+        return self
+
+    def assert_max_shuffles(self, n: int) -> "PlanReport":
+        assert self.n_exchanges <= n, (
+            f"plan has {self.n_exchanges} shuffle exchanges, budget is {n}"
+        )
+        return self
+
+
+def report(df: DataFrame) -> PlanReport:
+    """Audit both explain surfaces: the formatted plan (scan details,
+    exchanges, Python evals) and the executed plan, where whole-stage
+    codegen shows as `*(N)` operator prefixes — under AQE the codegen ids
+    only exist after the plan is finalized, so run an action first if
+    `n_codegen_spans` matters."""
+    text = plan_text(df)
+    etext = plan_text(df, mode="executed")
+    return PlanReport(
+        n_exchanges=len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobin", text)),
+        n_broadcasts=text.count("BroadcastExchange"),
+        n_arrow_evals=text.count("ArrowEvalPython"),
+        n_row_python=text.count("BatchEvalPython") + etext.count("BatchEvalPython"),
+        n_codegen_spans=len(set(re.findall(r"\*\((\d+)\)", etext))),
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
+        read_schemas=re.findall(r"ReadSchema: ([^\n]*)", text),
+    )
+
+
+def assert_filter_pushed(df: DataFrame, column: str) -> None:
+    """The scan must receive a pushed filter mentioning `column`."""
+    rep = report(df)
+    assert any(column in f for f in rep.pushed_filters), (
+        f"no pushed filter on {column}; PushedFilters={rep.pushed_filters}"
+    )
+
+
+def assert_column_pruned(df: DataFrame, column: str) -> None:
+    """`column` must NOT appear in any scan's ReadSchema (pruned away)."""
+    rep = report(df)
+    assert all(column not in s for s in rep.read_schemas), (
+        f"column {column} read but unused; ReadSchema={rep.read_schemas}"
+    )

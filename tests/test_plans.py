@@ -1,0 +1,57 @@
+"""Physical-plan audits: pushdown, pruning, shuffle budgets, no row-Python.
+
+The reference hand-codes these optimizations (SQL-string WHERE pushdown
+corpus/langid.py:39-40, column drop lists attribute.py:142-144); here they
+must come out of Catalyst — these tests pin that they actually do.
+"""
+
+from pyspark.sql import functions as F
+
+from corpusama_spark.pipeline import FilterConfig, narrow_decisions, run_pipeline
+from corpusama_spark.plans import audit
+from corpusama_spark.sources.synth import captions_df
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    path = str(tmp_path / "caps")
+    captions_df(spark, 50, partitions=2).write.parquet(path)
+    df = spark.read.parquet(path).where(F.col("fmt") == "png").select("image_id")
+    audit.assert_filter_pushed(df, "fmt")
+
+
+def test_column_pruning_drops_bytes(spark, tmp_path):
+    path = str(tmp_path / "caps")
+    captions_df(spark, 50, partitions=2).write.parquet(path)
+    # a caption-only projection must not read the image payload
+    df = spark.read.parquet(path).select("image_id", F.length("caption").alias("n"))
+    audit.assert_column_pruned(df, "bytes")
+
+
+def test_flagship_shuffle_budget(spark, tmp_path):
+    path = str(tmp_path / "caps")
+    captions_df(spark, 50, partitions=2).write.parquet(path)
+    caps = spark.read.parquet(path)
+    # fused plan: text repartition + (at most) the image-side join exchange;
+    # broadcast of the small side may replace the second exchange
+    rep = audit.report(run_pipeline(caps, FilterConfig()))
+    rep.assert_no_row_python().assert_max_shuffles(2)
+    assert rep.n_arrow_evals >= 3  # prep, lid, ppl on text; verify on image
+
+
+def test_narrow_plan_zero_shuffles(spark, tmp_path):
+    path = str(tmp_path / "caps")
+    captions_df(spark, 50, partitions=2).write.parquet(path)
+    caps = spark.read.parquet(path)
+    audit.report(narrow_decisions(caps)).assert_no_row_python().assert_max_shuffles(0)
+
+
+def test_codegen_covers_jvm_work(spark, tmp_path):
+    path = str(tmp_path / "caps")
+    captions_df(spark, 50, partitions=2).write.parquet(path)
+    caps = spark.read.parquet(path)
+    df = run_pipeline(caps, FilterConfig())
+    # AQE assigns codegen ids only once THIS plan is final — count() would
+    # execute a different (pruned) query
+    df.collect()
+    rep = audit.report(df)
+    assert rep.n_codegen_spans >= 1
