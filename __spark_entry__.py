@@ -433,6 +433,19 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 html_to_text over deterministically tag-wrapped text. The Spark
+    side runs the real HTMLParser kernel; for tag-only markup (no entities)
+    a regex strip is provably equivalent, which makes it oracle-able."""
+    from corpusama_spark.functions.normalize import html_to_text_col
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit("<p>report <b>"), F.col("text"), F.lit("</b> end</p>")
+    )
+    return docs.select("doc_id", html_to_text_col(wrapped).alias("plain"))
+
+
 def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: deterministic majority vote (chunk-vote slot,
     secondary_pipeline.py:175-184) — modal event_type per user."""
@@ -577,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_hits": q_stopword_hits,
         "lang_presence": q_lang_presence,
         "jaccard_adjacent": q_jaccard_adjacent,
+        "html_text": q_html_text,
         "majority_vote": q_majority_vote,
         "flatten": q_flatten,
         "export_doc": q_export_doc,
@@ -898,6 +912,12 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE),
                          6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "html_text": """
+            SELECT doc_id,
+                   trim(regexp_replace('<p>report <b>' || text || '</b> end</p>',
+                                       '<[^>]+>', '', 'g')) AS plain
+            FROM documents
         """,
         "majority_vote": """
             SELECT user_id, event_type AS top_event, n AS n_votes FROM (

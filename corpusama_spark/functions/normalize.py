@@ -194,12 +194,45 @@ def normalize_doc(text: str) -> str:
     return "".join(normalize_text(line) for line in text.split("\n"))
 
 
+def html_to_text(markup: str):
+    """Extract text from an HTML string — semantics of the reference's
+    convert.html_to_text (corpusama/util/convert.py:127-141, F12): stdlib
+    HTMLParser, concatenated character data, stripped; non-str passthrough.
+    A regex tag-strip is NOT equivalent (entity refs, script/comment
+    handling), so this stays a Python kernel applied per Arrow batch."""
+    if not isinstance(markup, str):
+        return markup
+    from html.parser import HTMLParser
+
+    class _Filter(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.parts: list[str] = []
+
+        def handle_data(self, data):
+            self.parts.append(data)
+
+    f = _Filter()
+    f.feed(markup)
+    return "".join(f.parts).strip()
+
+
 # --- Spark surfaces ---------------------------------------------------------
 
 
 @F.pandas_udf(StringType())
 def _normalize_doc_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: normalize_doc(x) if isinstance(x, str) else x)
+
+
+@F.pandas_udf(StringType())
+def _html_to_text_udf(s: pd.Series) -> pd.Series:
+    return s.map(html_to_text)
+
+
+def html_to_text_col(col: Column | str) -> Column:
+    """HTML → text (F12), Arrow-batched; NULL passes through."""
+    return _html_to_text_udf(F.col(col) if isinstance(col, str) else col)
 
 
 def normalize_caption(col: Column | str) -> Column:

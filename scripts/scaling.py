@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -24,8 +25,16 @@ def run_bench(cpus: int, n_captions: int) -> dict:
         BENCH_CAPTIONS_N=str(n_captions),
         PYTHONPATH=REPO,
     )
+    # `local[N]` bounds TASK SLOTS, not total compute: each task's JVM thread
+    # and its Arrow Python worker(s) run concurrently on extra cores, so a
+    # bare local[N] run uses well over N cores. CPU affinity bounds the whole
+    # process tree (JVM + python workers) to exactly N cores — the honest
+    # sandbox stand-in for an N-core cluster.
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,

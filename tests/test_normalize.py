@@ -92,3 +92,25 @@ def test_ascii_fast_path_equals_general_path(text):
     # the fast path's guard admits exactly this alphabet; results must be
     # byte-identical to the full-chain path
     assert N.normalize_text(text) == N._normalize_general(text)
+
+
+def test_html_to_text_reference_semantics():
+    # literal cases from the reference's own suite
+    # (test/test_util/test_convert.py:70-79)
+    html = "<p>Encyclopedias have existed for around 2,000 years. (Wikipedia)</p>"
+    text = "Encyclopedias have existed for around 2,000 years. (Wikipedia)"
+    assert N.html_to_text(html) == text
+    assert N.html_to_text(1) == 1
+    assert N.html_to_text(None) is None
+    # entities decode (HTMLParser convert_charrefs default), comments/scripts
+    # drop their markup
+    assert N.html_to_text("a &amp; b") == "a & b"
+    assert N.html_to_text("<b>x</b><!-- hidden -->y") == "xy"
+
+
+def test_html_to_text_spark_column(spark):
+    df = spark.createDataFrame(
+        [("<p>one <b>two</b></p>",), (None,), ("plain",)], ["t"]
+    )
+    rows = df.select(N.html_to_text_col("t").alias("x")).collect()
+    assert [r.x for r in rows] == ["one two", None, "plain"]
