@@ -433,6 +433,37 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: deterministic 'random' sampling (the reference's random.sample,
+    util/langid.py:106-132, made replay-stable): per doc, the 3 distinct
+    tokens ranked by md5(token||seed) — an engine-portable seeded shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    ).where(F.length("token") > 0)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.md5(F.concat(F.col("token"), F.lit("42"))), F.col("token")
+    )
+    return (
+        toks.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "token", "rn")
+    )
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: tag-frequency pivot (compare_vert.py:80-101) — per-user counts
+    by event type as columns."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+    )
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 html_to_text over deterministically tag-wrapped text. The Spark
     side runs the real HTMLParser kernel; for tag-only markup (no entities)
@@ -591,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_presence": q_lang_presence,
         "jaccard_adjacent": q_jaccard_adjacent,
         "html_text": q_html_text,
+        "seeded_sample": q_seeded_sample,
+        "pivot_counts": q_pivot_counts,
         "majority_vote": q_majority_vote,
         "flatten": q_flatten,
         "export_doc": q_export_doc,
@@ -912,6 +945,28 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE),
                          6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "seeded_sample": """
+            SELECT doc_id, token, rn FROM (
+                SELECT doc_id, token,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY md5(token || '42'), token) AS rn
+                FROM (
+                    SELECT DISTINCT doc_id, token FROM (
+                        SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS token
+                        FROM documents)
+                    WHERE len(token) > 0))
+            WHERE rn <= 3
+        """,
+        "pivot_counts": """
+            SELECT user_id,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+                   count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+            FROM events GROUP BY user_id
         """,
         "html_text": """
             SELECT doc_id,
