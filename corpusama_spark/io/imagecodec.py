@@ -125,14 +125,15 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * 3
     if len(raw) != h * (stride + 1):
         raise ValueError("bad PNG payload size")
+    flat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if not flat[:, 0].any():
+        # filter-0 fast path (what our encoder writes): drop the filter
+        # column and reshape — no per-scanline loop
+        return np.ascontiguousarray(flat[:, 1:]).reshape(h, w, 3)
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        )
-        out[y] = _unfilter(ftype, line, prev, 3)
+        out[y] = _unfilter(int(flat[y, 0]), flat[y, 1:], prev, 3)
         prev = out[y]
     return out.reshape(h, w, 3)
 
