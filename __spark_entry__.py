@@ -578,6 +578,20 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.35)
 
 
+def q_sentence_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3+A7+M5: sentence-level LI with token bounds + chunk majority vote
+    (secondary_pipeline.py:132-197; rows-only — model + lookbehind split)."""
+    from corpusama_spark.operators.sentences import annotate_sentences, sentence_rows
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"), F.col("text").alias("caption_norm")
+    )
+    out = annotate_sentences(sentence_rows(docs), short=4, long=20)
+    return out.select(
+        F.col("image_id").alias("doc_id"), "sent_id", "sentence", "sent_lang"
+    )
+
+
 def q_lid_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+A1-A6 composite: trigram-model langid shares over caption lines
     (rows-only; model is a UDF)."""
@@ -634,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_groups": q_simhash_groups,
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "sentence_langid": q_sentence_langid,
         "lid_shares": q_lid_shares,
     }
 
