@@ -58,14 +58,25 @@ def wrap_doc(doc_tag: Column, text: Column, file_id: Column | None = None) -> Co
 
 
 def write_batched_text(
-    df: DataFrame, text_col: str, path: str, docs_per_file: int = 10000
+    df: DataFrame,
+    text_col: str,
+    path: str,
+    docs_per_file: int = 10000,
+    compression: str | None = None,
 ) -> None:
-    """S10: ceil(n/chunksize) text files of ≤ chunksize docs each —
-    partition-parallel, no driver loop (export.py:112-131)."""
-    (
+    """S10/S11: ceil(n/chunksize) text files of ≤ chunksize docs each —
+    partition-parallel, no driver loop (export.py:112-131).
+
+    ``compression``: any Hadoop codec short name — "gzip"/"bzip2" ship with
+    Spark; the reference's .xz (base_pipeline.py:278-292) needs an XZCodec
+    jar on the cluster classpath (io.sensesecure.hadoop.xz or similar), at
+    which point the same call reads/writes .xz transparently."""
+    writer = (
         df.select(F.col(text_col).alias("value"))
         .where(F.col("value").isNotNull())
         .write.option("maxRecordsPerFile", docs_per_file)
         .mode("overwrite")
-        .text(path)
     )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)

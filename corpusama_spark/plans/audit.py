@@ -64,8 +64,15 @@ def report(df: DataFrame) -> PlanReport:
     `n_codegen_spans` matters."""
     text = plan_text(df)
     etext = plan_text(df, mode="executed")
+    # formatted mode separates the node header "(N) Exchange" from its
+    # "Arguments: hashpartitioning(...)" line; match both spellings
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange\s*$", text, re.M)) or len(
+        re.findall(
+            r"\bExchange (?:hash|range)partitioning|\bExchange RoundRobin", text
+        )
+    )
     return PlanReport(
-        n_exchanges=len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobin", text)),
+        n_exchanges=n_exchanges,
         n_broadcasts=text.count("BroadcastExchange"),
         n_arrow_evals=text.count("ArrowEvalPython"),
         n_row_python=text.count("BatchEvalPython") + etext.count("BatchEvalPython"),

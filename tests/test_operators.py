@@ -192,3 +192,19 @@ def test_char_quartiles_nearest(spark):
             )
         )
         assert got[src] == want, (src, got[src], want)
+
+
+def test_export_gzip_roundtrip(spark, tmp_path):
+    # S11: compressed text export/ingest via Hadoop codecs (the reference's
+    # xz path, base_pipeline.py:278-292, with Spark-native gzip here)
+    from corpusama_spark.operators.export import write_batched_text
+
+    path = str(tmp_path / "txt_gz")
+    df = spark.createDataFrame([(f"doc {i}",) for i in range(50)], ["t"])
+    write_batched_text(df, "t", path, docs_per_file=20, compression="gzip")
+    import glob
+
+    assert glob.glob(path + "/*.txt.gz")
+    back = spark.read.text(path)
+    assert back.count() == 50
+    assert sorted(r.value for r in back.collect())[0] == "doc 0"

@@ -55,3 +55,37 @@ def test_codegen_covers_jvm_work(spark, tmp_path):
     df.collect()
     rep = audit.report(df)
     assert rep.n_codegen_spans >= 1
+
+
+def test_bucketed_join_zero_shuffles(spark, tmp_path):
+    # two tables bucketed on the same key must join without any Exchange —
+    # the managed-table stand-in for Iceberg's storage-partitioned join
+    import pyspark.sql.functions as F
+
+    from corpusama_spark.sources.bucketed import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        caps = captions_df(spark, 200, partitions=4).drop("bytes")
+        write_bucketed(caps.select("image_id", "caption"), "t_caps", nbuckets=4)
+        write_bucketed(
+            caps.select("image_id", "phash", "fmt"), "t_meta", nbuckets=4
+        )
+        joined = read_table(spark, "t_caps").join(
+            read_table(spark, "t_meta"), "image_id"
+        )
+        rep = audit.report(joined)
+        assert rep.n_exchanges == 0, audit.plan_text(joined)
+        assert joined.count() == 200
+        # same join on plain parquet DOES shuffle — the layout earns its keep
+        plain = str(tmp_path / "plain")
+        caps.select("image_id", "caption").write.parquet(plain + "_a")
+        caps.select("image_id", "phash").write.parquet(plain + "_b")
+        unbucketed = spark.read.parquet(plain + "_a").join(
+            spark.read.parquet(plain + "_b"), "image_id"
+        )
+        assert audit.report(unbucketed).n_exchanges > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_caps")
+        spark.sql("DROP TABLE IF EXISTS t_meta")
