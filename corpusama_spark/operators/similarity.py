@@ -15,8 +15,11 @@ math"). Two tiers:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -105,16 +108,58 @@ def hyperplane_bits(
     return F.concat(*bits)
 
 
-def lsh_buckets(
+def lsh_buckets_expr(
     vec_col: Column, nplanes: int = 8, ntables: int = 4, dim: int = 64
 ) -> Column:
-    """Array of per-table bucket keys (table index prefixed)."""
+    """Pure-Column variant of lsh_buckets — kept for parity testing.
+
+    Spark evaluates higher-order-function lambdas INTERPRETED (outside
+    whole-stage codegen), so the nplanes×ntables×dim fold here costs ~100×
+    a vectorized matmul; use `lsh_buckets` (Arrow+numpy) on anything hot.
+    """
     return F.array(
         *[
             F.concat(F.lit(f"{t}:"), hyperplane_bits(vec_col, nplanes, dim, t))
             for t in range(ntables)
         ]
     )
+
+
+def lsh_buckets(
+    vec_col: Column, nplanes: int = 8, ntables: int = 4, dim: int = 64
+) -> Column:
+    """Array of per-table bucket keys (table index prefixed).
+
+    Arrow-batched: the whole batch of vectors multiplies the (ntables*nplanes,
+    dim) plane matrix in one BLAS call, then sign bits become key strings.
+    Bit semantics identical to lsh_buckets_expr (strict `dot > 0`, same
+    blake2b-derived planes).
+    """
+    planes = np.array(
+        [
+            _plane(t, p, dim)
+            for t in range(ntables)
+            for p in range(nplanes)
+        ],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _udf(batch: pd.Series) -> pd.Series:
+        out = []
+        if len(batch) == 0:
+            return pd.Series(out, dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
+        bits = (mat @ planes.T) > 0  # (n, ntables*nplanes)
+        for row in bits:
+            keys = []
+            for t in range(ntables):
+                seg = row[t * nplanes : (t + 1) * nplanes]
+                keys.append(f"{t}:" + "".join("1" if b else "0" for b in seg))
+            out.append(keys)
+        return pd.Series(out)
+
+    return _udf(vec_col)
 
 
 def ann_topk(
