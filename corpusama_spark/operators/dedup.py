@@ -19,8 +19,11 @@ across runs/retries/cluster sizes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 # 2^31-1: keeps a*h+b far below int64 overflow under ANSI arithmetic
 MERSENNE = (1 << 31) - 1
@@ -103,11 +106,38 @@ def minhash_signatures(
             lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE),
         ),
     )
-    sigs = [
-        F.array_min(F.transform(F.col("_hs"), _perm(2 * k + 1, 1_000_003 * (k + 1))))
-        for k in range(num_hashes)
-    ]
-    return hashed.select("id", F.array(*sigs).alias("sig"))
+    # the K affine permutations + mins run as ONE numpy pass per Arrow
+    # batch: Spark executes higher-order-function lambdas interpreted, so
+    # K array traversals per row in Column form cost ~100x this matmul-ish
+    # kernel. Hashing stays JVM-side (xxhash64) — signatures are identical.
+    a_coef = np.array([2 * k + 1 for k in range(num_hashes)], dtype=np.int64)
+    b_coef = np.array(
+        [1_000_003 * (k + 1) for k in range(num_hashes)], dtype=np.int64
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig_udf(hs: pd.Series) -> pd.Series:
+        out = []
+        lens = np.array([0 if v is None else len(v) for v in hs])
+        if lens.sum() == 0:
+            return pd.Series([[None] * num_hashes for _ in hs])
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in hs if v is not None and len(v)]
+        )
+        # (K, total): h*a+b stays far below int64 overflow (h < 2^31)
+        perms = (flat[None, :] * a_coef[:, None] + b_coef[:, None]) % MERSENNE
+        starts = np.concatenate(([0], np.cumsum(lens[lens > 0])[:-1]))
+        mins = np.minimum.reduceat(perms, starts, axis=1)  # (K, n_nonempty)
+        j = 0
+        for n in lens:
+            if n == 0:
+                out.append([None] * num_hashes)
+            else:
+                out.append(mins[:, j].tolist())
+                j += 1
+        return pd.Series(out)
+
+    return hashed.select("id", _sig_udf("_hs").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -227,10 +257,42 @@ def simhash_bits(text_col: str, bits: int = 64) -> F.Column:
     )
 
 
+def simhash_vectorized(df: DataFrame, text_col: str, id_col: str) -> F.Column:
+    """(id, simhash) with the bit-counting done in numpy.
+
+    Token hashing stays JVM xxhash64; the 64-bit ±1 accumulation (a 64-wide
+    zip_with per token when expressed as Columns — interpreted, O(tokens×64)
+    lambda evals per row) becomes one sign-sum matmul per Arrow batch.
+    Output identical to simhash_bits.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+    )
+    hashed = df.select(
+        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("_hs")
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf(StringType())
+    def _sim_udf(hs: pd.Series) -> pd.Series:
+        out = []
+        for v in hs:
+            if v is None or len(v) == 0:
+                out.append("0" * 64)
+                continue
+            h = np.asarray(v, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> shifts) & 1).astype(np.int32)  # (n, 64)
+            counters = (bits * 2 - 1).sum(axis=0)
+            out.append("".join("1" if c > 0 else "0" for c in counters))
+        return pd.Series(out)
+
+    return hashed.select(id_col, _sim_udf("_hs").alias("simhash"))
+
+
 def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group by exact simhash value (near-dups land together)."""
     return (
-        df.select(F.col(id_col), simhash_bits(text_col).alias("simhash"))
+        simhash_vectorized(df, text_col, id_col)
         .groupBy("simhash")
         .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dupes"))
     )

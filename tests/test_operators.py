@@ -208,3 +208,42 @@ def test_export_gzip_roundtrip(spark, tmp_path):
     back = spark.read.text(path)
     assert back.count() == 50
     assert sorted(r.value for r in back.collect())[0] == "doc 0"
+
+
+def test_minhash_signature_vectorized_parity(spark, docs_df):
+    # the numpy signature kernel must reproduce the Column-expression math
+    from corpusama_spark.operators.dedup import (
+        MERSENNE,
+        minhash_signatures,
+        minhash_signature,
+        shingles,
+    )
+
+    expr = {
+        r.id: list(r.sig)
+        for r in docs_df.select(
+            F.col("doc_id").alias("id"),
+            minhash_signature(shingles("text", 3), 16).alias("sig"),
+        ).collect()
+    }
+    vec = {
+        r.id: list(r.sig)
+        for r in minhash_signatures(docs_df, "text", "doc_id", 16).collect()
+    }
+    assert expr == vec
+
+
+def test_simhash_vectorized_parity(spark, docs_df):
+    from corpusama_spark.operators.dedup import simhash_bits, simhash_vectorized
+
+    expr = {
+        r.id: r.sh
+        for r in docs_df.select(
+            F.col("doc_id").alias("id"), simhash_bits("text").alias("sh")
+        ).collect()
+    }
+    vec = {
+        r.doc_id: r.simhash
+        for r in simhash_vectorized(docs_df, "text", "doc_id").collect()
+    }
+    assert expr == vec
