@@ -477,6 +477,27 @@ def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", html_to_text_col(wrapped).alias("plain"))
 
 
+def q_subcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: Sketch-Engine subcorpus predicate parsed from the reference's
+    registry syntax (registry_subcorp/rw_en_subcorp:3-29) and applied."""
+    from corpusama_spark.operators.subcorpus import load_subcorpora, subcorpus
+
+    subs = load_subcorpora('=not_es_fr\n  doc\n  lang!="es|fr"\n')
+    docs = _t(spark, sf_dir, "documents")
+    return subcorpus(docs, subs["not_es_fr"]).groupBy("lang").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_vert_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: vertical-format document assembly (base_pipeline.py:136-224)."""
+    from corpusama_spark.operators.export import vert_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = F.concat(F.lit('<doc id="'), F.col("doc_id").cast("string"), F.lit('">'))
+    return docs.select("doc_id", vert_doc(tag, F.col("text")).alias("vert"))
+
+
 def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: deterministic majority vote (chunk-vote slot,
     secondary_pipeline.py:175-184) — modal event_type per user."""
@@ -635,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_hits": q_stopword_hits,
         "lang_presence": q_lang_presence,
         "jaccard_adjacent": q_jaccard_adjacent,
+        "subcorpus": q_subcorpus,
+        "vert_export": q_vert_export,
         "html_text": q_html_text,
         "seeded_sample": q_seeded_sample,
         "pivot_counts": q_pivot_counts,
@@ -960,6 +983,21 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE),
                          6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "subcorpus": """
+            SELECT lang, count(*) AS n FROM documents
+            WHERE NOT regexp_matches(lang, '^(?:es|fr)$')
+            GROUP BY lang
+        """,
+        "vert_export": """
+            SELECT doc_id,
+                   '<doc id="' || doc_id || '">' || chr(10)
+                   || '<s id="0">' || chr(10)
+                   || array_to_string(
+                          list_filter(string_split_regex(trim(text), '\\s+'),
+                                      x -> len(x) > 0), chr(10))
+                   || chr(10) || '</s>' || chr(10) || '</doc>' AS vert
+            FROM documents
         """,
         "seeded_sample": """
             SELECT doc_id, token, rn FROM (

@@ -57,6 +57,44 @@ def wrap_doc(doc_tag: Column, text: Column, file_id: Column | None = None) -> Co
     )
 
 
+def vert_doc(
+    doc_tag: Column,
+    text: Column,
+    sent_split: str = r"(?<=[.!?])\s+",
+) -> Column:
+    """S12: one vertical-format (.vert) document string — pure SQL.
+
+    The reference's `_conll_to_vert` (base_pipeline.py:136-224) emits
+    `<doc …>` / `<s id="n">` XML structure with one token per line inside;
+    its token annotations come from the Stanza tagger (out of scope per
+    SURVEY §2.8 M4), so this writer emits word-only token lines — the
+    minimal Sketch-Engine vertical. Sentences renumber from 0 per doc
+    (W2, :160-171).
+    """
+    sentences = F.filter(
+        F.transform(
+            F.split(F.regexp_replace(text, r"\n", " "), sent_split),
+            lambda s: F.trim(s),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    sent_blocks = F.transform(
+        sentences,
+        lambda s, i: F.concat(
+            F.lit('<s id="'),
+            i.cast("string"),
+            F.lit('">\n'),
+            F.array_join(
+                F.filter(F.split(s, r"\s+"), lambda t: F.length(t) > 0), "\n"
+            ),
+            F.lit("\n</s>"),
+        ),
+    )
+    return F.concat(
+        doc_tag, F.lit("\n"), F.array_join(sent_blocks, "\n"), F.lit("\n</doc>")
+    )
+
+
 def write_batched_text(
     df: DataFrame,
     text_col: str,
