@@ -38,7 +38,6 @@ from corpusama_spark.functions.textrules import (  # noqa: E402
 from corpusama_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     minhash_lsh_pairs,
-    simhash_dedup,
 )
 from corpusama_spark.operators.flatten import doc_tag_col  # noqa: E402
 from corpusama_spark.operators.similarity import ann_topk, cosine  # noqa: E402
@@ -490,12 +489,19 @@ def q_subcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vert_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S12: vertical-format document assembly (base_pipeline.py:136-224)."""
+    """S12: vertical-format document assembly (base_pipeline.py:136-224).
+    Sentence punctuation is injected so the multi-sentence split path is
+    actually exercised regardless of the testdata's punctuation habits."""
     from corpusama_spark.operators.export import vert_doc
 
     docs = _t(spark, sf_dir, "documents")
     tag = F.concat(F.lit('<doc id="'), F.col("doc_id").cast("string"), F.lit('">'))
-    return docs.select("doc_id", vert_doc(tag, F.col("text")).alias("vert"))
+    text2 = F.concat(
+        F.lit("Intro sentence. "),
+        F.col("text"),
+        F.lit(" Tail claim! Final note? Done."),
+    )
+    return docs.select("doc_id", vert_doc(tag, text2).alias("vert"))
 
 
 def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,14 +578,39 @@ def q_flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (xxhash64-based; rows-only)."""
+    """MinHash+LSH near-dup candidate pairs (xxhash64-based; rows-only).
+    The flood-bucket guard is ON — at 10^12 rows a boilerplate bucket would
+    otherwise self-join quadratically; 1024 caps the worst bucket's pair
+    count at ~0.5M while passing every genuine near-dup cluster."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=8)
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=8, max_bucket=1024
+    )
 
 
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup grouping (xxhash64-based; rows-only)."""
-    return simhash_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """SimHash banded near-dup pairs (rows-only: xxhash64-based codes).
+
+    Input is documents + two deterministic perturbation tiers so the
+    near-dup path is exercised, not just the exact tier: ids+100000 are
+    verbatim copies of every 10th doc (hamming 0), ids+200000 replace that
+    doc's first token (small nonzero hamming). Banding (4x16 bits) finds
+    every pair with hamming <= 3 exactly (pigeonhole); wider pairs
+    best-effort, as LSH promises.
+    """
+    from corpusama_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    every10 = docs.where(F.col("doc_id") % 10 == 0)
+    copies = every10.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    perturbed = every10.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "xqzyv").alias("text"),
+    )
+    src = docs.unionByName(copies).unionByName(perturbed)
+    return simhash_near_dups(
+        src, "text", "doc_id", bands=4, hamming_k=12, max_bucket=1024
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,7 +789,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semi_join": """
             SELECT l_orderkey, count(*) AS n_items,
-                   sum(CAST(l_quantity AS BIGINT)) AS qty_sum
+                   -- sum(BIGINT) is HUGEINT in DuckDB -> float64 in pandas;
+                   -- cast back so the driver's dtype-sensitive hash matches
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
             FROM lineitem
             WHERE l_orderkey IN (
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -775,7 +808,8 @@ def oracle_sql() -> dict[str, str]:
                    round(lang_bytes / sum(lang_bytes)
                          OVER (PARTITION BY source), 2) AS share
             FROM (
-                SELECT source, lang, sum(strlen(text)) AS lang_bytes
+                SELECT source, lang,
+                       CAST(sum(strlen(text)) AS BIGINT) AS lang_bytes
                 FROM documents GROUP BY source, lang)
         """,
         "argmax_lang": """
@@ -863,12 +897,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nanlike": """
             SELECT lang,
-                   sum(CASE WHEN t IS NULL
+                   CAST(sum(CASE WHEN t IS NULL
                             OR regexp_matches(trim(t), '(?i)^(none|null|nan)?$')
-                            THEN 1 ELSE 0 END) AS n_nanlike,
-                   sum(CASE WHEN t IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_nanlike,
+                   CAST(sum(CASE WHEN t IS NOT NULL
                             AND NOT regexp_matches(trim(t), '(?i)^(none|null|nan)?$')
-                            THEN 1 ELSE 0 END) AS n_valid
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
             FROM (
                 SELECT lang,
                        CASE WHEN doc_id % 11 = 0 THEN 'none'
@@ -940,8 +974,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type, count(*) AS n,
-                   sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       AS k_sum,
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_sum,
                    max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                        AS k_max
             FROM events GROUP BY event_type
@@ -990,14 +1024,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang
         """,
         "vert_export": """
+            -- RE2 lacks the lookbehind split (?<=[.!?])\\s+; splitting on a
+            -- chr(30) sentinel injected after [.!?]+whitespace is equivalent
+            -- (punctuation kept on the left, whitespace consumed)
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split(
+                                   regexp_replace(
+                                       regexp_replace(
+                                           'Intro sentence. ' || text
+                                           || ' Tail claim! Final note? Done.',
+                                           '\\n', ' ', 'g'),
+                                       '([.!?])\\s+', '\\1' || chr(30), 'g'),
+                                   chr(30)),
+                               x -> trim(x)),
+                           x -> len(x) > 0) AS sents
+                FROM documents)
             SELECT doc_id,
                    '<doc id="' || doc_id || '">' || chr(10)
-                   || '<s id="0">' || chr(10)
                    || array_to_string(
-                          list_filter(string_split_regex(trim(text), '\\s+'),
-                                      x -> len(x) > 0), chr(10))
-                   || chr(10) || '</s>' || chr(10) || '</doc>' AS vert
-            FROM documents
+                          list_transform(generate_series(0, len(sents) - 1),
+                              i -> '<s id="' || i || '">' || chr(10)
+                                   || array_to_string(
+                                          list_filter(
+                                              string_split_regex(sents[i + 1],
+                                                                 '\\s+'),
+                                              x -> len(x) > 0), chr(10))
+                                   || chr(10) || '</s>'),
+                          chr(10))
+                   || chr(10) || '</doc>' AS vert
+            FROM s
         """,
         "seeded_sample": """
             SELECT doc_id, token, rn FROM (

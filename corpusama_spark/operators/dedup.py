@@ -8,8 +8,9 @@ full family; each operator here is shuffle-deliberate and deterministic:
   dropDuplicates' arbitrary row).
 - minhash + LSH: shingle → K permuted min-hashes → B bands → bucket-join.
   One shuffle per band-join, candidate pairs only (never O(n²)).
-- simhash: 64-bit sign-aggregated token hashes; near-dups share the value
-  (or band thereof).
+- simhash: 64-bit sign-aggregated token hashes; exact dups share the value
+  (`simhash_dedup`), near-dups meet in a 16-bit band and hamming-verify via
+  bit_count(xor) (`simhash_near_dups`).
 - n-gram Jaccard verification: exact set overlap on candidate pairs.
 - embedding cosine near-dup: see operators/similarity.py.
 
@@ -23,7 +24,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # 2^31-1: keeps a*h+b far below int64 overflow under ANSI arithmetic
 MERSENNE = (1 << 31) - 1
@@ -96,9 +103,10 @@ def minhash_signatures(
     """
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    target = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    # unconditional: touching src.rdd just to read the partition count would
+    # force a deserialization boundary into the plan, and the signature stage
+    # is CPU-bound enough that one narrow-input shuffle always pays for itself
+    src = src.repartition(spark.sparkContext.defaultParallelism)
     hashed = src.withColumn(
         "_hs",
         F.transform(
@@ -160,8 +168,10 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` drops flood buckets (boilerplate/empty-text pileups) —
     the standard LSH skew guard; members of a dropped bucket still meet in
-    their other bands unless those flood too.
+    their other bands unless those flood too. Caller owns the persisted
+    banded stage: release via plans.caching.release(result).
     """
+    from corpusama_spark.plans.caching import own_caches
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sig.select(
@@ -181,6 +191,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_key"),
     ).persist()
+    banded_persisted = banded
     if max_bucket is not None:
         ok = (
             banded.groupBy("band", "band_key")
@@ -191,7 +202,7 @@ def minhash_lsh_pairs(
         banded = banded.join(ok, ["band", "band_key"], "left_semi")
     left = banded.alias("a")
     right = banded.alias("b")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
@@ -204,6 +215,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    return own_caches(pairs, banded_persisted)
 
 
 def jaccard_pairs(
@@ -257,13 +269,17 @@ def simhash_bits(text_col: str, bits: int = 64) -> F.Column:
     )
 
 
-def simhash_vectorized(df: DataFrame, text_col: str, id_col: str) -> F.Column:
-    """(id, simhash) with the bit-counting done in numpy.
+def simhash_codes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash: '0'/'1' string, sim: int64) with numpy bit-counting.
 
     Token hashing stays JVM xxhash64; the 64-bit ±1 accumulation (a 64-wide
     zip_with per token when expressed as Columns — interpreted, O(tokens×64)
     lambda evals per row) becomes one sign-sum matmul per Arrow batch.
-    Output identical to simhash_bits.
+    The string is bit-0-first and identical to simhash_bits (NULL text →
+    NULL, matching the Column version's null propagation; empty text →
+    all-zero hash). ``sim`` packs the same bits into an int64 (bit i of the
+    string = bit i of the integer) so banding and hamming distance stay in
+    64-bit JVM integer ops downstream.
     """
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
@@ -272,27 +288,126 @@ def simhash_vectorized(df: DataFrame, text_col: str, id_col: str) -> F.Column:
         F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("_hs")
     )
     shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
 
-    @F.pandas_udf(StringType())
-    def _sim_udf(hs: pd.Series) -> pd.Series:
-        out = []
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("simhash", StringType()),
+                StructField("sim", LongType()),
+            ]
+        )
+    )
+    def _sim_udf(hs: pd.Series) -> pd.DataFrame:
+        strs: list[str | None] = []
+        ints: list[int | None] = []
         for v in hs:
-            if v is None or len(v) == 0:
-                out.append("0" * 64)
+            if v is None:
+                strs.append(None)
+                ints.append(None)
+                continue
+            if len(v) == 0:
+                strs.append("0" * 64)
+                ints.append(0)
                 continue
             h = np.asarray(v, dtype=np.int64).astype(np.uint64)
             bits = ((h[:, None] >> shifts) & 1).astype(np.int32)  # (n, 64)
             counters = (bits * 2 - 1).sum(axis=0)
-            out.append("".join("1" if c > 0 else "0" for c in counters))
-        return pd.Series(out)
+            pos = counters > 0
+            strs.append("".join("1" if c else "0" for c in pos))
+            ints.append(int((weights[pos].sum()).astype(np.uint64).view(np.int64)))
+        return pd.DataFrame({"simhash": strs, "sim": ints})
 
-    return hashed.select(id_col, _sim_udf("_hs").alias("simhash"))
+    return hashed.select(id_col, _sim_udf("_hs").alias("_s")).select(
+        id_col, F.col("_s.simhash").alias("simhash"), F.col("_s.sim").alias("sim")
+    )
+
+
+def simhash_vectorized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash) string form — see simhash_codes."""
+    return simhash_codes(df, text_col, id_col).select(id_col, "simhash")
 
 
 def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Group by exact simhash value (near-dups land together)."""
+    """Group by exact simhash value — the EXACT-duplicate tier (null-text
+    rows carry a NULL hash and form their own group, as groupBy keeps one
+    null key group)."""
     return (
         simhash_vectorized(df, text_col, id_col)
         .groupBy("simhash")
         .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dupes"))
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    hamming_k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming <= k) via banded simhash LSH.
+
+    The 64-bit code splits into ``bands`` equal bit-bands; two docs within
+    hamming distance ``k < bands`` agree exactly on at least one band
+    (pigeonhole), so banding loses no pair for the default (4, 3). Band keys
+    are shiftrightunsigned+mask — pure JVM int ops — and verification is
+    bit_count(xor) on the int64 codes, so candidate pairs never rehash text.
+
+    ``max_bucket`` drops flood buckets (the all-zero code of empty docs is
+    the classic one) exactly like minhash_lsh_pairs. Caller owns the
+    persisted codes: release via plans.caching.release(result).
+    """
+    from corpusama_spark.plans.caching import own_caches
+
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    codes = (
+        simhash_codes(df, text_col, id_col)
+        .where(F.col("sim").isNotNull())
+        .select(F.col(id_col).alias("id"), "sim")
+        .persist()
+    )
+    banded = codes.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("sim", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("id", "sim", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "band_key")
+            .count()
+            .where(F.col("count") <= max_bucket)
+            .drop("count")
+        )
+        banded = banded.join(ok, ["band", "band_key"], "left_semi")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_k)
+        .distinct()
+    )
+    return own_caches(pairs, codes)

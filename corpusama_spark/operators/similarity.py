@@ -214,15 +214,34 @@ def embedding_near_dups(
     ntables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold within LSH buckets."""
+    """Near-duplicate pairs by cosine >= threshold within LSH buckets.
+
+    ``max_bucket`` drops flood buckets before the self-join — one degenerate
+    bucket (zero-ish embeddings all hashing to the same sign pattern) would
+    otherwise go O(b²); members of a dropped bucket still meet in their
+    other tables unless those flood too. Same guard as minhash_lsh_pairs.
+    Caller owns the persisted bucket stage: plans.caching.release(result).
+    """
+    from corpusama_spark.plans.caching import own_caches
+
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.explode(lsh_buckets(F.col(vec_col), nplanes, ntables, 64)).alias("bucket"),
     ).persist()  # self-join sides would otherwise each recompute the buckets
-    a, c = b.alias("a"), b.alias("b")
-    return (
+    joinable = b
+    if max_bucket is not None:
+        ok = (
+            b.groupBy("bucket")
+            .count()
+            .where(F.col("count") <= max_bucket)
+            .drop("count")
+        )
+        joinable = b.join(ok, "bucket", "left_semi")
+    a, c = joinable.alias("a"), joinable.alias("b")
+    pairs = (
         a.join(
             c,
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
@@ -235,3 +254,4 @@ def embedding_near_dups(
         .where(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return own_caches(pairs, b)

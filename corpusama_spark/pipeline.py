@@ -224,14 +224,27 @@ def narrow_decisions(
 def metrics(decisions: DataFrame) -> DataFrame:
     """Per-(fmt, drop_reason) counts + caption-length stats — the engine's
     `_log`-style metrics table (reliefweb.py:139-150; file_stats
-    util/langid.py:528-567 / A8)."""
-    return decisions.groupBy("fmt", "drop_reason").agg(
+    util/langid.py:528-567 / A8).
+
+    Quartiles are emitted as five SCALAR columns q0..q4 (not an array):
+    downstream metric stores — and the driver's row-hash canonicalization —
+    need hashable cells.
+    """
+    agg = decisions.groupBy("fmt", "drop_reason").agg(
         F.count("*").alias("n"),
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
         F.avg(F.length("caption_norm")).alias("avg_chars"),
         F.percentile_approx(
             F.length("caption_norm"), [0.0, 0.25, 0.5, 0.75, 1.0], 10000
-        ).alias("chars_quartiles"),
+        ).alias("_q"),
+    )
+    return agg.select(
+        "fmt",
+        "drop_reason",
+        "n",
+        "n_keep",
+        "avg_chars",
+        *[F.element_at("_q", i + 1).alias(f"q{i}") for i in range(5)],
     )
 
 

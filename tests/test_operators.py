@@ -233,17 +233,121 @@ def test_minhash_signature_vectorized_parity(spark, docs_df):
     assert expr == vec
 
 
-def test_simhash_vectorized_parity(spark, docs_df):
+def test_simhash_vectorized_parity(spark):
     from corpusama_spark.operators.dedup import simhash_bits, simhash_vectorized
 
+    # includes NULL and empty text: both paths must agree (NULL -> NULL hash,
+    # empty -> all-zero hash), per the Column version's null propagation
+    rows = [(i, t) for i, (_, t) in enumerate(DOCS)] + [(90, None), (91, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     expr = {
         r.id: r.sh
-        for r in docs_df.select(
+        for r in df.select(
             F.col("doc_id").alias("id"), simhash_bits("text").alias("sh")
         ).collect()
     }
     vec = {
         r.doc_id: r.simhash
-        for r in simhash_vectorized(docs_df, "text", "doc_id").collect()
+        for r in simhash_vectorized(df, "text", "doc_id").collect()
     }
     assert expr == vec
+    assert vec[90] is None and vec[91] == "0" * 64
+
+
+def test_simhash_codes_int_matches_bits(spark, docs_df):
+    from corpusama_spark.operators.dedup import simhash_codes
+
+    for r in simhash_codes(docs_df, "text", "doc_id").collect():
+        # bit i of the string == bit i of the int64 (packed bit-0-first)
+        want = sum(1 << i for i, c in enumerate(r.simhash) if c == "1")
+        assert r.sim & 0xFFFFFFFFFFFFFFFF == want
+
+
+def test_simhash_near_dups_complete_for_small_hamming(spark):
+    """Banding must find EVERY pair with hamming <= bands-1 (pigeonhole):
+    compare against a brute-force O(n^2) scan of the codes, including a
+    1-bit-style perturbation (one token swapped) and an exact copy."""
+    from corpusama_spark.operators.dedup import simhash_codes, simhash_near_dups
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    perturbed = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "xqzyv").alias("text"),
+    )
+    src = docs.unionByName(copies).unionByName(perturbed)
+    k = 3  # <= bands-1: banding is lossless here
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(src, "text", "doc_id", bands=4, hamming_k=k)
+        .collect()
+    }
+    codes = {r.doc_id: r.sim for r in simhash_codes(src, "text", "doc_id").collect()}
+    ids = sorted(codes)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((codes[a] ^ codes[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= k:
+                want[(a, b)] = h
+    assert got == want
+    # the exact copies are guaranteed present (hamming 0)
+    assert any(h == 0 for h in got.values())
+
+
+def test_simhash_near_dups_flood_guard(spark):
+    """A degenerate value flooding one bucket must not go quadratic when
+    max_bucket is set; unaffected pairs still surface."""
+    from corpusama_spark.operators.dedup import simhash_near_dups
+
+    flood = [(i, "same boilerplate text repeated") for i in range(60)]
+    distinct = [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    df = spark.createDataFrame(flood + distinct, "doc_id long, text string")
+    guarded = simhash_near_dups(
+        df, "text", "doc_id", hamming_k=3, max_bucket=10
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in guarded}
+    assert (100, 101) in got  # small bucket unaffected
+    assert not any(a < 60 and b < 60 for a, b in got)  # flood bucket dropped
+    unguarded = simhash_near_dups(df, "text", "doc_id", hamming_k=3).collect()
+    assert len(unguarded) == 60 * 59 // 2 + 1
+
+
+def test_embedding_near_dups_flood_guard(spark):
+    """One degenerate embedding bucket (identical vectors) is capped by
+    max_bucket instead of exploding into O(b^2) pairs."""
+    import pandas as pd
+
+    from corpusama_spark.operators.similarity import embedding_near_dups
+
+    vec = [1.0] + [0.0] * 63
+    other = [0.0] * 32 + [1.0] + [0.0] * 31
+    rows = [(i, vec) for i in range(50)] + [(100, other), (101, other)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    guarded = embedding_near_dups(df, threshold=0.99, max_bucket=10).collect()
+    got = {(r.id_a, r.id_b) for r in guarded}
+    assert (100, 101) in got
+    assert not any(a < 50 and b < 50 for a, b in got)
+    unguarded = embedding_near_dups(df, threshold=0.99, max_bucket=None).collect()
+    assert len(unguarded) == 50 * 49 // 2 + 1
+
+
+def test_lsh_operators_release_their_caches(spark, docs_df):
+    from corpusama_spark.operators.dedup import minhash_lsh_pairs, simhash_near_dups
+    from corpusama_spark.plans.caching import release
+
+    for result in (
+        minhash_lsh_pairs(docs_df, "text", "doc_id", num_hashes=16, bands=8),
+        simhash_near_dups(docs_df, "text", "doc_id"),
+    ):
+        result.collect()
+        handles = getattr(result, "_owned_caches")
+        assert handles and all(h.storageLevel.useMemory for h in handles)
+        release(result)
+        assert not any(h.storageLevel.useMemory for h in handles)
