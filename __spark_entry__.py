@@ -547,6 +547,208 @@ def q_export_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: the pdf.clean_text chain (pdf.py:16-33) over text seeded with
+    replacement chars, tabs, and pathological whitespace."""
+    from corpusama_spark.functions.convert import pdf_clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.lit("  head�x\ty  \n \n\n\n\n"),
+        F.col("text"),
+        F.lit("   mid  \n  tail�  "),
+    )
+    return docs.select("doc_id", pdf_clean_text(seeded).alias("cleaned"))
+
+
+def q_xml_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: invalid-XML-token removal (util.py:82-103) over text seeded
+    with the five control characters."""
+    from corpusama_spark.functions.convert import clean_xml_tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.lit("a\x0bb\x0cc"), F.col("text"), F.lit("\x1cd\x1de\x1ef")
+    )
+    return docs.select("doc_id", clean_xml_tokens_col(seeded).alias("cleaned"))
+
+
+def q_no_sep_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: separator-less list join with strip (convert.py:109-124)."""
+    from corpusama_spark.functions.convert import list_to_string_no_sep
+
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.array(F.lit(" "), F.substring("text", 1, 12), F.lit("-tail "))
+    return docs.select("doc_id", list_to_string_no_sep(arr).alias("joined"))
+
+
+def q_json_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17+F18: str_to_obj (from_json) then to_json_or_str round-trip over
+    the events props cells, plus a complex-type serialization."""
+    from corpusama_spark.functions.convert import str_to_obj, to_json_or_str
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = str_to_obj(F.col("props"), "k int")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_parsed"),
+        to_json_or_str(parsed, "struct").alias("props_rt"),
+        to_json_or_str(
+            F.array(F.col("event_type"), F.col("event_type")), "array"
+        ).alias("arr_json"),
+    )
+
+
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: two batches with drifted schemas (one lost `source`+`text`,
+    one grew `extra`) reconciled to the target schema and unioned
+    loss-free (database.py:85-94; reliefweb.py:175-186)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from corpusama_spark.operators.schema_drift import union_reconciled
+
+    target = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    docs = _t(spark, sf_dir, "documents")
+    old_batch = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "text"
+    )
+    new_batch = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "source", "lang")
+        .withColumn("extra", F.concat(F.lit("x"), F.col("doc_id").cast("string")))
+    )
+    u = union_reconciled([old_batch, new_batch], target)
+    return u.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("source").isNull().cast("long")).alias("n_no_source"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_no_text"),
+        F.sum(F.col("extra").isNotNull().cast("long")).alias("n_extra"),
+    )
+
+
+def q_na_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: %NA per attribute (attribute.py:232-264) over deterministically
+    polluted columns; nan_to_none string semantics."""
+    from corpusama_spark.operators.schema_drift import na_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    polluted = docs.select(
+        F.when(F.col("doc_id") % 11 == 0, F.lit("none"))
+        .when(F.col("doc_id") % 11 == 1, F.lit("  "))
+        .when(F.col("doc_id") % 11 == 2, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    return na_profile(polluted, ["text", "lang", "n_chars"])
+
+
+def q_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: grouped diff summary between two corpus versions
+    (compare_vert.py:236-245): per lang, counts of added/removed/changed/
+    same docs under deterministic edits."""
+    from corpusama_spark.operators.schema_drift import diff_summary
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+    )
+    return diff_summary(
+        docs, new.unionByName(added), "doc_id", ["text"], group_col="lang"
+    )
+
+
+def q_vert_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F28: vert round-trip — write each doc as a vertical file string
+    (S12 writer), parse it back to (doc_id, sent_id, token_id, token)
+    rows with the secondary-pipeline token regex path
+    (secondary_pipeline.py:186-189)."""
+    from corpusama_spark.operators.export import vert_doc
+    from corpusama_spark.operators.vertical import parse_vert
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = F.concat(F.lit('<doc id="'), F.col("doc_id").cast("string"), F.lit('">'))
+    text2 = F.concat(
+        F.lit("Intro sentence. "),
+        F.col("text"),
+        F.lit(" Tail claim! Final note? Done."),
+    )
+    verts = docs.select(vert_doc(tag, text2).alias("vert"))
+    return parse_vert(verts, "vert", doc_id_type="long")
+
+
+def q_conllu_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (rest): minimal CoNLL-U document emit (the format
+    base_pipeline.py:136-224 consumes)."""
+    from corpusama_spark.operators.vertical import conllu_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.concat(F.lit("First one. "), F.col("text"), F.lit(" Last one!"))
+    return docs.select(
+        "doc_id", conllu_doc(F.col("doc_id"), text2).alias("conllu")
+    )
+
+
+def q_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15/A9: cross-stage doc-count invariant rows — per stage count and
+    delta vs the raw scan (the golden-file verify pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.agg(F.count("*").alias("base"))
+    stages = [
+        ("raw", docs),
+        ("non_null_text", docs.where(F.col("text").isNotNull())),
+        ("min_chars", docs.where(F.col("n_chars") >= F.lit(100))),
+    ]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.crossJoin(F.broadcast(raw)).select(
+        "stage", "n", (F.col("n") - F.col("base")).alias("delta")
+    )
+
+
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (oracle-able twin of flagship_metrics): per-lang counts, a
+    deterministic keep rule, avg chars, and nearest-rank quartiles q0..q4 —
+    the metrics-table shape with a SQL-expressible decision column."""
+    from corpusama_spark.operators.textstats import char_quartiles_nearest
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("n_chars") >= 100).cast("long")).alias("n_keep"),
+        F.avg("n_chars").alias("avg_chars"),
+    )
+    quart = char_quartiles_nearest(docs, "lang", F.col("n_chars"))
+    return counts.join(F.broadcast(quart), "lang")
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (model-/hash-UDF operators with no ANSI-SQL equivalent)
 # --------------------------------------------------------------------------
@@ -695,6 +897,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_vote": q_majority_vote,
         "flatten": q_flatten,
         "export_doc": q_export_doc,
+        "pdf_clean": q_pdf_clean,
+        "xml_clean": q_xml_clean,
+        "no_sep_join": q_no_sep_join,
+        "json_obj": q_json_obj,
+        "schema_drift": q_schema_drift,
+        "na_profile": q_na_profile,
+        "diff_summary": q_diff_summary,
+        "vert_parse": q_vert_parse,
+        "conllu_export": q_conllu_export,
+        "stage_counts": q_stage_counts,
+        "metrics_rollup": q_metrics_rollup,
         "flagship": q_flagship,
         "narrow_flagship": q_narrow_flagship,
         "flagship_metrics": q_flagship_metrics,
@@ -1104,5 +1317,223 @@ def oracle_sql() -> dict[str, str]:
                    '<doc id="' || doc_id || '" file_id="0" lang="' || lang
                    || '" >' || chr(10) || text || chr(10) || '</doc>' AS doc_text
             FROM documents
+        """,
+        "pdf_clean": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   replace(replace(seeded, '�', ' '),
+                                           chr(9), ' '),
+                                   ' *\\n *', chr(10), 'g'),
+                               ' {2,}', ' ', 'g'),
+                           '\\n{3,}', chr(10) || chr(10), 'g'),
+                       '^\\s+|\\s+$', '', 'g') AS cleaned
+            FROM (
+                SELECT doc_id,
+                       '  head�x' || chr(9) || 'y  ' || chr(10) || ' '
+                       || repeat(chr(10), 4) || text || '   mid  ' || chr(10)
+                       || '  tail�  ' AS seeded
+                FROM documents)
+        """,
+        "xml_clean": """
+            SELECT doc_id,
+                   replace(replace(replace(replace(replace(
+                       'a' || chr(11) || 'b' || chr(12) || 'c' || text
+                       || chr(28) || 'd' || chr(29) || 'e' || chr(30) || 'f',
+                       chr(11), ''), chr(12), ''), chr(28), ''), chr(29), ''),
+                       chr(30), '') AS cleaned
+            FROM documents
+        """,
+        "no_sep_join": """
+            SELECT doc_id,
+                   trim(' ' || substr(text, 1, 12) || '-tail ') AS joined
+            FROM documents
+        """,
+        "json_obj": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed,
+                   '{"k":' || json_extract_string(props, '$.k') || '}'
+                       AS props_rt,
+                   '["' || event_type || '","' || event_type || '"]' AS arr_json
+            FROM events
+        """,
+        "schema_drift": """
+            SELECT lang, count(*) AS n,
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_no_source,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_no_text,
+                   CAST(sum(CASE WHEN extra IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_extra
+            FROM (
+                SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source, text,
+                       CAST(NULL AS VARCHAR) AS extra
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, lang, source, CAST(NULL AS VARCHAR) AS text,
+                       'x' || doc_id AS extra
+                FROM documents WHERE doc_id % 2 = 1)
+            GROUP BY lang
+        """,
+        "na_profile": """
+            WITH p AS (
+                SELECT CASE WHEN doc_id % 11 = 0 THEN 'none'
+                            WHEN doc_id % 11 = 1 THEN '  '
+                            WHEN doc_id % 11 = 2 THEN NULL
+                            ELSE text END AS text,
+                       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+                       CASE WHEN doc_id % 5 = 0 THEN NULL
+                            ELSE n_chars END AS n_chars
+                FROM documents)
+            SELECT 'text' AS attribute, count(*) AS n,
+                   CAST(sum(CASE WHEN text IS NULL OR regexp_matches(
+                            trim(text), '(?i)^(none|null|nan)?$')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_na,
+                   round(CAST(sum(CASE WHEN text IS NULL OR regexp_matches(
+                            trim(text), '(?i)^(none|null|nan)?$')
+                            THEN 1 ELSE 0 END) AS BIGINT) / count(*), 4)
+                       AS pct_na
+            FROM p
+            UNION ALL
+            SELECT 'lang', count(*),
+                   CAST(sum(CASE WHEN lang IS NULL OR regexp_matches(
+                            trim(lang), '(?i)^(none|null|nan)?$')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   round(CAST(sum(CASE WHEN lang IS NULL OR regexp_matches(
+                            trim(lang), '(?i)^(none|null|nan)?$')
+                            THEN 1 ELSE 0 END) AS BIGINT) / count(*), 4)
+            FROM p
+            UNION ALL
+            SELECT 'n_chars', count(*),
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   round(CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) / count(*), 4)
+            FROM p
+        """,
+        "diff_summary": """
+            WITH old_v AS (SELECT doc_id, lang, text FROM documents),
+            new_v AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 13 != 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, lang, text
+                FROM documents WHERE doc_id % 17 = 0)
+            SELECT lang, status, count(*) AS n FROM (
+                SELECT coalesce(n.lang, o.lang) AS lang,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                            ELSE 'same' END AS status
+                FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id)
+            GROUP BY lang, status
+        """,
+        "vert_parse": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split(
+                                   regexp_replace(
+                                       regexp_replace(
+                                           'Intro sentence. ' || text
+                                           || ' Tail claim! Final note? Done.',
+                                           '\\n', ' ', 'g'),
+                                       '([.!?])\\s+', '\\1' || chr(30), 'g'),
+                                   chr(30)),
+                               x -> trim(x)),
+                           x -> len(x) > 0) AS sents
+                FROM documents),
+            sent AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(sents) - 1)) AS sent_id,
+                       sents
+                FROM s),
+            sent2 AS (
+                SELECT doc_id, sent_id,
+                       list_filter(
+                           string_split_regex(sents[sent_id + 1], '\\s+'),
+                           x -> len(x) > 0 AND substr(x, 1, 1) != '<') AS toks
+                FROM sent),
+            tok AS (
+                SELECT doc_id, sent_id,
+                       unnest(generate_series(0, len(toks) - 1)) AS token_id,
+                       toks
+                FROM sent2)
+            SELECT doc_id, sent_id, token_id, toks[token_id + 1] AS token
+            FROM tok
+        """,
+        "conllu_export": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split(
+                                   regexp_replace(
+                                       regexp_replace(
+                                           'First one. ' || text
+                                           || ' Last one!',
+                                           '\\n', ' ', 'g'),
+                                       '([.!?])\\s+', '\\1' || chr(30), 'g'),
+                                   chr(30)),
+                               x -> trim(x)),
+                           x -> len(x) > 0) AS sents
+                FROM documents)
+            SELECT doc_id,
+                   '# newdoc id = ' || doc_id || chr(10)
+                   || array_to_string(
+                          list_transform(generate_series(0, len(sents) - 1),
+                              i -> '# sent_id = ' || i || chr(10)
+                                   || '# text = ' || sents[i + 1] || chr(10)
+                                   || array_to_string(
+                                          list_transform(
+                                              list_filter(
+                                                  string_split_regex(
+                                                      sents[i + 1], '\\s+'),
+                                                  x -> len(x) > 0),
+                                              (t, j) -> j || chr(9) || t
+                                                  || repeat(chr(9) || '_', 8)),
+                                          chr(10))
+                                   || chr(10)),
+                          chr(10)) AS conllu
+            FROM s
+        """,
+        "stage_counts": """
+            SELECT 'raw' AS stage, count(*) AS n,
+                   count(*) - (SELECT count(*) FROM documents) AS delta
+            FROM documents
+            UNION ALL
+            SELECT 'non_null_text', count(*),
+                   count(*) - (SELECT count(*) FROM documents)
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT 'min_chars', count(*),
+                   count(*) - (SELECT count(*) FROM documents)
+            FROM documents WHERE n_chars >= 100
+        """,
+        "metrics_rollup": f"""
+            WITH c AS (
+                SELECT lang, count(*) AS n,
+                       CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_keep,
+                       avg(n_chars) AS avg_chars
+                FROM documents GROUP BY lang),
+            q AS (
+                SELECT lang, {_sql_quartile(0, 0.0)}, {_sql_quartile(1, 0.25)},
+                       {_sql_quartile(2, 0.5)}, {_sql_quartile(3, 0.75)},
+                       {_sql_quartile(4, 1.0)}
+                FROM (
+                    SELECT lang, n_chars AS v,
+                           row_number() OVER (PARTITION BY lang
+                                              ORDER BY n_chars) AS rn,
+                           count(*) OVER (PARTITION BY lang) AS n
+                    FROM documents)
+                GROUP BY lang)
+            SELECT c.lang, n, n_keep, avg_chars, q0, q1, q2, q3, q4
+            FROM c JOIN q USING (lang)
         """,
     }

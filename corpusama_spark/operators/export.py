@@ -118,3 +118,60 @@ def write_batched_text(
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)
+
+
+def write_xz_text(
+    df: DataFrame, text_col: str, path: str, docs_per_file: int = 10000
+) -> list[str]:
+    """S11: .txt.xz export without a cluster-side XZ codec jar.
+
+    The reference round-trips `.txt.xz`/`.vert.xz` via Python lzma
+    (base_pipeline.py:278-292, convert.py:156-159). Spark ships no XZ Hadoop
+    codec, so this writer runs lzma inside ``mapInPandas``: each partition
+    streams its rows into chunk files of <= ``docs_per_file`` docs named
+    ``part-{partition}-{chunk}.txt.xz`` — partition-parallel, no driver
+    loop, no full-partition buffering beyond one chunk. Returns the file
+    list (also the return rows of the job, so callers can manifest it).
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def _write(batches):
+        import lzma
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunk, n_in_chunk, files = 0, 0, []
+        out = None
+        try:
+            for pdf_batch in batches:
+                for text in pdf_batch[text_col]:
+                    if text is None:
+                        continue
+                    if out is None:
+                        fname = os.path.join(
+                            path, f"part-{pid:05d}-{chunk:04d}.txt.xz"
+                        )
+                        out = lzma.open(fname, "wt", encoding="utf-8")
+                        files.append(fname)
+                    out.write(text + "\n")
+                    n_in_chunk += 1
+                    if n_in_chunk >= docs_per_file:
+                        out.close()
+                        out, n_in_chunk = None, 0
+                        chunk += 1
+        finally:
+            if out is not None:
+                out.close()
+        import pandas as pd
+
+        yield pd.DataFrame({"file": files})
+
+    return [
+        r.file
+        for r in df.select(text_col)
+        .mapInPandas(_write, "file string")
+        .collect()
+    ]

@@ -71,6 +71,28 @@ class FilterConfig:
     fused_langid: bool = True
 
 
+def load_config(source: str) -> FilterConfig:
+    """S14: build a FilterConfig from a YAML document (a path or the YAML
+    text itself) — the reference is configured by `.yml` files per source
+    (corpusama/source/*.yml; util/io.py load_yaml). Unknown keys raise so
+    config drift fails loudly instead of silently using defaults."""
+    import os
+
+    import yaml
+
+    if os.path.exists(source):
+        with open(source) as f:
+            data = yaml.safe_load(f)
+    else:
+        data = yaml.safe_load(source)
+    data = data or {}
+    valid = {f.name for f in FilterConfig.__dataclass_fields__.values()}
+    unknown = set(data) - valid
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return FilterConfig(**data)
+
+
 def _n_parts(df: DataFrame, config: FilterConfig) -> int:
     return config.num_partitions or (
         2 * df.sparkSession.sparkContext.defaultParallelism
