@@ -846,6 +846,37 @@ def q_sentence_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_align_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: sequence-alignment join (compare_vert.py:130-195) between the
+    corpus token table and a deterministically re-annotated version —
+    rows-only (difflib opcode alignment inside a cogroup applyInPandas has
+    no ANSI-SQL equivalent). Returns the per-status summary."""
+    from corpusama_spark.operators.align import align_summary, align_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: F.length(t) > 0)
+        ).alias("token_id", "token"),
+    )
+    old = toks.withColumn("tag", F.lit("v1"))
+    new = (
+        toks.where(F.col("token_id") % 17 != 0)
+        .withColumn(
+            "token",
+            F.when(
+                F.col("token_id") % 11 == 0, F.concat(F.col("token"), F.lit("x"))
+            ).otherwise(F.col("token")),
+        )
+        .withColumn(
+            "tag",
+            F.when(F.col("token_id") % 5 == 0, F.lit("v2")).otherwise(F.lit("v1")),
+        )
+    )
+    return align_summary(align_tokens(old, new, tag_col="tag"))
+
+
 def q_lid_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+A1-A6 composite: trigram-model langid shares over caption lines
     (rows-only; model is a UDF)."""
@@ -917,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "sentence_langid": q_sentence_langid,
         "lid_shares": q_lid_shares,
+        "align_tokens": q_align_tokens,
     }
 
 

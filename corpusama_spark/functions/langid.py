@@ -180,23 +180,36 @@ class TrigramModel:
         return langs, scores
 
 
+class FastTextAdapter:
+    """Wraps a fasttext model handle into this module's model contract
+    (``predict(lines) -> (langs, scores)``). fastText returns
+    ``([['__label__xx'], ...], [array([p]), ...])`` for list input; the
+    adapter strips the label prefix and takes the top probability."""
+
+    def __init__(self, ft: object) -> None:
+        self._ft = ft
+
+    def predict(self, lines: list[str]) -> tuple[list[str], list[float]]:
+        labels, scores = self._ft.predict(lines)
+        return (
+            [x[0].replace("__label__", "") for x in labels],
+            [float(x[0]) for x in scores],
+        )
+
+
 def load_model() -> object:
-    """Model loader run once per executor Python worker (SCALAR_ITER)."""
+    """Model loader run once per executor Python worker (SCALAR_ITER).
+
+    With ``$CORPUSAMA_FASTTEXT_MODEL`` set, loads the real fastText model
+    (the production path; the wheel is absent in this sandbox, so tests
+    exercise FastTextAdapter against a stub handle); otherwise the
+    deterministic trigram NB stand-in trained on seed text.
+    """
     path = os.environ.get("CORPUSAMA_FASTTEXT_MODEL")
-    if path:  # pragma: no cover - real model absent in sandbox
+    if path:  # pragma: no cover - real wheel absent in sandbox
         import fasttext
 
-        ft = fasttext.load_model(path)
-
-        class _FtAdapter:
-            def predict(self, lines):
-                labels, scores = ft.predict(lines)
-                return (
-                    [x[0].replace("__label__", "") for x in labels],
-                    [float(x[0]) for x in scores],
-                )
-
-        return _FtAdapter()
+        return FastTextAdapter(fasttext.load_model(path))
     return TrigramModel.train(SEED_SENTENCES)
 
 
