@@ -846,6 +846,37 @@ def q_sentence_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (rows-only: decode UDF): channel/luma
+    stats + DCT perceptual hash per image, computed in the scan stage —
+    image bytes never shuffle."""
+    from corpusama_spark.functions.imageops import image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    captions = captions_from_documents(docs)
+    return captions.select(
+        "image_id", "fmt", image_features("bytes", "fmt").alias("f")
+    ).select("image_id", "fmt", "f.*")
+
+
+def q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs via banded phash hamming (rows-only). Exact
+    byte-copies under new ids guarantee hamming-0 pairs; lossy re-encodes
+    exercise the near (nonzero-hamming) tier."""
+    from corpusama_spark.operators.dedup import image_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    captions = captions_from_documents(docs).select("image_id", "bytes", "fmt")
+    copies = captions.where(F.crc32("image_id") % 10 == 0).select(
+        F.concat(F.lit("copy-"), F.col("image_id")).alias("image_id"),
+        "bytes",
+        "fmt",
+    )
+    return image_near_dups(
+        captions.unionByName(copies), hamming_k=4, max_bucket=256
+    )
+
+
 def q_align_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: sequence-alignment join (compare_vert.py:130-195) between the
     corpus token table and a deterministically re-annotated version —
@@ -949,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_langid": q_sentence_langid,
         "lid_shares": q_lid_shares,
         "align_tokens": q_align_tokens,
+        "image_features": q_image_features,
+        "image_near_dups": q_image_near_dups,
     }
 
 

@@ -90,7 +90,11 @@ def main() -> None:
     images_per_sec = n_captions / flagship_sec
 
     qs = E.queries()
-    for name in BENCH_QUERIES:
+    # scaling runs time only the flagship (BENCH_SKIP_QUERIES=1): the
+    # operator queries are fixed-size sf work that would just add noise
+    # to the N-vs-4N throughput pair
+    names = [] if os.environ.get("BENCH_SKIP_QUERIES") else BENCH_QUERIES
+    for name in names:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).select(F.count(F.lit(1))).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

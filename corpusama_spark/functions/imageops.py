@@ -1,0 +1,251 @@
+"""Image-column transform operators: feature-extract, perceptual hash,
+resize, and video frame-sampling.
+
+The multimodal contract (BASELINE.json input_hint): images are opaque
+``binary`` cells with typed metadata; every transform decodes ONLY inside
+Arrow batches, in the scan stage — the bytes column never crosses a shuffle
+(same invariant the flagship pipeline asserts, tests/test_pipeline.py).
+Codecs come from io/imagecodec.py (real PNG subset + honest lossy stand-in;
+a PIL/libvips swap is a one-function change there).
+
+- ``image_features``: per-image channel means, luma mean/std, and a REAL
+  64-bit DCT perceptual hash (block-mean resize to 32x32 luma -> 2D DCT via
+  two matmuls -> top-left 8x8 coefficients -> median threshold). Near-
+  identical images land within small hamming distance — the input the
+  simhash/near-dup family consumes for image dedup.
+- ``resize_image``: nearest-neighbor resize + re-encode in the declared
+  format; corrupt inputs yield NULL, mirroring the tolerated-failure path.
+- ``sample_frames``: mapInPandas explode of a QVID container (a real
+  length-prefixed multi-frame format the synth source can produce) into
+  (frame_no, frame bytes) rows, taking every k-th frame. Real video codecs
+  slot into _iter_frames behind the same signature.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from corpusama_spark.io.imagecodec import decode_image, encode_png, encode_qimg
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("luma_mean", DoubleType()),
+        StructField("luma_std", DoubleType()),
+        StructField("phash64", LongType()),
+    ]
+)
+
+_DCT32 = None
+
+
+def _dct_basis(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)
+        _DCT32 = np.cos(np.pi / n * (k[:, None] + 0.5) * k[None, :])  # (x, u)
+    return _DCT32
+
+
+def _block_mean_32(luma: np.ndarray) -> np.ndarray:
+    """Resize luma to 32x32 by block averaging (area interpolation)."""
+    h, w = luma.shape
+    ys = (np.arange(33) * h) // 32
+    xs = (np.arange(33) * w) // 32
+    ys = np.maximum(ys, np.arange(33))  # guard h < 32: at least 1px steps
+    xs = np.maximum(xs, np.arange(33))
+    ys = np.minimum(ys, h)
+    xs = np.minimum(xs, w)
+    csum = np.zeros((h + 1, w + 1))
+    csum[1:, 1:] = luma.cumsum(0).cumsum(1)
+    out = (
+        csum[ys[1:], :][:, xs[1:]]
+        - csum[ys[:-1], :][:, xs[1:]]
+        - csum[ys[1:], :][:, xs[:-1]]
+        + csum[ys[:-1], :][:, xs[:-1]]
+    )
+    areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return out / np.maximum(areas, 1)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """DCT perceptual hash of an (h, w, 3) uint8 image -> signed int64."""
+    luma = (
+        0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    ).astype(np.float64)
+    small = _block_mean_32(luma)
+    basis = _dct_basis(32)
+    coeffs = basis.T @ small @ basis  # 2D DCT-II up to scale
+    block = coeffs[:8, :8].flatten()
+    med = np.median(block[1:])  # skip DC term for the threshold
+    bits = block > med
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return int(np.uint64(val).astype(np.int64))
+
+
+def _features_one(data, fmt) -> tuple:
+    if data is None:
+        return (None,) * 6
+    try:
+        arr = decode_image(bytes(data), fmt)
+    except ValueError:
+        return (None,) * 6
+    means = arr.reshape(-1, 3).mean(axis=0)
+    luma = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    return (
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        float(luma.mean()),
+        float(luma.std()),
+        phash64(arr),
+    )
+
+
+@F.pandas_udf(FEATURES_SCHEMA)
+def _features_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    rows = [_features_one(d, f) for d, f in zip(data, fmt)]
+    return pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+
+def image_features(
+    bytes_col: Column | str = "bytes", fmt_col: Column | str = "fmt"
+) -> Column:
+    """struct of channel/luma stats + 64-bit perceptual hash; narrow."""
+    as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+    return _features_udf(as_col(bytes_col), as_col(fmt_col))
+
+
+def resize_nn(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) array."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys[:, None], xs[None, :]]
+
+
+def resize_image(
+    bytes_col: Column | str,
+    fmt_col: Column | str,
+    out_w: int,
+    out_h: int,
+) -> Column:
+    """Resized re-encoded image bytes (NULL on corrupt input) — narrow."""
+
+    @F.pandas_udf(BinaryType())
+    def _resize_udf(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for d, f in zip(data, fmt):
+            if d is None:
+                out.append(None)
+                continue
+            try:
+                arr = resize_nn(decode_image(bytes(d), f), out_w, out_h)
+                out.append(
+                    encode_png(arr) if f == "png" else encode_qimg(arr, f)
+                )
+            except ValueError:
+                out.append(None)
+        return pd.Series(out)
+
+    as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+    return _resize_udf(as_col(bytes_col), as_col(fmt_col))
+
+
+# ---------------------------------------------------------------------------
+# QVID: a real (if minimal) multi-frame container for the video slot
+# ---------------------------------------------------------------------------
+
+QVID_MAGIC = b"QVID"
+
+
+def encode_qvid(frames: list[np.ndarray], fmt: str = "jpeg") -> bytes:
+    """Concatenate per-frame encodings with length prefixes."""
+    import struct
+
+    payload = b""
+    for fr in frames:
+        enc = encode_png(fr) if fmt == "png" else encode_qimg(fr, fmt)
+        payload += struct.pack(">I", len(enc)) + enc
+    return QVID_MAGIC + fmt[:4].ljust(4).encode() + struct.pack(
+        ">I", len(frames)
+    ) + payload
+
+
+def _iter_frames(data: bytes):
+    """Yield (frame_no, frame_bytes, fmt) from a QVID container.
+
+    A real video decoder (pyav/ffmpeg) slots in here behind the same
+    generator signature; any other container raises ValueError, which the
+    caller converts to zero rows for that video (tolerated failure).
+    """
+    import struct
+
+    if data[:4] != QVID_MAGIC:
+        raise ValueError("not a QVID container")
+    fmt = data[4:8].decode().strip()
+    (n,) = struct.unpack(">I", data[8:12])
+    off = 12
+    for i in range(n):
+        (ln,) = struct.unpack(">I", data[off : off + 4])
+        off += 4
+        yield i, data[off : off + ln], fmt
+        off += ln
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    every_k: int = 2,
+) -> DataFrame:
+    """(id, frame_no, fmt, frame) rows — every k-th frame of each video.
+
+    mapInPandas explode in the scan stage: frames materialize only inside
+    the Arrow batch, and corrupt containers contribute zero rows instead of
+    failing the task. Downstream, ``image_features`` applies per frame.
+    """
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("frame_no", LongType()),
+            StructField("fmt", StringType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf[id_col], pdf[bytes_col]):
+                if data is None:
+                    continue
+                try:
+                    for i, frame, fmt in _iter_frames(bytes(data)):
+                        if i % every_k == 0:
+                            rows.append((vid, i, fmt, frame))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_no", "fmt", "frame"]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(gen, schema=schema)

@@ -339,45 +339,45 @@ def simhash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
+def hamming_band_pairs(
+    codes: DataFrame,
+    id_col: str = "id",
+    code_col: str = "code",
     bands: int = 4,
     hamming_k: int = 3,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs (id_a < id_b, hamming <= k) via banded simhash LSH.
+    """Near-dup pairs (id_a < id_b, hamming <= k) over ANY int64 code column
+    — the shared kernel behind simhash text dedup and phash image dedup.
 
-    The 64-bit code splits into ``bands`` equal bit-bands; two docs within
+    The 64-bit code splits into ``bands`` equal bit-bands; two codes within
     hamming distance ``k < bands`` agree exactly on at least one band
     (pigeonhole), so banding loses no pair for the default (4, 3). Band keys
     are shiftrightunsigned+mask — pure JVM int ops — and verification is
-    bit_count(xor) on the int64 codes, so candidate pairs never rehash text.
-
-    ``max_bucket`` drops flood buckets (the all-zero code of empty docs is
-    the classic one) exactly like minhash_lsh_pairs. Caller owns the
-    persisted codes: release via plans.caching.release(result).
+    bit_count(xor) on the int64 codes, so candidate pairs never touch the
+    original payload. ``max_bucket`` drops flood buckets (the all-zero code
+    of empty docs / blank images is the classic one) exactly like
+    minhash_lsh_pairs. Caller owns the persisted codes: release via
+    plans.caching.release(result).
     """
     from corpusama_spark.plans.caching import own_caches
 
     band_bits = 64 // bands
     mask = (1 << band_bits) - 1
-    codes = (
-        simhash_codes(df, text_col, id_col)
-        .where(F.col("sim").isNotNull())
-        .select(F.col(id_col).alias("id"), "sim")
+    staged = (
+        codes.where(F.col(code_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(code_col).alias("code"))
         .persist()
     )
-    banded = codes.select(
+    banded = staged.select(
         "id",
-        "sim",
+        "code",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("sim", b * band_bits)
+                        F.shiftrightunsigned("code", b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_key"),
                     )
@@ -385,7 +385,12 @@ def simhash_near_dups(
                 ]
             )
         ).alias("_b"),
-    ).select("id", "sim", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+    ).select(
+        "id",
+        "code",
+        F.col("_b.band").alias("band"),
+        F.col("_b.band_key").alias("band_key"),
+    )
     if max_bucket is not None:
         ok = (
             banded.groupBy("band", "band_key")
@@ -405,9 +410,50 @@ def simhash_near_dups(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+            F.bit_count(F.col("a.code").bitwiseXOR(F.col("b.code"))).alias(
+                "hamming"
+            ),
         )
         .where(F.col("hamming") <= hamming_k)
         .distinct()
     )
-    return own_caches(pairs, codes)
+    return own_caches(pairs, staged)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    hamming_k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup text pairs via banded simhash LSH (see hamming_band_pairs)."""
+    codes = simhash_codes(df, text_col, id_col).select(id_col, "sim")
+    return hamming_band_pairs(
+        codes, id_col, "sim", bands, hamming_k, max_bucket
+    )
+
+
+def image_near_dups(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    bands: int = 4,
+    hamming_k: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: DCT perceptual hash (phash64, computed
+    in the scan stage — bytes never shuffle; only the 8-byte code does)
+    banded through the same hamming kernel as simhash. The end-to-end image
+    dedup a 10^12-image corpus runs before training."""
+    from corpusama_spark.functions.imageops import image_features
+
+    codes = df.select(
+        F.col(id_col),
+        image_features(bytes_col, fmt_col).getField("phash64").alias("phash64"),
+    )
+    return hamming_band_pairs(
+        codes, id_col, "phash64", bands, hamming_k, max_bucket
+    )

@@ -23,6 +23,7 @@ def run_bench(cpus: int, n_captions: int) -> dict:
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_CAPTIONS_N=str(n_captions),
+        BENCH_SKIP_QUERIES="1",
         PYTHONPATH=REPO,
     )
     # `local[N]` bounds TASK SLOTS, not total compute: each task's JVM thread
