@@ -4,7 +4,7 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 The headline metric is the flagship quality-filter pipeline's throughput
 (images filtered/sec — BASELINE.json "metric") over a captions table of the
 authoritative input_hint shape, synthesized deterministically (seed 42) at
-``$BENCH_CAPTIONS_N`` rows (default 40000). Relational/operator queries run
+``$BENCH_CAPTIONS_N`` rows (default 160000). Relational/operator queries run
 over the driver's sf tables.
 
 Scaling evidence (north_rule N vs 4N executors): run this file twice, e.g.
@@ -48,7 +48,10 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_captions = int(os.environ.get("BENCH_CAPTIONS_N", "40000"))
+    # 160k rows: large enough that worker startup/scheduling amortizes and
+    # the img/s number reflects steady-state throughput, small enough that
+    # the 3-run loop stays ~15 s at local[32]
+    n_captions = int(os.environ.get("BENCH_CAPTIONS_N", "160000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(
         cores=cpus, extra_conf={"spark.ui.showConsoleProgress": "false"}
