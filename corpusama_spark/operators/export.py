@@ -175,3 +175,31 @@ def write_xz_text(
         .mapInPandas(_write, "file string")
         .collect()
     ]
+
+
+def read_xz_text(spark, path: str) -> DataFrame:
+    """S11 read side: .txt.xz files -> one row per line (column ``value``).
+
+    Spark ships no XZ codec, so the decompression runs inside mapInPandas
+    over the FILE LIST (one task per file — .xz is not splittable anyway,
+    so this matches what a codec jar would give). Mirrors the reference's
+    lzma read path (base_pipeline.py:278-292)."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(path, "*.xz")))
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        max(len(files), 1)
+    )
+
+    def _read(batches):
+        import lzma
+
+        import pandas as pd
+
+        for pdf in batches:
+            for f in pdf["file"]:
+                with lzma.open(f, "rt", encoding="utf-8") as fh:
+                    yield pd.DataFrame({"value": fh.read().splitlines()})
+
+    return fdf.mapInPandas(_read, "value string")

@@ -207,6 +207,11 @@ def test_xz_export_roundtrip(spark, tmp_path):
             assert len(chunk) <= 10
             lines += chunk
     assert sorted(lines) == sorted(f"doc {i}" for i in range(50))
+    # Spark-side read-back (one task per non-splittable .xz file)
+    from corpusama_spark.operators.export import read_xz_text
+
+    back = read_xz_text(spark, path)
+    assert sorted(r.value for r in back.collect()) == sorted(lines)
 
 
 def test_load_config_yaml(tmp_path):

@@ -89,3 +89,43 @@ def test_bucketed_join_zero_shuffles(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_caps")
         spark.sql("DROP TABLE IF EXISTS t_meta")
+
+
+def test_new_operator_plan_shapes(spark):
+    """Round-2 operators keep their intended physical shapes: text-emit and
+    vert-parse are pure narrow (ZERO shuffles), profiling is one aggregation
+    pass, diff/align pay exactly their join + agg exchanges."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        "vert_parse": 0,      # regexp splits + two explodes, all narrow
+        "conllu_export": 0,   # string assembly in the scan stage
+        "pdf_clean": 0,
+        "xml_clean": 0,
+        "na_profile": 1,      # ONE wide aggregation, never one job per column
+        "schema_drift": 1,    # union is narrow; only the groupBy shuffles
+        "diff_summary": 3,    # two full-outer join sides + the summary agg
+        "align_tokens": 3,    # two cogroup sides + the summary agg
+    }
+    qs = E.queries()
+    for name, budget in budgets.items():
+        rep = audit.report(qs[name](spark, sf))
+        rep.assert_no_row_python().assert_max_shuffles(budget)
+
+
+def test_image_features_scan_stage(spark, tmp_path):
+    """Feature extraction runs in the scan stage (no shuffle), and a
+    features-only projection must not read the caption column."""
+    from corpusama_spark.functions.imageops import image_features
+
+    path = str(tmp_path / "caps")
+    captions_df(spark, 50, partitions=2).write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .select("image_id", image_features("bytes", "fmt").alias("f"))
+        .select("image_id", "f.*")
+    )
+    rep = audit.report(df)
+    rep.assert_no_row_python().assert_max_shuffles(0)
+    audit.assert_column_pruned(df, "caption")
