@@ -52,3 +52,59 @@ def test_stream_incremental_exactly_once(spark, tmp_path):
     streamed = {r["image_id"]: (r["keep"], r["drop_reason"]) for r in final.collect()}
     for r in batch.select("image_id", "keep", "drop_reason").collect():
         assert streamed[r["image_id"]] == (r["keep"], r["drop_reason"])
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState dedup: a hash admitted in run 1 must be
+    flagged as a duplicate in run 2 (state restored from the checkpoint),
+    with dupe_of pointing at the original canonical id."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from corpusama_spark.streaming.stateful import streaming_dedup
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("caption", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_dedup(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [("a1", "the same text"), ("b1", "something else")]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    drain()
+    got1 = {r.image_id: (r.is_first, r.dupe_of) for r in collected}
+    assert got1 == {"a1": (True, None), "b1": (True, None)}
+
+    collected.clear()
+    # run 2: a2 duplicates a1's text (seen only in the PREVIOUS run),
+    # c1 duplicates within its own batch, d1 is new
+    batch2 = [
+        ("a2", "the same text"),
+        ("c1", "fresh text"),
+        ("c2", "fresh text"),
+        ("d1", "brand new"),
+    ]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    drain()
+    got2 = {r.image_id: (r.is_first, r.dupe_of) for r in collected}
+    assert got2["a2"] == (False, "a1")  # cross-restart state
+    assert got2["c1"] == (True, None)
+    assert got2["c2"] == (False, "c1")  # intra-batch dedup
+    assert got2["d1"] == (True, None)
