@@ -749,6 +749,69 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(F.broadcast(quart), "lang")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs -> dedup clusters
+    (hash-min label propagation; the DuckDB oracle is a recursive-CTE
+    transitive closure). Deterministic edge set: doc chains of 5 plus a
+    cross-link every 50 ids (diameter ~7, fixed 12 rounds)."""
+    from corpusama_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    chains = docs.where(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    links = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 7).alias("id_b")
+    )
+    return connected_components(
+        chains.unionByName(links), fixed_iters=12
+    )
+
+
+GOPHER_DECOR_PREFIX = "- bullet line\n… \n"
+GOPHER_DECOR_SUFFIX = "\nan ending line...\n# symbols ## here"
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021 §A1.1) over text with
+    injected bullet/ellipsis/symbol lines so every rule fires."""
+    from corpusama_spark.operators.textstats import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.lit(GOPHER_DECOR_PREFIX), F.col("text"), F.lit(GOPHER_DECOR_SUFFIX)
+    )
+    return docs.select("doc_id", gopher_quality(decorated).alias("g")).select(
+        "doc_id", "g.*"
+    )
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (GPT-2 pre-split pattern, RE2-safe)
+    next to the whitespace count — the training-budget estimator."""
+    from corpusama_spark.operators.textstats import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+        token_count_col(F.col("text")).cast("long").alias("n_ws"),
+    )
+
+
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer et al. 2003):
+    char-5-gram md5-prefix hashes, window-4 minima, distinct set, exploded
+    to (doc_id, fp) rows — pure JVM, no UDF."""
+    from corpusama_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints("text", k=5, window=4)).alias("fp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (model-/hash-UDF operators with no ANSI-SQL equivalent)
 # --------------------------------------------------------------------------
@@ -970,6 +1033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conllu_export": q_conllu_export,
         "stage_counts": q_stage_counts,
         "metrics_rollup": q_metrics_rollup,
+        "dedup_clusters": q_dedup_clusters,
+        "gopher_rules": q_gopher_rules,
+        "bpe_tokens": q_bpe_tokens,
+        "winnow_fp": q_winnow_fp,
         "flagship": q_flagship,
         "narrow_flagship": q_narrow_flagship,
         "flagship_metrics": q_flagship_metrics,
@@ -1045,6 +1112,9 @@ def _sql_quartile(i: int, q: float) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from corpusama_spark.operators.textstats import BPE_SPLIT_RE
+
+    bpe_re_sql = BPE_SPLIT_RE.replace("'", "''")
     langid_case = "CASE "
     for lg in sorted(STOPWORDS):
         langid_case += f"WHEN h_{lg} = best AND best > 0 THEN '{lg}' "
@@ -1579,6 +1649,100 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'min_chars', count(*),
                    count(*) - (SELECT count(*) FROM documents)
             FROM documents WHERE n_chars >= 100
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE
+            p AS (
+                SELECT doc_id AS id_a, doc_id + 1 AS id_b
+                FROM documents WHERE doc_id % 5 != 4
+                UNION ALL
+                SELECT doc_id, doc_id + 7
+                FROM documents WHERE doc_id % 50 = 0),
+            e AS (
+                SELECT id_a AS s, id_b AS d FROM p
+                UNION
+                SELECT id_b, id_a FROM p),
+            r AS (
+                SELECT s AS id, s AS comp FROM e
+                UNION
+                SELECT r.id, e.d FROM r JOIN e ON e.s = r.comp)
+            SELECT id, min(comp) AS component FROM r GROUP BY id
+        """,
+        "gopher_rules": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       '- bullet line' || chr(10) || {"'… '"} || chr(10)
+                       || text || chr(10) || 'an ending line...' || chr(10)
+                       || '# symbols ## here' AS t
+                FROM documents),
+            w AS (
+                SELECT doc_id, t,
+                       list_filter(string_split_regex(trim(t), '\\s+'),
+                                   x -> len(x) > 0) AS words,
+                       list_filter(list_transform(string_split(t, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> len(x) > 0) AS lines
+                FROM s),
+            m AS (
+                SELECT doc_id, t, words, lines,
+                       greatest(len(words), 1) AS nw,
+                       greatest(len(lines), 1) AS nl,
+                       list_aggregate(list_transform(words, x -> len(x)),
+                                      'sum') / greatest(len(words), 1)
+                           AS mean_wl,
+                       ((len(t) - len(replace(t, '#', '')))
+                        + (len(t) - len(replace(t, {"'…'"}, '')))
+                        + len(regexp_extract_all(t, '\\.\\.\\.')))
+                           / CAST(greatest(len(words), 1) AS DOUBLE) AS sym,
+                       len(list_filter(lines,
+                           x -> regexp_matches(x, '^[-*•‣◦]')))
+                           / CAST(greatest(len(lines), 1) AS DOUBLE) AS bul,
+                       len(list_filter(lines,
+                           x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+                           / CAST(greatest(len(lines), 1) AS DOUBLE) AS ell,
+                       len(list_filter(words,
+                           x -> regexp_matches(x, '\\p{{L}}')))
+                           / CAST(greatest(len(words), 1) AS DOUBLE) AS alw
+                FROM w)
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   round(mean_wl, 4) AS mean_word_len,
+                   round(sym, 4) AS symbol_word_ratio,
+                   round(bul, 4) AS bullet_line_ratio,
+                   round(ell, 4) AS ellipsis_line_ratio,
+                   round(alw, 4) AS alpha_word_ratio,
+                   (len(words) BETWEEN 50 AND 100000
+                    AND mean_wl BETWEEN 3.0 AND 10.0
+                    AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3
+                    AND alw >= 0.8) AS gopher_keep
+            FROM m
+        """,
+        "bpe_tokens": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{bpe_re_sql}', 0))
+                        AS BIGINT) AS n_bpe,
+                   {_sql_token_count()} AS n_ws
+            FROM documents
+        """,
+        "winnow_fp": """
+            WITH g AS (
+                SELECT doc_id, lower(text) AS t FROM documents),
+            h AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) - 4 >= 1 THEN
+                           list_transform(generate_series(1, len(t) - 4),
+                               i -> substr(md5(substr(t, i, 5)), 1, 8))
+                       ELSE [] END AS hs
+                FROM g),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) - 3 >= 1 THEN
+                           list_sort(list_distinct(
+                               list_transform(generate_series(1, len(hs) - 3),
+                                   j -> list_aggregate(hs[j:j+3], 'min'))))
+                       ELSE [] END AS fps
+                FROM h)
+            SELECT doc_id, unnest(fps) AS fp FROM m
         """,
         "metrics_rollup": f"""
             WITH c AS (

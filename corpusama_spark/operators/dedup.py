@@ -457,3 +457,34 @@ def image_near_dups(
     return hamming_band_pairs(
         codes, id_col, "phash64", bands, hamming_k, max_bucket
     )
+
+
+def winnow_fingerprints(
+    text_col: str, k: int = 5, window: int = 4
+) -> F.Column:
+    """Winnowing document fingerprints (Schleimer et al. 2003, public):
+    char k-gram hashes, minimum per sliding window, distinct set — the
+    rolling-hash fingerprinting a plagiarism/near-dup index stores per doc.
+
+    Hashes are md5-prefix STRINGS (portable across engines — the window
+    minimum is lexicographic), the whole chain pure JVM array expressions:
+    no UDF, runs in the scan stage. Returns a sorted distinct array.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    n_grams = F.length(t) - (k - 1)
+    # sequence(1, n) runs DESCENDING when n < 1 — guard short texts
+    empty = F.array().cast("array<string>")
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams), lambda i: F.substring(t, i, k)),
+    ).otherwise(empty)
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
+    n_windows = F.size(hashes) - (window - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(hashes, j, window)),
+        ),
+    ).otherwise(empty)
+    return F.array_sort(F.array_distinct(mins))

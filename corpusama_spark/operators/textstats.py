@@ -136,3 +136,101 @@ def byte_share_by(
         "lang_bytes",
         F.bround(F.col("lang_bytes") / F.sum("lang_bytes").over(w), 2).alias("share"),
     )
+
+
+# GPT-2-ish tokenizer pre-split pattern, RE2-compatible (no lookarounds) so
+# the same pattern runs in Spark (Java regex) and the DuckDB oracle
+BPE_SPLIT_RE = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenization regex — the training-
+    data-budget estimator (whitespace counting undercounts punctuation-heavy
+    and CJK-ish text). Pure JVM regexp_count."""
+    return F.regexp_count(F.coalesce(text_col, F.lit("")), F.lit(BPE_SPLIT_RE))
+
+
+GOPHER_SCHEMA_FIELDS = (
+    "n_words",
+    "mean_word_len",
+    "symbol_word_ratio",
+    "bullet_line_ratio",
+    "ellipsis_line_ratio",
+    "alpha_word_ratio",
+    "gopher_keep",
+)
+
+
+def gopher_quality(
+    text_col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+) -> Column:
+    """Gopher-style repetition/format quality rules (Rae et al. 2021 §A1.1,
+    public paper) as ONE struct of pure-JVM expressions — the heuristic
+    family every web-scale text pipeline runs next to corpusama's own rules.
+
+    Flags (thresholds are the published defaults, parameterized):
+    word-count bounds, mean word length bounds, symbol-to-word ratio
+    ('#'/'…'/'...'), bullet-start and ellipsis-end line ratios, share of
+    words containing at least one alphabetic character.
+    """
+    words = F.filter(
+        F.split(F.trim(F.coalesce(text_col, F.lit(""))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1))
+    mean_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / nw
+    n_symbols = (
+        F.length(text_col)
+        - F.length(F.replace(text_col, F.lit("#"), F.lit("")))
+        + (
+            F.length(text_col)
+            - F.length(F.replace(text_col, F.lit("…"), F.lit("")))
+        )
+        + F.regexp_count(F.coalesce(text_col, F.lit("")), F.lit(r"\.\.\."))
+    )
+    symbol_word_ratio = n_symbols / nw
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(text_col, F.lit("")), r"\n"), lambda ln: F.trim(ln)
+        ),
+        lambda ln: F.length(ln) > 0,
+    )
+    nl = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"^[-*•‣◦]")))
+        / nl
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$"))) / nl
+    )
+    alpha_ratio = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}"))) / nw
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_word_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+    )
+    return F.struct(
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_word_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_ratio, 4).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 4).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        keep.alias("gopher_keep"),
+    )
