@@ -749,6 +749,23 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(F.broadcast(quart), "lang")
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (4x storage at 10^12 rows): per-vector
+    max-abs scale + the first four quantized components, all pure JVM."""
+    from corpusama_spark.operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(q.getField("scale").cast("double"), 6).alias("scale"),
+        *[
+            F.element_at(q.getField("q"), i + 1).cast("int").alias(f"q{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-dup pairs -> dedup clusters
     (hash-min label propagation; the DuckDB oracle is a recursive-CTE
@@ -909,6 +926,17 @@ def q_sentence_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (trained coarse quantizer; rows-only — the
+    quantizer is a model trained on a seeded sample)."""
+    from corpusama_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=5, n_centroids=8, nprobe=3
+    )
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (rows-only: decode UDF): channel/luma
     stats + DCT perceptual hash per image, computed in the scan stage —
@@ -1037,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "bpe_tokens": q_bpe_tokens,
         "winnow_fp": q_winnow_fp,
+        "embed_quantize": q_embed_quantize,
+        "ivf_topk": q_ivf_topk,
         "flagship": q_flagship,
         "narrow_flagship": q_narrow_flagship,
         "flagship_metrics": q_flagship_metrics,
@@ -1723,6 +1753,25 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_bpe,
                    {_sql_token_count()} AS n_ws
             FROM documents
+        """,
+        "embed_quantize": """
+            SELECT vec_id,
+                   round(CASE WHEN absmax > 0 THEN absmax / 127.0
+                              ELSE 1.0 END, 6) AS scale,
+                   CAST(round(e[1] / CASE WHEN absmax > 0 THEN absmax / 127.0
+                                          ELSE 1.0 END) AS INT) AS q0,
+                   CAST(round(e[2] / CASE WHEN absmax > 0 THEN absmax / 127.0
+                                          ELSE 1.0 END) AS INT) AS q1,
+                   CAST(round(e[3] / CASE WHEN absmax > 0 THEN absmax / 127.0
+                                          ELSE 1.0 END) AS INT) AS q2,
+                   CAST(round(e[4] / CASE WHEN absmax > 0 THEN absmax / 127.0
+                                          ELSE 1.0 END) AS INT) AS q3
+            FROM (
+                SELECT vec_id, embedding AS e,
+                       CAST(list_aggregate(
+                           list_transform(embedding, x -> abs(x)), 'max')
+                           AS DOUBLE) AS absmax
+                FROM embeddings)
         """,
         "winnow_fp": """
             WITH g AS (

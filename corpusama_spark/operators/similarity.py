@@ -7,10 +7,16 @@ math"). Two tiers:
 - brute-force cosine top-k: the correctness baseline. Cross join pruned by a
   broadcast of the (small) query set; dot products via zip_with/aggregate —
   pure JVM, whole-stage codegen.
-- LSH-bucketed ANN (random hyperplanes → sign bits → bucket join): the scale
-  path. Hyperplanes derive from xxhash64 of (dim, plane) — deterministic, no
-  stored model. At 10^12 rows the bucket join replaces the full cross
-  product; recall tunes with nplanes/nprobes.
+- LSH-bucketed ANN (random hyperplanes → sign bits → bucket join): a scale
+  path needing no training. Hyperplanes derive from blake2b of (table,
+  plane, dim) — deterministic, no stored model. At 10^12 rows the bucket
+  join replaces the full cross product; recall tunes with nplanes/ntables.
+- IVF ANN (trained coarse quantizer → inverted lists → probe join): the
+  data-adaptive scale path (FAISS-style); quantizer trains on a bounded
+  driver-side sample, assignment is one BLAS pass per Arrow batch.
+
+Plus embedding column utilities: l2_normalize and int8 quantize/dequantize
+(4× storage cut for the embedding table).
 """
 
 from __future__ import annotations
@@ -19,7 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -255,3 +261,145 @@ def embedding_near_dups(
         .dropDuplicates(["id_a", "id_b"])
     )
     return own_caches(pairs, b)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    df: DataFrame,
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer, trained on a bounded sample.
+
+    The SAMPLE goes to the driver (standard IVF practice — FAISS trains its
+    quantizer on ~max(10k, 256*k) vectors regardless of corpus size), the
+    corpus never does; Lloyd iterations are numpy on that sample. Sampling
+    is seeded + sorted so centroids are identical across runs and cluster
+    sizes. Returns (k, dim) float64.
+    """
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def _assign_udf(cents: np.ndarray, nprobe: int):
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(batch: pd.Series) -> pd.Series:
+        if len(batch) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
+        # one BLAS pass: argsort of squared distances via the identity
+        # |x-c|^2 = |x|^2 - 2x.c + |c|^2 (|x|^2 constant per row)
+        scores = -2.0 * (mat @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        order = np.argsort(scores, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest centroid's
+    inverted list; each query probes its ``nprobe`` nearest lists and
+    reranks by exact cosine. Complements the hyperplane-LSH tier: IVF
+    adapts to the data distribution (trained quantizer), LSH needs no
+    training — at 10^12 rows both replace the cross join with an equi-join
+    whose right side is ~nprobe/n_centroids of the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    cents = centroids if centroids is not None else train_centroids(
+        corpus, k=n_centroids, vec_col=vec_col
+    )
+    c_assign = _assign_udf(cents, 1)
+    q_assign = _assign_udf(cents, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(q_assign(F.col(vec_col))).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding column utilities
+# ---------------------------------------------------------------------------
+
+
+def l2_normalize(vec_col: Column) -> Column:
+    """Unit-normalized copy of an embedding column (pure JVM); zero vectors
+    pass through unchanged rather than dividing by zero."""
+    n = l2norm(vec_col)
+    return F.when(n > 0, F.transform(vec_col, lambda x: x / n)).otherwise(vec_col)
+
+
+def quantize_int8(vec_col: Column) -> Column:
+    """struct(scale float, q array<tinyint>): symmetric int8 quantization —
+    4x smaller embedding storage at 10^12 rows; dequantize with
+    ``transform(q, x -> x * scale)``. Max-abs scaling keeps the dot-product
+    ranking error bounded; pure JVM expressions."""
+    absmax = F.array_max(F.transform(vec_col, lambda x: F.abs(x)))
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        vec_col, lambda x: F.round(x / scale).cast("tinyint")
+    )
+    return F.struct(
+        scale.cast("float").alias("scale"), q.alias("q")
+    )
+
+
+def dequantize(qstruct: Column) -> Column:
+    """Inverse of quantize_int8: array<float> reconstruction."""
+    scale = qstruct.getField("scale")
+    return F.transform(
+        qstruct.getField("q"), lambda x: (x.cast("float") * scale)
+    )

@@ -351,3 +351,76 @@ def test_lsh_operators_release_their_caches(spark, docs_df):
         assert handles and all(h.storageLevel.useMemory for h in handles)
         release(result)
         assert not any(h.storageLevel.useMemory for h in handles)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, emb_df):
+    corpus = emb_df.limit(500)
+    queries = emb_df.where("vec_id < 10")
+    exact = SIM.brute_force_topk(corpus, queries, k=3).collect()
+    approx = SIM.ivf_topk(corpus, queries, k=3, n_centroids=8, nprobe=3).collect()
+    exact_pairs = {(r.query_id, r.cand_id) for r in exact}
+    approx_pairs = {(r.query_id, r.cand_id) for r in approx}
+    assert len(approx_pairs) > 0
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall > 0.5, recall
+    # determinism: same centroids, same results
+    again = SIM.ivf_topk(corpus, queries, k=3, n_centroids=8, nprobe=3).collect()
+    assert {(r.query_id, r.cand_id) for r in again} == approx_pairs
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb_df):
+    """Probing ALL centroid lists makes IVF exact — the correctness anchor."""
+    corpus = emb_df.limit(200)
+    queries = emb_df.where("vec_id < 5")
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in SIM.brute_force_topk(corpus, queries, k=4).collect()
+    }
+    full = {
+        (r.query_id, r.cand_id)
+        for r in SIM.ivf_topk(
+            corpus, queries, k=4, n_centroids=4, nprobe=4
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_quantize_roundtrip_bounds(spark, emb_df):
+    import numpy as np
+
+    from corpusama_spark.operators.similarity import dequantize, quantize_int8
+
+    df = emb_df.limit(100).select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        dequantize(quantize_int8(F.col("embedding"))).alias("rt"),
+    )
+    for r in df.collect():
+        orig = np.array(r.e, dtype=np.float64)
+        rt = np.array(r.rt, dtype=np.float64)
+        absmax = np.abs(orig).max()
+        if absmax == 0:
+            assert np.array_equal(orig, rt)
+            continue
+        # symmetric int8: error bounded by half a quantization step
+        assert np.abs(orig - rt).max() <= absmax / 127.0 * 0.5 + 1e-6
+    # cosine ranking survives quantization closely
+    a = np.array(df.collect()[0].e); b = np.array(df.collect()[0].rt)
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999
+
+
+def test_l2_normalize(spark):
+    import pandas as pd
+
+    from corpusama_spark.operators.similarity import l2_normalize, l2norm
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [[3.0, 4.0], [0.0, 0.0]]})
+    )
+    out = df.select(
+        l2_normalize(F.col("v")).alias("n"),
+        l2norm(l2_normalize(F.col("v"))).alias("len"),
+    ).collect()
+    assert out[0].n == [0.6, 0.8] and abs(out[0].len - 1.0) < 1e-12
+    assert out[1].n == [0.0, 0.0]  # zero vector passes through
