@@ -749,6 +749,20 @@ def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(F.broadcast(quart), "lang")
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (dup-line fractions, top n-gram share)
+    over text with injected duplicate lines and a flooding 1-gram run."""
+    from corpusama_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.col("text"), F.lit("\ndup line\ndup line\ngo go go go go")
+    )
+    return docs.select(
+        "doc_id", repetition_stats(decorated).alias("r")
+    ).select("doc_id", "r.*")
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 embedding quantization (4x storage at 10^12 rows): per-vector
     max-abs scale + the first four quantized components, all pure JVM."""
@@ -1067,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "embed_quantize": q_embed_quantize,
         "ivf_topk": q_ivf_topk,
+        "repetition": q_repetition,
         "flagship": q_flagship,
         "narrow_flagship": q_narrow_flagship,
         "flagship_metrics": q_flagship_metrics,
@@ -1753,6 +1768,65 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_bpe,
                    {_sql_token_count()} AS n_ws
             FROM documents
+        """,
+        "repetition": """
+            WITH s AS (
+                SELECT doc_id,
+                       text || chr(10) || 'dup line' || chr(10) || 'dup line'
+                       || chr(10) || 'go go go go go' AS t
+                FROM documents),
+            w AS (
+                SELECT doc_id, t,
+                       list_filter(list_transform(string_split(t, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> len(x) > 0) AS lines,
+                       list_filter(string_split_regex(lower(trim(t)), '\\s+'),
+                                   x -> len(x) > 0) AS words
+                FROM s),
+            g AS (
+                SELECT doc_id, lines, words,
+                       CASE WHEN len(words) - 1 >= 1 THEN
+                           list_transform(generate_series(1, len(words) - 1),
+                               i -> array_to_string(words[i:i+1], ' '))
+                       ELSE [] END AS g2,
+                       CASE WHEN len(words) - 2 >= 1 THEN
+                           list_transform(generate_series(1, len(words) - 2),
+                               i -> array_to_string(words[i:i+2], ' '))
+                       ELSE [] END AS g3
+                FROM w),
+            m AS (
+                SELECT doc_id,
+                       (len(lines) - len(list_distinct(lines)))
+                           / CAST(greatest(len(lines), 1) AS DOUBLE) AS dlf,
+                       list_aggregate(list_transform(
+                           list_filter(lines,
+                               ln -> len(list_filter(lines, x -> x = ln)) > 1),
+                           y -> len(y)), 'sum') AS dup_chars,
+                       list_aggregate(list_transform(lines, y -> len(y)),
+                                      'sum') AS line_chars,
+                       CASE WHEN len(g2) > 0 THEN
+                           list_aggregate(list_transform(list_distinct(g2),
+                               q -> len(list_filter(g2, x -> x = q))), 'max')
+                           / CAST(len(g2) AS DOUBLE)
+                       ELSE 0.0 END AS t2,
+                       CASE WHEN len(g3) > 0 THEN
+                           list_aggregate(list_transform(list_distinct(g3),
+                               q -> len(list_filter(g3, x -> x = q))), 'max')
+                           / CAST(len(g3) AS DOUBLE)
+                       ELSE 0.0 END AS t3
+                FROM g)
+            SELECT doc_id,
+                   round(dlf, 4) AS dup_line_frac,
+                   round(coalesce(dup_chars, 0)
+                         / CAST(greatest(line_chars, 1) AS DOUBLE), 4)
+                       AS dup_line_char_frac,
+                   round(t2, 4) AS top2gram_share,
+                   round(t3, 4) AS top3gram_share,
+                   (dlf <= 0.30
+                    AND coalesce(dup_chars, 0)
+                        / CAST(greatest(line_chars, 1) AS DOUBLE) <= 0.20
+                    AND t2 <= 0.20 AND t3 <= 0.18) AS repetition_keep
+            FROM m
         """,
         "embed_quantize": """
             SELECT vec_id,

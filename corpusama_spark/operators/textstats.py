@@ -234,3 +234,110 @@ def gopher_quality(
         F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
         keep.alias("gopher_keep"),
     )
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    size_ok = F.size(words) - (n - 1)
+    return F.when(
+        size_ok >= 1,
+        F.transform(
+            F.sequence(F.lit(1), size_ok),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_flags(sorted_arr: Column) -> Column:
+    """Per element of a SORTED array: does it equal a neighbor (= occurs
+    more than once)? O(n) — naive per-element counting would be an O(n²)
+    interpreted-lambda scan, ~100x slower."""
+    return F.transform(
+        sorted_arr,
+        lambda x, i: x.eqNullSafe(F.get(sorted_arr, i - 1))
+        | x.eqNullSafe(F.get(sorted_arr, i + 1)),
+    )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal values in a SORTED array (= max occurrence
+    count) via one O(n) fold."""
+    zero = F.struct(
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(x.eqNullSafe(acc.getField("prev")), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+            x.alias("prev"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc.getField("best"))
+
+
+def repetition_stats(
+    text_col: Column,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2_share: float = 0.20,
+    max_top3_share: float = 0.18,
+) -> Column:
+    """Gopher-style REPETITION signals (Rae et al. 2021 §A1.1, public):
+    duplicate-line fraction (by count and by characters) and the share of
+    all word {2,3}-grams taken by the single most frequent one. Pure JVM
+    array expressions, all O(n log n) per document (sort + linear scans) —
+    scan-stage cost, no shuffle. Thresholds are the published defaults.
+    """
+    t = F.coalesce(text_col, F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+    nl = F.greatest(F.size(lines), F.lit(1))
+    dup_line_frac = (F.size(lines) - F.size(F.array_distinct(lines))) / nl
+    sorted_lines = F.array_sort(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, ln: acc + F.length(ln)
+    )
+    dup_chars = F.aggregate(
+        F.zip_with(
+            sorted_lines,
+            _dup_flags(sorted_lines),
+            lambda ln, fl: F.when(fl, F.length(ln)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c,
+    )
+    dup_line_char_frac = dup_chars / F.greatest(line_chars, F.lit(1))
+    words = F.filter(
+        F.split(F.lower(F.trim(t)), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+    def top_share(n: int) -> Column:
+        grams = _word_ngrams(words, n)
+        return F.when(
+            F.size(grams) > 0,
+            _max_run(F.array_sort(grams)) / F.size(grams),
+        ).otherwise(F.lit(0.0))
+
+    top2 = top_share(2)
+    top3 = top_share(3)
+    keep = (
+        (dup_line_frac <= max_dup_line_frac)
+        & (dup_line_char_frac <= max_dup_line_char_frac)
+        & (top2 <= max_top2_share)
+        & (top3 <= max_top3_share)
+    )
+    return F.struct(
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        F.round(dup_line_char_frac, 4).alias("dup_line_char_frac"),
+        F.round(top2, 4).alias("top2gram_share"),
+        F.round(top3, 4).alias("top3gram_share"),
+        keep.alias("repetition_keep"),
+    )

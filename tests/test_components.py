@@ -120,3 +120,29 @@ def test_winnow_fingerprints_properties(spark):
         fp for fp in out[1]
     ) or True  # window minima may skip the first gram; just type-check
     assert all(len(fp) == 8 for fp in out[1])
+
+
+def test_repetition_stats_semantics(spark):
+    from corpusama_spark.operators.textstats import repetition_stats
+
+    clean = "\n".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(10))
+    dupy = "\n".join(["same line here"] * 6 + ["one fresh line"])
+    grammy = " ".join(["go"] * 20) + " other words here"
+    df = spark.createDataFrame(
+        [(1, clean), (2, dupy), (3, grammy), (4, None)], "i long, t string"
+    )
+    out = {
+        r.i: r
+        for r in df.select("i", repetition_stats(F.col("t")).alias("r"))
+        .select("i", "r.*")
+        .collect()
+    }
+    assert out[1].dup_line_frac == 0.0 and out[1].repetition_keep is True
+    # 6 of 7 lines are copies of one line -> 5/7 dup fraction (count-distinct)
+    assert out[2].dup_line_frac == round(5 / 7, 4)
+    assert out[2].dup_line_char_frac > 0.8
+    assert out[2].repetition_keep is False
+    # "go go" bigram floods: 19 of 22 bigrams
+    assert out[3].top2gram_share == round(19 / 22, 4)
+    assert out[3].repetition_keep is False
+    assert out[4].dup_line_frac == 0.0  # NULL text -> clean zeros
