@@ -113,13 +113,23 @@ def xml_quoteattr_col(col: Column) -> Column:
     quoteattr prefers double quotes; values containing '\"' but no \"'\" wrap
     in single quotes; containing both wrap double with &quot;. &, <, >
     always escape.
+
+    The strip matches PYTHON str.strip() semantics, not SQL trim: Python
+    treats Unicode White_Space plus the \\x1c-\\x1f separators as
+    whitespace; Spark's trim() removes only ASCII spaces.
     """
-    s = F.trim(col.cast("string"))
+    py_ws = r"[\p{IsWhite_Space}\x1c-\x1f]+"
+    s = F.regexp_replace(
+        col.cast("string"), f"^{py_ws}|{py_ws}$", ""
+    )
     esc = F.replace(
         F.replace(F.replace(s, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
         F.lit(">"),
         F.lit("&gt;"),
     )
+    # quoteattr additionally escapes embedded line/tab controls numerically
+    for ch, ent in (("\n", "&#10;"), ("\r", "&#13;"), ("\t", "&#9;")):
+        esc = F.replace(esc, F.lit(ch), F.lit(ent))
     has_dq = F.contains(s, F.lit('"'))
     has_sq = F.contains(s, F.lit("'"))
     return (

@@ -1,0 +1,145 @@
+"""Property-based tests (hypothesis): invariants that must hold on ANY
+input, not just fixtures. Each example batches all strings into one Spark
+job; example counts are small because a Spark round-trip costs ~100 ms.
+"""
+
+import hashlib
+import xml.sax.saxutils
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable-ish text incl. unicode quotes/dashes/controls the cleaners target
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _run(spark, texts, expr):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    return [r.o for r in df.select(expr.alias("o")).orderBy("i").collect()]
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_pdf_clean_idempotent(spark, texts):
+    """clean(clean(x)) == clean(x) — the chain is a normal form."""
+    from corpusama_spark.functions.convert import pdf_clean_text
+
+    once = _run(spark, texts, pdf_clean_text(F.col("t")))
+    twice = _run(spark, once, pdf_clean_text(F.col("t")))
+    assert once == twice
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_quote_fold_idempotent(spark, texts):
+    from corpusama_spark.functions.normalize import fold_quotes_dashes_col
+
+    once = _run(spark, texts, fold_quotes_dashes_col(F.col("t")))
+    twice = _run(spark, once, fold_quotes_dashes_col(F.col("t")))
+    assert once == twice
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_simhash_column_vs_vectorized_parity(spark, texts):
+    """The numpy kernel must equal the Column-expression twin on ANY text."""
+    from corpusama_spark.operators.dedup import simhash_bits, simhash_vectorized
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expr = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", simhash_bits("text").alias("sh")).collect()
+    }
+    vec = {
+        r.doc_id: r.simhash
+        for r in simhash_vectorized(df, "text", "doc_id").collect()
+    }
+    assert expr == vec
+
+
+@given(texts=st.lists(st.text(max_size=80), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_winnow_shape_and_determinism(spark, texts):
+    from corpusama_spark.operators.dedup import winnow_fingerprints
+
+    a = _run(spark, texts, winnow_fingerprints("t", k=5, window=4))
+    b = _run(spark, texts, winnow_fingerprints("t", k=5, window=4))
+    assert a == b
+    for fps, t in zip(a, texts):
+        assert fps == sorted(set(fps))  # sorted, distinct
+        assert all(len(fp) == 8 for fp in fps)
+        if len(t) < 5:
+            assert fps == []
+        else:
+            # every fingerprint is the md5-prefix of SOME 5-gram of t
+            grams = {
+                hashlib.md5(t.lower()[i : i + 5].encode()).hexdigest()[:8]
+                for i in range(len(t) - 4)
+            }
+            assert set(fps) <= grams
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e4,
+                max_value=1e4,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_quantize_error_bound(spark, vecs):
+    import numpy as np
+    import pandas as pd
+
+    from corpusama_spark.operators.similarity import dequantize, quantize_int8
+
+    df = spark.createDataFrame(pd.DataFrame({"v": vecs}))
+    out = df.select(
+        F.col("v"), dequantize(quantize_int8(F.col("v"))).alias("rt")
+    ).collect()
+    for r in out:
+        orig = np.array(r.v, dtype=np.float64)
+        rt = np.array(r.rt, dtype=np.float64)
+        absmax = np.abs(orig).max()
+        tol = (absmax / 127.0) * 0.5 + 1e-3 if absmax > 0 else 1e-12
+        assert np.abs(orig - rt).max() <= tol
+
+
+@given(vals=st.lists(st.text(max_size=40), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_xml_quoteattr_parity_any_string(spark, vals):
+    from corpusama_spark.operators.flatten import xml_quoteattr_col
+
+    got = _run(spark, vals, xml_quoteattr_col(F.col("t")))
+    for g, v in zip(got, vals):
+        assert g == xml.sax.saxutils.quoteattr(v.strip())
