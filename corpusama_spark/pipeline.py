@@ -225,9 +225,14 @@ def narrow_decisions(
     Image verify, prep, fused lid, perplexity, scrub, and the rule chain all
     evaluate in the scan stage — no repartition, no join. This is the plan
     used by Structured Streaming (a streaming self-join would need
-    watermarks; a narrow plan needs nothing) and is also the right batch
-    shape when the input layout is already well-balanced. Decision values
-    are identical to run_pipeline's.
+    watermarks; a narrow plan needs nothing). Decision values are identical
+    to run_pipeline's.
+
+    Batch-plan tradeoff (measured, BENCH.md): chaining all four Arrow UDF
+    nodes into one stage means 4x live Python workers per task slot plus
+    inter-UDF Arrow serialization, so on fresh sessions the STAGED
+    two-branch plan is ~30% faster despite its shuffle; narrow wins once
+    workers are pooled (long-lived sessions, streaming micro-batches).
     """
     with_image = captions.withColumn("_iv", verify_image()).select(
         "image_id",
