@@ -38,6 +38,8 @@ def connected_components(
     graph's diameter is known); otherwise rounds run until a cheap
     count-of-changes action reports a fixpoint (early-exits almost always).
     """
+    from corpusama_spark.plans.caching import own_caches
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -54,6 +56,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .persist()
     )
+    labels_handle = labels
     rounds = fixed_iters if fixed_iters is not None else max_iters
     for i in range(rounds):
         # min neighbor label per node, one hop
@@ -62,7 +65,7 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        new_handle = (
             labels.join(prop, labels.id == prop.dst, "left")
             .select(
                 "id",
@@ -72,9 +75,16 @@ def connected_components(
             )
             .persist()
         )
+        new_labels = new_handle
         if (i + 1) % checkpoint_every == 0:
-            # truncate lineage so task retries never replay all rounds
-            new_labels = new_labels.localCheckpoint()
+            # truncate lineage so task retries never replay all rounds;
+            # localCheckpoint is eager, so the pre-checkpoint cache can be
+            # released right away. Superseded checkpoint BLOCKS are owned by
+            # Spark's ContextCleaner (DataFrame.unpersist does not touch
+            # them) and are reclaimed when their DataFrames are GC'd.
+            new_labels = new_handle.localCheckpoint()
+            new_handle.unpersist()
+            new_handle = new_labels
         if fixed_iters is None:
             changed = (
                 new_labels.alias("n")
@@ -83,15 +93,17 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
-            labels = new_labels
+            labels_handle.unpersist()
+            labels, labels_handle = new_labels, new_handle
             if changed == 0:
                 break
         else:
-            labels.unpersist()
-            labels = new_labels
+            labels_handle.unpersist()
+            labels, labels_handle = new_labels, new_handle
     edges.unpersist()
-    return labels.select("id", F.col("comp").alias("component"))
+    return own_caches(
+        labels.select("id", F.col("comp").alias("component")), labels_handle
+    )
 
 
 def cluster_canonicals(components: DataFrame) -> DataFrame:
