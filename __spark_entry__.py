@@ -833,13 +833,22 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (Schleimer et al. 2003):
     char-5-gram md5-prefix hashes, window-4 minima, distinct set, exploded
-    to (doc_id, fp) rows — pure JVM, no UDF."""
-    from corpusama_spark.operators.dedup import winnow_fingerprints
+    to (doc_id, fp) rows — pure JVM, no UDF, hash array staged once per
+    row (the inline form re-hashes the doc per window: O(len²)).
+
+    explode_OUTER deliberately: a plain explode makes Catalyst's
+    InferFiltersFromGenerate add `size(fingerprints) > 0` BELOW the
+    Generate, inlining the whole winnow chain as a scan-stage predicate
+    where the hash array re-evaluates per window — the O(len²) blowup
+    again, measured at 10+ min for 5,000 docs. Outer generates are exempt;
+    the cheap null filter on the generated column replaces it."""
+    from corpusama_spark.operators.dedup import winnow_fingerprints_df
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.explode(winnow_fingerprints("text", k=5, window=4)).alias("fp"),
+    return (
+        winnow_fingerprints_df(docs, "text", "doc_id", k=5, window=4)
+        .select("doc_id", F.explode_outer("fingerprints").alias("fp"))
+        .where(F.col("fp").isNotNull())
     )
 
 
@@ -867,7 +876,13 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_flagship_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(fmt, drop_reason) metrics table of the flagship run."""
+    """Per-(fmt, drop_reason) metrics table of the flagship run (scalar
+    q0..q4 quartile columns so the driver can canonicalize rows).
+
+    Rows-only by necessity: the grouping key drop_reason depends on the
+    langid/perplexity model UDFs, which no ANSI-SQL oracle can reproduce —
+    `metrics_rollup` is the oracle-exact twin of this table's SHAPE over a
+    deterministic keep rule."""
     docs = _t(spark, sf_dir, "documents")
     captions = captions_from_documents(docs)
     return metrics(run_pipeline(captions, FilterConfig(nbuckets=16, salt_buckets=4)))

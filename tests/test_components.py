@@ -146,3 +146,25 @@ def test_repetition_stats_semantics(spark):
     assert out[3].top2gram_share == round(19 / 22, 4)
     assert out[3].repetition_keep is False
     assert out[4].dup_line_frac == 0.0  # NULL text -> clean zeros
+
+
+def test_winnow_df_equals_inline_column(spark):
+    """The staged DataFrame form must produce identical fingerprints to the
+    inline Column form (which is O(len^2) and for small inputs only)."""
+    from corpusama_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_fingerprints_df,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    inline = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", winnow_fingerprints("text").alias("fp")
+        ).collect()
+    }
+    staged = {
+        r.doc_id: r.fingerprints
+        for r in winnow_fingerprints_df(docs, "text", "doc_id").collect()
+    }
+    assert inline == staged
