@@ -799,6 +799,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verified ANN quality (recall@5 per query): the axis-sign-LSH
+    tier against the brute-force cosine truth. Axis-sign buckets involve NO
+    arithmetic (bit = component > 0), so DuckDB reproduces the ANN
+    candidate set bit-exactly; the rerank reuses the 6-decimal-rounded
+    cosine ordering `topk_cosine` already proved engine-stable. This
+    upgrades ANN quality from pytest-only evidence to an oracle-checked
+    fact (the random-plane/IVF tiers stay rows-only: their float dot
+    products depend on summation order)."""
+    from corpusama_spark.operators.similarity import ann_recall, axis_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = axis_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=5, nbits=6, ntables=8
+    )
+    brute = q_topk_cosine(spark, sf_dir).select("query_id", "cand_id")
+    return ann_recall(ann, brute, k=5)
+
+
 GOPHER_DECOR_PREFIX = "- bullet line\n… \n"
 GOPHER_DECOR_SUFFIX = "\nan ending line...\n# symbols ## here"
 
@@ -921,6 +940,28 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.unionByName(copies).unionByName(perturbed)
     return simhash_near_dups(
         src, "text", "doc_id", bands=4, hamming_k=12, max_bucket=1024
+    )
+
+
+def q_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed-regime simhash contract query (rows-only): hamming_k=3
+    with bands=4 x 16 bits is pigeonhole-COMPLETE — a pair within hamming 3
+    has at most 3 differing bands, so at least one band matches exactly and
+    the banded join cannot miss it. `simhash_groups` next door exercises
+    the best-effort k=12 regime; this one pins the guarantee (a pytest
+    asserts completeness against a brute-force hamming scan)."""
+    from corpusama_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    every10 = docs.where(F.col("doc_id") % 10 == 0)
+    copies = every10.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    perturbed = every10.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "xqzyv").alias("text"),
+    )
+    src = docs.unionByName(copies).unionByName(perturbed)
+    return simhash_near_dups(
+        src, "text", "doc_id", bands=4, hamming_k=3, max_bucket=1024
     )
 
 
@@ -1095,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "winnow_fp": q_winnow_fp,
         "embed_quantize": q_embed_quantize,
+        "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
         "repetition": q_repetition,
         "flagship": q_flagship,
@@ -1102,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_metrics": q_flagship_metrics,
         "minhash_pairs": q_minhash_pairs,
         "simhash_groups": q_simhash_groups,
+        "simhash_exact": q_simhash_exact,
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "sentence_langid": q_sentence_langid,
@@ -1162,6 +1205,20 @@ def _sql_quote_fold(col: str) -> str:
         d = dst.replace("'", "''")
         out = f"replace({out}, '{s}', '{d}')"
     return out
+
+
+def _sql_axis_buckets(nbits: int = 6, ntables: int = 8) -> str:
+    """DuckDB list literal of axis-sign LSH bucket keys — bit-exact twin of
+    similarity.axis_sign_buckets (bit = embedding[i] > 0, no arithmetic)."""
+    keys = []
+    for t in range(ntables):
+        bits = " || ".join(
+            f"CASE WHEN embedding[{t * nbits + b + 1}] > 0"
+            " THEN '1' ELSE '0' END"
+            for b in range(nbits)
+        )
+        keys.append(f"'{t}:' || {bits}")
+    return "[" + ", ".join(keys) + "]"
 
 
 def _sql_quartile(i: int, q: float) -> str:
@@ -1306,10 +1363,10 @@ def oracle_sql() -> dict[str, str]:
         "nanlike": """
             SELECT lang,
                    CAST(sum(CASE WHEN t IS NULL
-                            OR regexp_matches(trim(t), '(?i)^(none|null|nan)?$')
+                            OR regexp_matches(t, '(?i)^[\\s\\x0b]*(none|null|nan)?[\\s\\x0b]*$')
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_nanlike,
                    CAST(sum(CASE WHEN t IS NOT NULL
-                            AND NOT regexp_matches(trim(t), '(?i)^(none|null|nan)?$')
+                            AND NOT regexp_matches(t, '(?i)^[\\s\\x0b]*(none|null|nan)?[\\s\\x0b]*$')
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
             FROM (
                 SELECT lang,
@@ -1584,20 +1641,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT 'text' AS attribute, count(*) AS n,
                    CAST(sum(CASE WHEN text IS NULL OR regexp_matches(
-                            trim(text), '(?i)^(none|null|nan)?$')
+                            text, '(?i)^[\\s\\x0b]*(none|null|nan)?[\\s\\x0b]*$')
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_na,
                    round(CAST(sum(CASE WHEN text IS NULL OR regexp_matches(
-                            trim(text), '(?i)^(none|null|nan)?$')
+                            text, '(?i)^[\\s\\x0b]*(none|null|nan)?[\\s\\x0b]*$')
                             THEN 1 ELSE 0 END) AS BIGINT) / count(*), 4)
                        AS pct_na
             FROM p
             UNION ALL
             SELECT 'lang', count(*),
                    CAST(sum(CASE WHEN lang IS NULL OR regexp_matches(
-                            trim(lang), '(?i)^(none|null|nan)?$')
+                            lang, '(?i)^[\\s\\x0b]*(none|null|nan)?[\\s\\x0b]*$')
                             THEN 1 ELSE 0 END) AS BIGINT),
                    round(CAST(sum(CASE WHEN lang IS NULL OR regexp_matches(
-                            trim(lang), '(?i)^(none|null|nan)?$')
+                            lang, '(?i)^[\\s\\x0b]*(none|null|nan)?[\\s\\x0b]*$')
                             THEN 1 ELSE 0 END) AS BIGINT) / count(*), 4)
             FROM p
             UNION ALL
@@ -1842,6 +1899,53 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(greatest(line_chars, 1) AS DOUBLE) <= 0.20
                     AND t2 <= 0.20 AND t3 <= 0.18) AS repetition_keep
             FROM m
+        """,
+        "ann_recall": f"""
+            WITH cb AS (
+                SELECT vec_id, embedding,
+                       unnest({_sql_axis_buckets(6, 8)}) AS bucket
+                FROM embeddings),
+            cand AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+                FROM cb c JOIN cb q USING (bucket)
+                WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+            ann AS (
+                SELECT query_id, cand_id FROM (
+                    SELECT query_id, cand_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos_sim DESC, cand_id)
+                               AS rnk
+                    FROM (
+                        SELECT cand.query_id, cand.cand_id,
+                               round(list_cosine_similarity(
+                                   CAST(qe.embedding AS DOUBLE[]),
+                                   CAST(ce.embedding AS DOUBLE[])), 6)
+                                   AS cos_sim
+                        FROM cand
+                        JOIN embeddings qe ON qe.vec_id = cand.query_id
+                        JOIN embeddings ce ON ce.vec_id = cand.cand_id))
+                WHERE rnk <= 5),
+            brute AS (
+                SELECT query_id, cand_id FROM (
+                    SELECT query_id, cand_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos_sim DESC, cand_id)
+                               AS rnk
+                    FROM (
+                        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                               round(list_cosine_similarity(
+                                   CAST(q.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])), 6)
+                                   AS cos_sim
+                        FROM embeddings c, embeddings q
+                        WHERE q.vec_id < 8 AND c.vec_id != q.vec_id))
+                WHERE rnk <= 5)
+            SELECT b.query_id, count(a.cand_id) AS n_hit,
+                   round(count(a.cand_id) / 5.0, 4) AS recall_at_5
+            FROM brute b
+            LEFT JOIN ann a ON a.query_id = b.query_id
+                           AND a.cand_id = b.cand_id
+            GROUP BY b.query_id
         """,
         "embed_quantize": """
             SELECT vec_id,

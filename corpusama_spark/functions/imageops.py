@@ -63,14 +63,22 @@ def _dct_basis(n: int = 32) -> np.ndarray:
 
 
 def _block_mean_32(luma: np.ndarray) -> np.ndarray:
-    """Resize luma to 32x32 by block averaging (area interpolation)."""
+    """Resize luma to 32x32 by block averaging (area interpolation).
+
+    Images narrower than 32px in either axis are nearest-neighbor upsampled
+    first so every output window covers >= 1 real pixel — the earlier
+    clamp-based guard left zero-area windows past row/col h, padding the
+    32x32 luma with constant black and wasting phash bits on it.
+    """
     h, w = luma.shape
-    ys = (np.arange(33) * h) // 32
+    if h < 32 or w < 32:
+        nh, nw = max(h, 32), max(w, 32)
+        ys = (np.arange(nh) * h) // nh
+        xs = (np.arange(nw) * w) // nw
+        luma = luma[ys[:, None], xs[None, :]]
+        h, w = nh, nw
+    ys = (np.arange(33) * h) // 32  # strictly increasing once h, w >= 32
     xs = (np.arange(33) * w) // 32
-    ys = np.maximum(ys, np.arange(33))  # guard h < 32: at least 1px steps
-    xs = np.maximum(xs, np.arange(33))
-    ys = np.minimum(ys, h)
-    xs = np.minimum(xs, w)
     csum = np.zeros((h + 1, w + 1))
     csum[1:, 1:] = luma.cumsum(0).cumsum(1)
     out = (

@@ -106,9 +106,13 @@ def prep_caption(col: Column | str) -> Column:
 def is_nanlike(col: Column) -> Column:
     """NULL / '' / whitespace / 'none'/'null'/'nan' (any case) — the
     reference's nan_to_none + empty-text semantics (convert.py:53-70,
-    export.py:23-29)."""
-    pat = "(?i)^(" + "|".join(NAN_STRINGS) + ")?$"
-    return col.isNull() | F.trim(col).rlike(pat)
+    export.py:23-29).
+
+    Whitespace matches Java ``\\s`` (space, tab, newline, CR, FF, VT) rather
+    than ``F.trim`` (ASCII space only), mirroring Python ``str.strip()`` in
+    the reference — a tab-only cell IS nanlike there."""
+    pat = r"(?i)^\s*(" + "|".join(NAN_STRINGS) + r")?\s*$"
+    return col.isNull() | col.rlike(pat)
 
 
 def nanlike_to_null(col: Column) -> Column:

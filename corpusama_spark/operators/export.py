@@ -131,7 +131,19 @@ def write_xz_text(
     streams its rows into chunk files of <= ``docs_per_file`` docs named
     ``part-{partition}-{chunk}.txt.xz`` — partition-parallel, no driver
     loop, no full-partition buffering beyond one chunk. Returns the file
-    list (also the return rows of the job, so callers can manifest it).
+    list (also the return rows of the job, so callers can manifest it):
+    the manifest is authoritative — it lists exactly the files whose tasks
+    committed.
+
+    DEPLOYMENT REQUIREMENT: ``path`` must be a filesystem shared between
+    driver and executors (NFS/Lustre/a fuse-mounted bucket, or local mode).
+    Tasks write with POSIX ``open()``; on an object-store-only cluster the
+    chunks would land on executor-local disk where the driver can't read
+    them — use ``write_batched_text`` with a Hadoop codec there instead.
+    Each chunk is written to a ``.tmp`` name and atomically renamed on
+    close, so a retried or speculatively-executed task overwrites its own
+    chunks idempotently (same pid/chunk names) and never leaves a partial
+    ``.txt.xz`` visible.
     """
     import os
 
@@ -144,7 +156,15 @@ def write_xz_text(
 
         pid = TaskContext.get().partitionId()
         chunk, n_in_chunk, files = 0, 0, []
-        out = None
+        out, fname = None, None
+
+        def _commit():
+            nonlocal out, fname
+            out.close()
+            os.replace(fname + ".tmp", fname)  # atomic publish
+            files.append(fname)
+            out, fname = None, None
+
         try:
             for pdf_batch in batches:
                 for text in pdf_batch[text_col]:
@@ -154,16 +174,17 @@ def write_xz_text(
                         fname = os.path.join(
                             path, f"part-{pid:05d}-{chunk:04d}.txt.xz"
                         )
-                        out = lzma.open(fname, "wt", encoding="utf-8")
-                        files.append(fname)
+                        out = lzma.open(fname + ".tmp", "wt", encoding="utf-8")
                     out.write(text + "\n")
                     n_in_chunk += 1
                     if n_in_chunk >= docs_per_file:
-                        out.close()
-                        out, n_in_chunk = None, 0
+                        _commit()
+                        n_in_chunk = 0
                         chunk += 1
-        finally:
             if out is not None:
+                _commit()
+        finally:
+            if out is not None:  # exception path: leave the .tmp unpublished
                 out.close()
         import pandas as pd
 

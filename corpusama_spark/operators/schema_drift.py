@@ -85,8 +85,10 @@ def na_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     for c in cols:
         is_str = dict(df.dtypes)[c] == "string"
         if is_str:
+            # \s (not trim) so tab/newline-only cells count NA, matching the
+            # reference's strip()-based nan_to_none (convert.py:53-71)
             na = F.col(c).isNull() | F.regexp_like(
-                F.trim(F.col(c)), F.lit(r"(?i)^(none|null|nan)?$")
+                F.col(c), F.lit(r"(?i)^\s*(none|null|nan)?\s*$")
             )
         else:
             na = F.col(c).isNull()

@@ -78,6 +78,16 @@ def brute_force_topk(
     )
 
 
+def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding width from the first row (one-row job). Entry points that
+    need a plane/centroid width call this when ``dim`` isn't given — a
+    768-wide table must never be projected with 64-wide planes."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row.d)
+
+
 def _plane(table: int, p: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane — driver-side blake2b, zero
     stored state, reproducible on any cluster. Components in [-1, 1)."""
@@ -176,15 +186,17 @@ def ann_topk(
     ntables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table LSH: candidates = union of the
     query's buckets over ``ntables`` independent tables, reranked by exact
     cosine. Equi-join on (table-prefixed) bucket key — never a cross join;
     recall tunes with nplanes (bucket size) x ntables (probes).
+    ``dim`` is inferred from the corpus when not given.
     """
     from pyspark.sql.window import Window
 
-    dim = 64
+    dim = dim if dim is not None else infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
@@ -221,6 +233,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 10_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold within LSH buckets.
 
@@ -232,10 +245,11 @@ def embedding_near_dups(
     """
     from corpusama_spark.plans.caching import own_caches
 
+    dim = dim if dim is not None else infer_dim(df, vec_col)
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.explode(lsh_buckets(F.col(vec_col), nplanes, ntables, 64)).alias("bucket"),
+        F.explode(lsh_buckets(F.col(vec_col), nplanes, ntables, dim)).alias("bucket"),
     ).persist()  # self-join sides would otherwise each recompute the buckets
     joinable = b
     if max_bucket is not None:
@@ -268,6 +282,33 @@ def embedding_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def training_sample_plan(
+    df: DataFrame,
+    sample: int = 4096,
+    vec_col: str = "embedding",
+    prefilter_mod: int | None = 64,
+) -> DataFrame:
+    """The quantizer-training sample as a (lazy) plan: a deterministic
+    content-hash pre-filter keeps ~1/``prefilter_mod`` of the corpus, then
+    a seeded rank picks ``sample`` vectors from the survivors.
+
+    The pre-filter is the scale fix for the round-2 finding: the rank alone
+    compiles to TakeOrderedAndProject (per-partition heaps, no sort
+    shuffle) but still md5-serializes EVERY vector — a full corpus pass per
+    quantizer (re)train at 10^12 rows. `pmod(xxhash64(vec), K) = 0` is
+    evaluated in the scan stage and cuts that pass to ~1/K before any
+    string serialization. Both stages hash only vector CONTENT, so the
+    sample is identical across runs, partitionings, and cluster sizes.
+    """
+    base = df.select(F.col(vec_col).alias("v"))
+    if prefilter_mod is not None and prefilter_mod > 1:
+        key = F.xxhash64(F.concat_ws(",", F.col("v").cast("array<string>")))
+        base = base.where(F.pmod(key, F.lit(prefilter_mod)) == 0)
+    return base.orderBy(
+        F.md5(F.concat_ws(",", F.col("v").cast("array<string>")))
+    ).limit(sample)
+
+
 def train_centroids(
     df: DataFrame,
     k: int = 16,
@@ -275,6 +316,7 @@ def train_centroids(
     iters: int = 5,
     vec_col: str = "embedding",
     seed: int = 42,
+    prefilter_mod: int | None = 64,
 ) -> np.ndarray:
     """Deterministic k-means coarse quantizer, trained on a bounded sample.
 
@@ -282,14 +324,16 @@ def train_centroids(
     quantizer on ~max(10k, 256*k) vectors regardless of corpus size), the
     corpus never does; Lloyd iterations are numpy on that sample. Sampling
     is seeded + sorted so centroids are identical across runs and cluster
-    sizes. Returns (k, dim) float64.
+    sizes, and a content-hash pre-filter (``prefilter_mod``) bounds the
+    sampling scan to ~1/mod of the corpus (training_sample_plan). If the
+    pre-filtered sample is starved (< max(4k, 64) vectors — a small corpus
+    or an over-aggressive mod), the sampler falls back to the unfiltered
+    rank once; the fallback is itself deterministic. Returns (k, dim)
+    float64.
     """
-    rows = (
-        df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.md5(F.concat_ws(",", F.col("v").cast("array<string>"))))
-        .limit(sample)
-        .collect()
-    )
+    rows = training_sample_plan(df, sample, vec_col, prefilter_mod).collect()
+    if len(rows) < max(4 * k, 64):
+        rows = training_sample_plan(df, sample, vec_col, None).collect()
     x = np.array([r.v for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
@@ -367,6 +411,93 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Axis-aligned sign LSH — the engine-exact ANN tier (oracle-able)
+# ---------------------------------------------------------------------------
+
+
+def axis_sign_buckets(
+    vec_col: Column, nbits: int = 6, ntables: int = 8
+) -> Column:
+    """Array of per-table bucket keys from component SIGNS — hyperplane LSH
+    with canonical-basis planes. Table t reads components
+    [t*nbits, (t+1)*nbits); bit = component > 0.
+
+    No arithmetic is involved (just float comparisons against 0), so the
+    bucket assignment is bit-exact across engines — this is the ANN tier a
+    DuckDB oracle can reproduce, unlike the random-plane/IVF tiers whose
+    float dot products depend on summation order. Pure JVM expressions.
+    """
+    keys = []
+    for t in range(ntables):
+        bits = [
+            F.when(F.element_at(vec_col, t * nbits + b + 1) > 0, "1").otherwise("0")
+            for b in range(nbits)
+        ]
+        keys.append(F.concat(F.lit(f"{t}:"), *bits))
+    return F.array(*keys)
+
+
+def axis_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 6,
+    ntables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via axis-sign LSH buckets, reranked by exact
+    cosine (6-decimal-rounded, ties id-asc — the cross-engine-stable
+    ordering topk_cosine established). Same bucket-equi-join shape as
+    ann_topk; needs dim >= nbits*ntables."""
+    from pyspark.sql.window import Window
+
+    vec = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        vec.alias("cvec"),
+        F.explode(axis_sign_buckets(vec, nbits, ntables)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vec.alias("qvec"),
+        F.explode(axis_sign_buckets(vec, nbits, ntables)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def ann_recall(ann: DataFrame, brute: DataFrame, k: int = 5) -> DataFrame:
+    """Per-query recall@k of an ANN result against the brute-force truth:
+    (query_id, n_hit, recall_at_k). Pure relational — one broadcast-able
+    left join + groupBy; every brute query appears even when the ANN found
+    nothing for it."""
+    hits = brute.select("query_id", "cand_id").join(
+        ann.select("query_id", "cand_id", F.lit(1).alias("_hit")),
+        ["query_id", "cand_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("_hit").alias("n_hit"),
+        F.round(F.count("_hit") / F.lit(k), 4).alias(f"recall_at_{k}"),
     )
 
 

@@ -200,6 +200,14 @@ def test_xz_export_roundtrip(spark, tmp_path):
     ).repartition(4)
     files = write_xz_text(df, "t", path, docs_per_file=10)
     assert files and all(f.endswith(".txt.xz") for f in files)
+    # the manifest is authoritative: it lists exactly the files on disk,
+    # and the atomic tmp->rename publish leaves no .tmp behind
+    import glob as _glob
+    import os as _os
+
+    on_disk = sorted(_glob.glob(_os.path.join(path, "*")))
+    assert sorted(files) == [f for f in on_disk if f.endswith(".txt.xz")]
+    assert not [f for f in on_disk if f.endswith(".tmp")]
     lines = []
     for f in files:
         with lzma.open(f, "rt", encoding="utf-8") as fh:

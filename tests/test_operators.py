@@ -424,3 +424,87 @@ def test_l2_normalize(spark):
     ).collect()
     assert out[0].n == [0.6, 0.8] and abs(out[0].len - 1.0) < 1e-12
     assert out[1].n == [0.0, 0.0]  # zero vector passes through
+
+
+def test_infer_dim_and_non64_dim(spark):
+    """ann/near-dup/IVF entry points must work at any embedding width —
+    round 2 hardcoded dim=64 in ann_topk, which would project 16-wide
+    vectors with 64-wide planes."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 16))
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16)  # a near-dup pair
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(60), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    assert SIM.infer_dim(df) == 16
+    queries = df.where("vec_id < 4")
+    approx = SIM.ann_topk(df, queries, k=3, nplanes=4, ntables=8).collect()
+    assert approx and all(r.cand_id != r.query_id for r in approx)
+    exact = SIM.brute_force_topk(df, queries, k=3).collect()
+    overlap = {(r.query_id, r.cand_id) for r in approx} & {
+        (r.query_id, r.cand_id) for r in exact
+    }
+    assert overlap  # LSH at dim 16 still finds true neighbors
+    near = SIM.embedding_near_dups(df, threshold=0.95, max_bucket=None).collect()
+    assert (0, 1) in {(r.id_a, r.id_b) for r in near}
+    ivf = SIM.ivf_topk(df, queries, k=3, n_centroids=4, nprobe=4).collect()
+    ivf_pairs = {(r.query_id, r.cand_id) for r in ivf}
+    assert {(r.query_id, r.cand_id) for r in exact} == ivf_pairs  # full probe
+
+
+def test_training_sample_prefilter_plan_and_determinism(spark, emb_df):
+    """The quantizer-training scan must carry the content-hash pre-filter
+    below the TakeOrderedAndProject (round-2 'What's wrong' #1), and
+    centroids must stay deterministic across partitionings."""
+    import numpy as np
+
+    plan = SIM.training_sample_plan(
+        emb_df, sample=64, prefilter_mod=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "pmod" in plan and "xxhash64" in plan
+    # the filter reduces the rank's input (500 vectors -> ~125)
+    n_filtered = SIM.training_sample_plan(
+        emb_df, sample=10**6, prefilter_mod=4
+    ).count()
+    n_all = emb_df.count()
+    assert 0 < n_filtered < n_all * 0.6
+    c1 = SIM.train_centroids(emb_df, k=4, sample=64, prefilter_mod=4)
+    c2 = SIM.train_centroids(
+        emb_df.repartition(13), k=4, sample=64, prefilter_mod=4
+    )
+    assert np.array_equal(c1, c2)
+    # starved pre-filter (mod >> corpus) falls back deterministically
+    c3 = SIM.train_centroids(emb_df, k=4, sample=64, prefilter_mod=10**9)
+    c4 = SIM.train_centroids(emb_df, k=4, sample=64, prefilter_mod=None)
+    assert np.array_equal(c3, c4)
+
+
+def test_axis_lsh_recall_and_exactness(spark, emb_df):
+    """axis_sign_buckets is comparison-only (no float arithmetic), so the
+    candidate set is reproducible from raw component signs; ann_recall
+    emits one row per brute query even when the ANN side found nothing."""
+    corpus = emb_df.limit(400)
+    queries = emb_df.where("vec_id < 6")
+    ann = SIM.axis_lsh_topk(corpus, queries, k=5, nbits=6, ntables=8)
+    brute = SIM.brute_force_topk(corpus, queries, k=5)
+    rec = SIM.ann_recall(ann, brute, k=5).collect()
+    assert len(rec) == 6
+    assert all(0.0 <= r.recall_at_5 <= 1.0 for r in rec)
+    assert all(r.n_hit == round(r.recall_at_5 * 5) for r in rec)
+    # bucket keys match a python recomputation of the sign bits
+    rows = corpus.limit(20).select(
+        "vec_id",
+        "embedding",
+        SIM.axis_sign_buckets(F.col("embedding"), 6, 8).alias("keys"),
+    ).collect()
+    for r in rows:
+        for t in range(8):
+            want = f"{t}:" + "".join(
+                "1" if r.embedding[t * 6 + b] > 0 else "0" for b in range(6)
+            )
+            assert r.keys[t] == want
