@@ -1069,6 +1069,30 @@ def q_align_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align_summary(align_tokens(old, new, tag_col="tag"))
 
 
+def q_str_obj_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 complete (rows-only: ast.literal_eval has no ANSI-SQL twin):
+    the reference's json → python-literal → as-is parse ladder
+    (convert.py:30-50) over seeded legacy cells — python-dict syntax,
+    strict JSON, literal lists, free text, and NULLs."""
+    from corpusama_spark.functions.convert import str_to_obj_any
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 7).cast("string")
+    cell = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("{'k': "), k, F.lit(", 'v': ('a', 'b')}")),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit('{"k": '), k, F.lit("}")))
+        .when(F.col("doc_id") % 5 == 2, F.lit("['x', 'y']"))
+        .when(F.col("doc_id") % 5 == 3, F.substring("text", 1, 20))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return docs.select("doc_id", str_to_obj_any(cell).alias("o")).select(
+        "doc_id", "o.*"
+    )
+
+
 def q_lid_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1+A1-A6 composite: trigram-model langid shares over caption lines
     (rows-only; model is a UDF)."""
@@ -1148,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "sentence_langid": q_sentence_langid,
+        "str_obj_any": q_str_obj_any,
         "lid_shares": q_lid_shares,
         "align_tokens": q_align_tokens,
         "image_features": q_image_features,

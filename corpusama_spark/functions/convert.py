@@ -8,6 +8,7 @@ F17 str_to_obj (from_json), F18 to_json_or_str. The list/NaN nullifiers
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -57,6 +58,62 @@ def str_to_obj(col: Column, schema: str) -> Column:
     as-is fallback.
     """
     return F.from_json(col, schema)
+
+
+def str_to_obj_any(col: Column) -> Column:
+    """F17 complete: the reference's full parse ladder (convert.py:30-50)
+    json.loads → ast.literal_eval → as-is, for legacy cells holding Python
+    literals ("{'k': 1}", "('a', 'b')") that strict JSON parsing rejects.
+
+    Returns struct(value string, kind string): ``value`` is the parsed
+    object re-serialized with to_json_or_str semantics (convert.py:16-27 —
+    json.dumps for lists/dicts, str() otherwise), ``kind`` records which
+    rung parsed it ('json' | 'literal' | 'str'; NULL input stays NULL).
+    Arrow-batched pandas UDF — per-element parsing is inherent to ast, but
+    batches cross the boundary once; use the pure-JVM ``str_to_obj``
+    (from_json) wherever cells are known-JSON.
+    """
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("value", StringType()), StructField("kind", StringType())]
+    )
+
+    @F.pandas_udf(schema)
+    def _udf(s: pd.Series) -> pd.DataFrame:
+        import ast
+        import json
+
+        vals, kinds = [], []
+        for x in s:
+            if x is None:
+                vals.append(None)
+                kinds.append(None)
+                continue
+            obj, kind = x, "str"
+            if x:  # falsy strings return as-is, like the reference
+                try:
+                    obj, kind = json.loads(x), "json"
+                except (json.JSONDecodeError, TypeError):
+                    try:
+                        obj, kind = ast.literal_eval(x), "literal"
+                    except (SyntaxError, ValueError):
+                        pass
+            if isinstance(obj, (list, dict)):
+                try:
+                    vals.append(json.dumps(obj))
+                except TypeError:  # unserializable payload: keep repr
+                    vals.append(str(obj))
+            else:
+                vals.append(str(obj))
+            kinds.append(kind)
+        return pd.DataFrame({"value": vals, "kind": kinds})
+
+    return _udf(col)
 
 
 def to_json_or_str(col: Column, dtype: str) -> Column:

@@ -199,16 +199,29 @@ def encode_qvid(frames: list[np.ndarray], fmt: str = "jpeg") -> bytes:
 
 
 def _iter_frames(data: bytes):
-    """Yield (frame_no, frame_bytes, fmt) from a QVID container.
+    """Yield (frame_no, frame_bytes, fmt) from a video container.
 
-    A real video decoder (pyav/ffmpeg) slots in here behind the same
-    generator signature; any other container raises ValueError, which the
-    caller converts to zero rows for that video (tolerated failure).
+    QVID containers decode natively; anything else routes through pyav when
+    the wheel is present (real mp4/webm/etc., frames re-encoded as PNG for
+    the downstream image operators) and otherwise raises ValueError, which
+    the caller converts to zero rows for that video (tolerated failure).
     """
     import struct
 
     if data[:4] != QVID_MAGIC:
-        raise ValueError("not a QVID container")
+        try:  # pragma: no cover - exercised by tests/test_optional
+            import av
+        except ImportError:
+            raise ValueError("not a QVID container and no video codec present")
+        import io
+
+        try:
+            with av.open(io.BytesIO(bytes(data))) as container:
+                for i, frame in enumerate(container.decode(video=0)):
+                    yield i, encode_png(frame.to_ndarray(format="rgb24")), "png"
+        except av.error.FFmpegError as exc:
+            raise ValueError(f"undecodable video: {exc}") from None
+        return
     fmt = data[4:8].decode().strip()
     (n,) = struct.unpack(">I", data[8:12])
     off = 12

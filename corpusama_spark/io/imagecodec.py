@@ -175,8 +175,18 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(bytes(data))
     if fmt in ("jpeg", "webp"):
-        if HAVE_PIL and bytes(data)[:4] != QIMG_MAGIC:  # pragma: no cover
-            raise NotImplementedError("route through PIL.Image.open here")
+        if bytes(data)[:4] != QIMG_MAGIC:
+            if HAVE_PIL:  # pragma: no cover - exercised by tests/test_optional
+                import io
+
+                from PIL import Image
+
+                try:
+                    with Image.open(io.BytesIO(bytes(data))) as im:
+                        return np.asarray(im.convert("RGB"))
+                except Exception as exc:
+                    raise ValueError(f"undecodable {fmt}: {exc}") from None
+            raise ValueError(f"not a QIMG payload and no {fmt} codec present")
         return decode_qimg(bytes(data))
     raise ValueError(f"unknown image format {fmt!r}")
 

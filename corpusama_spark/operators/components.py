@@ -30,6 +30,7 @@ def connected_components(
     max_iters: int = 25,
     checkpoint_every: int = 5,
     fixed_iters: int | None = None,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """(id, component) with component = min id reachable from the node.
 
@@ -37,8 +38,16 @@ def connected_components(
     driver-side convergence actions (for plan-only contexts where the
     graph's diameter is known); otherwise rounds run until a cheap
     count-of-changes action reports a fixpoint (early-exits almost always).
+    ``algorithm="star"`` dispatches to the O(log² n)-round large/small-star
+    contraction (connected_components_star) for chain-heavy graphs where
+    hash-min's O(diameter) rounds would dominate.
     """
     from corpusama_spark.plans.caching import own_caches
+
+    if algorithm == "star":
+        return connected_components_star(pairs, id_a, id_b, max_iters=max_iters)
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -104,6 +113,125 @@ def connected_components(
     return own_caches(
         labels.select("id", F.col("comp").alias("component")), labels_handle
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star contraction
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond",
+    Algorithm 2) — the adversarial-graph companion to hash-min.
+
+    Hash-min needs O(diameter) rounds: a 10^6-node path graph means 10^6
+    shuffle rounds. Star contraction halves the tree height each
+    large/small pair and converges in O(log² n) rounds on ANY graph
+    (~O(log n) observed), with the same one-shuffle-join-per-round shape:
+
+    - large-star: every node links its strictly-LARGER neighbors to the
+      minimum of its closed neighborhood — edges stay directed
+      larger→smaller by construction.
+    - small-star: every node links its smaller neighbors AND itself to
+      its minimum neighbor.
+
+    Convergence is detected by an order-insensitive edge-set signature
+    (count + decimal sum of xxhash64(u,v)) — one cheap aggregate per
+    round, no join against the previous round. At the fixpoint the edge
+    set is a star forest rooted at each component's minimum id, which IS
+    the label table. Output matches `connected_components` row-for-row
+    (pytest pins agreement on chain+links and random graphs); prefer
+    hash-min for dedup-shaped graphs (small diameter), star for
+    unknown/chain-heavy topology. Self-loop-only nodes keep their own id
+    as component, like hash-min.
+
+    Lineage is truncated with an eager ``localCheckpoint`` EVERY round
+    (hash-min checkpoints every 5): one star round references the previous
+    edge set ~8x (the swap-union twice, each side joined against its own
+    aggregate), so the logical plan grows geometrically — by round ~10
+    merely rendering the plan tree OOMs the driver. The checkpoint costs
+    nothing extra here because the convergence signature materializes the
+    round anyway.
+    """
+    from corpusama_spark.plans.caching import own_caches
+
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    # directed larger→smaller canonical form
+    cur = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: ANSI mode would overflow a long sum of hashes
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r.n, r.h)
+
+    sig = _sig(cur)
+    for i in range(max_iters):
+        # large-star over the undirected neighbor view
+        nbrs = cur.unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        large = (
+            nbrs.where(F.col("v") > F.col("u"))
+            .join(lmins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
+        )
+        # small-star over the (already larger→smaller) directed edges
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            large.join(smins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("uu"), F.col("m").alias("vv"))
+            .unionByName(
+                smins.select(F.col("u").alias("uu"), F.col("m").alias("vv"))
+            )
+            .select(F.col("uu").alias("u"), F.col("vv").alias("v"))
+            .distinct()
+            .localCheckpoint()  # eager: truncates the geometric lineage
+        )
+        new_sig = _sig(nxt)
+        cur.unpersist()
+        large.unpersist()
+        cur = nxt
+        if new_sig == sig:
+            break
+        sig = new_sig
+    labels = (
+        cur.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+        .unionByName(
+            cur.select(F.col("v").alias("id"), F.col("v").alias("comp"))
+        )
+        .groupBy("id")
+        .agg(F.min("comp").alias("component"))
+    )
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    out = nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    return own_caches(out, cur)
 
 
 def cluster_canonicals(components: DataFrame) -> DataFrame:

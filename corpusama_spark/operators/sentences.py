@@ -29,17 +29,62 @@ DEFAULT_LONG = 500
 
 SENT_SPLIT_RE = r"(?<=[.!?])\s+"
 
+# the reference's language set for its split path (base_pipeline.py:46-50
+# nltk_langs = {en: english, fr: french, es: spanish}); its NLTK punkt
+# models are data-driven, so the engine re-expresses the load-bearing
+# behaviors as rules: abbreviation-aware terminator splits per language,
+# plus Spanish inverted-punctuation openers as boundaries.
+NLTK_LANGS = {"en": "english", "fr": "french", "es": "spanish"}
 
-def split_sentences(text_col: Column | str) -> Column:
-    """Normalized text → array of sentences (M5 slot: rule-based split)."""
+ABBREVS = {
+    "en": ["Mr", "Mrs", "Ms", "Dr", "Prof", "St", "Jr", "Sr", "vs", "etc"],
+    "fr": ["M", "MM", "Mme", "Mlle", "Dr", "St", "etc"],
+    "es": ["Sr", "Sra", "Srta", "Dr", "Dra", "Ud", "Uds", "etc"],
+}
+
+_ABBR_SENTINEL = "\x01"  # protects abbreviation dots through the split
+
+
+def _lang_split_pattern(lang: str | None) -> str:
+    if lang == "es":
+        # also break before inverted question/exclamation openers
+        return SENT_SPLIT_RE + r"|\s+(?=[¿¡])"
+    return SENT_SPLIT_RE
+
+
+def split_sentences(
+    text_col: Column | str, lang: str | None = None
+) -> Column:
+    """Normalized text → array of sentences (M5: rule-based split;
+    ``lang`` in {en, fr, es} enables the language-aware rules — 'Mr.' /
+    'M.' / 'Sr.' don't end sentences, Spanish '¿¡' open them). Pure JVM:
+    abbreviation dots are swapped to a sentinel, the split runs, the
+    sentinel swaps back."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
+    one_line = F.regexp_replace(col, r"\n", " ")
+    if lang in ABBREVS:
+        pat = r"\b(" + "|".join(ABBREVS[lang]) + r")\."
+        one_line = F.regexp_replace(one_line, pat, "$1" + _ABBR_SENTINEL)
+    parts = F.split(one_line, _lang_split_pattern(lang))
+    if lang in ABBREVS:
+        parts = F.transform(
+            parts, lambda s: F.regexp_replace(s, _ABBR_SENTINEL, ".")
+        )
     return F.filter(
-        F.transform(
-            F.split(F.regexp_replace(col, r"\n", " "), SENT_SPLIT_RE),
-            lambda s: F.trim(s),
-        ),
+        F.transform(parts, lambda s: F.trim(s)),
         lambda s: F.length(s) > 0,
     )
+
+
+def split_sentences_for(text_col: Column | str, lang_col: Column | str) -> Column:
+    """Per-row language-aware split: a CASE chain over the supported
+    language table, falling back to the language-agnostic rule — the shape
+    for a mixed-language corpus where ``lang`` is a column, not a constant."""
+    lc = F.col(lang_col) if isinstance(lang_col, str) else lang_col
+    out = split_sentences(text_col, None)
+    for lg in ABBREVS:
+        out = F.when(lc == lg, split_sentences(text_col, lg)).otherwise(out)
+    return out
 
 
 def sentence_rows(

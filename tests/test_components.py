@@ -168,3 +168,72 @@ def test_winnow_df_equals_inline_column(spark):
         for r in winnow_fingerprints_df(docs, "text", "doc_id").collect()
     }
     assert inline == staged
+
+
+def test_star_agrees_with_hashmin_on_fixture(spark):
+    """large/small-star contraction and hash-min propagation must label the
+    chain+links fixture identically."""
+    from corpusama_spark.operators.components import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (4, 10)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    hm = {r.id: r.component for r in connected_components(pairs).collect()}
+    st = {
+        r.id: r.component
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert hm == st
+    assert st[12] == 1  # the 4-10 link merges the chains
+
+
+def test_star_path_graph_logarithmic_rounds(spark):
+    """A 1000-node path graph: hash-min needs O(n)=999 rounds (diameter),
+    star contraction O(log² n). max_iters=20 would leave hash-min far from
+    converged but must suffice for star — wrong labels would fail here."""
+    from corpusama_spark.operators.components import connected_components_star
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = connected_components_star(pairs, max_iters=20)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r.component for r in rows} == {0}
+
+
+def test_star_agrees_with_unionfind_on_random_graph(spark):
+    """Ground truth via python union-find on a seeded random graph,
+    including singleton-ish self-loop pairs."""
+    import random
+
+    from corpusama_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges.append((999, 999))  # self-loop-only node keeps its own id
+    parent = list(range(1000))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for e in edges for x in e}
+    want = {x: find(x) for x in nodes}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    st = {
+        r.id: r.component
+        for r in connected_components_star(pairs).collect()
+    }
+    assert st == want
+    hm = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert hm == want
