@@ -39,9 +39,15 @@ BENCH_QUERIES = [
     "simhash_groups",
     "topk_cosine",
     "ann_topk",
+    "ann_recall",
     "scrub",
     "quality_score",
     "langid_sql",
+    "gopher_rules",
+    "repetition",
+    "winnow_fp",
+    "dedup_clusters",
+    "image_features",
 ]
 
 

@@ -71,10 +71,15 @@ def report(df: DataFrame) -> PlanReport:
             r"\bExchange (?:hash|range)partitioning|\bExchange RoundRobin", text
         )
     )
+    # formatted mode prints each node twice (tree line + "(N) Node" details
+    # header); count the numbered headers so the tally is exact node count
+    n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", text, re.M)) or (
+        text.count("ArrowEvalPython") // 2
+    )
     return PlanReport(
         n_exchanges=n_exchanges,
         n_broadcasts=text.count("BroadcastExchange"),
-        n_arrow_evals=text.count("ArrowEvalPython"),
+        n_arrow_evals=n_arrow,
         n_row_python=text.count("BatchEvalPython") + etext.count("BatchEvalPython"),
         n_codegen_spans=len(set(re.findall(r"\*\((\d+)\)", etext))),
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),

@@ -35,7 +35,10 @@ def test_flagship_shuffle_budget(spark, tmp_path):
     # broadcast of the small side may replace the second exchange
     rep = audit.report(run_pipeline(caps, FilterConfig()))
     rep.assert_no_row_python().assert_max_shuffles(2)
-    assert rep.n_arrow_evals >= 3  # prep, lid, ppl on text; verify on image
+    # two Arrow nodes: the FUSED prep+lid+ppl text stage, and image verify —
+    # the fusion is the point (three chained UDF nodes would mean 3x live
+    # Python workers per task slot)
+    assert rep.n_arrow_evals == 2
 
 
 def test_narrow_plan_zero_shuffles(spark, tmp_path):
@@ -129,3 +132,35 @@ def test_image_features_scan_stage(spark, tmp_path):
     rep = audit.report(df)
     rep.assert_no_row_python().assert_max_shuffles(0)
     audit.assert_column_pruned(df, "caption")
+
+
+def test_round3_operator_plan_shapes(spark):
+    """Round-3 operators keep their intended shapes. ann_recall is special:
+    the whole recall audit is PURE JVM — axis-sign buckets are comparison
+    expressions, so the plan has zero Python evaluators of any kind."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    qs = E.queries()
+    rec = audit.report(qs["ann_recall"](sf_dir=sf, spark=spark))
+    rec.assert_no_row_python()
+    assert rec.n_arrow_evals == 0  # no pandas UDFs either — all codegen
+    # str_obj_any: one Arrow batch crossing, no shuffle (scan-stage parse)
+    soa = audit.report(qs["str_obj_any"](spark, sf))
+    soa.assert_no_row_python().assert_max_shuffles(0)
+    assert soa.n_arrow_evals == 1
+    # guaranteed-regime simhash: same banded kernel, no row python
+    audit.report(qs["simhash_exact"](spark, sf)).assert_no_row_python()
+
+
+def test_training_sample_filter_below_rank(spark, tmp_path):
+    """The IVF training sample's content-hash pre-filter must sit in the
+    scan stage BELOW the TakeOrderedAndProject rank (bounded-scan fix)."""
+    from corpusama_spark.operators.similarity import training_sample_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = audit.plan_text(training_sample_plan(emb, sample=32, prefilter_mod=8))
+    assert "TakeOrderedAndProject" in plan
+    i_filter = plan.find("pmod")
+    i_rank = plan.find("TakeOrderedAndProject")
+    assert 0 <= i_rank < i_filter  # filter prints below (after) the rank node
