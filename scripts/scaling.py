@@ -89,10 +89,9 @@ No real cluster exists in this sandbox, so the north_rule's N→4N executor
 criterion is evidenced by the same flagship filter job at two parallelism
 levels in separate JVMs on identical input ({n_captions} rows of the
 captions table, materialized parquet). The sandbox VM exposes 32 vCPUs but
-host contention caps parallel throughput past ~16 procs (pure-Python spin
-calibration: 4→4.16x, 16→15.1x, 32→24.8x vs 1 proc), so the evidence pair
-is chosen on the linear part of the hardware curve; the hardware itself
-bounds 8→32 at ~0.76 efficiency regardless of engine:
+host contention varies by the hour, so each round re-runs a pure-Python
+spin calibration and picks the evidence pair on the linear part of that
+day's hardware curve (see the calibration table above this section):
 
 | config | images filtered/sec | flagship sec |
 |---|---|---|
