@@ -55,6 +55,115 @@ def _dedup_fn(
     )
 
 
+NEAR_OUTPUT_SCHEMA = (
+    "band int, band_key long, id string, match_id string, hamming int"
+)
+NEAR_STATE_SCHEMA = "ids array<string>, codes array<long>"
+
+
+def _near_dedup_fn(hamming_k: int, max_state: int):
+    import numpy as np
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, codes = list(state.get[0]), list(state.get[1])
+        else:
+            ids, codes = [], []
+        stored = np.array(codes, dtype=np.int64).astype(np.uint64)
+        rows = []
+        for pdf in pdfs:
+            batch = sorted(
+                zip(pdf["id"], pdf["code"]), key=lambda t: str(t[0])
+            )
+            for id_, code in batch:
+                code_u = np.uint64(np.int64(int(code)))
+                match, mh = None, None
+                if len(stored):
+                    x = np.bitwise_xor(stored, code_u)
+                    pc = (
+                        np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+                        .sum(axis=1)
+                        .astype(int)
+                    )
+                    i = int(pc.argmin())
+                    if pc[i] <= hamming_k:
+                        match, mh = ids[i], int(pc[i])
+                rows.append((int(key[0]), int(key[1]), id_, match, mh))
+                if len(ids) < max_state:
+                    ids.append(id_)
+                    codes.append(int(code))
+                    stored = np.append(stored, code_u)
+        state.update((ids, codes))
+        yield pd.DataFrame(
+            rows, columns=["band", "band_key", "id", "match_id", "hamming"]
+        )
+
+    return fn
+
+
+def streaming_near_dedup(
+    stream: DataFrame,
+    text_col: str = "caption",
+    id_col: str = "image_id",
+    bands: int = 4,
+    hamming_k: int = 3,
+    max_state: int = 1024,
+) -> DataFrame:
+    """Cross-batch NEAR-duplicate detection: banded simhash state.
+
+    Composes the batch hamming-band kernel (operators/dedup.py
+    hamming_band_pairs) with the streaming state model above: each row's
+    64-bit simhash splits into ``bands`` 16-bit band keys (JVM shift+mask,
+    computed BEFORE the stateful exchange — only (band_key, id, code)
+    shuffles, never text); state per (band, band_key) bucket holds the ids
+    and codes seen so far, and each arriving row reports its closest stored
+    code when within ``hamming_k``. For k < bands the banding is
+    pigeonhole-complete, so a row emits a match in AT LEAST one band
+    whenever a near-dup was ever admitted — across micro-batches and job
+    restarts (state lives in the stream checkpoint). Downstream, a per-id
+    any-band reduction gives the keep/drop decision (foreachBatch or a
+    second aggregation stage).
+
+    Scale shape: state is (id + 8-byte code) x distinct codes per bucket,
+    capped at ``max_state`` per bucket (the flood guard — beyond the cap a
+    boilerplate bucket stops ADMITTING new codes but keeps matching
+    against the stored ones, the same bounded-recall tradeoff as the batch
+    max_bucket guard). The per-row match is one vectorized xor+popcount
+    over the bucket's stored codes.
+    """
+    from corpusama_spark.operators.dedup import simhash_codes
+
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    codes = simhash_codes(stream, text_col, id_col).select(
+        F.col(id_col).cast("string").alias("id"), F.col("sim").alias("code")
+    )
+    banded = codes.select(
+        "id",
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("code", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("id", "code", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+    return banded.groupBy("band", "band_key").applyInPandasWithState(
+        _near_dedup_fn(hamming_k, max_state),
+        outputStructType=NEAR_OUTPUT_SCHEMA,
+        stateStructType=NEAR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(
     stream: DataFrame, id_col: str = "image_id", text_col: str = "caption"
 ) -> DataFrame:

@@ -508,3 +508,30 @@ def test_axis_lsh_recall_and_exactness(spark, emb_df):
                 "1" if r.embedding[t * 6 + b] > 0 else "0" for b in range(6)
             )
             assert r.keys[t] == want
+
+
+def test_ivf_over_quantized_embeddings(spark, emb_df):
+    """X9 + X11 composed: ANN search over the int8-quantized embedding
+    table (the 4x-smaller storage form at 10^12 rows) — full-probe IVF over
+    dequantized vectors recovers nearly the same neighbors as over raw."""
+    from corpusama_spark.operators.similarity import dequantize, quantize_int8
+
+    corpus = emb_df.limit(300)
+    queries = emb_df.where("vec_id < 6")
+    raw = {
+        (r.query_id, r.cand_id)
+        for r in SIM.ivf_topk(
+            corpus, queries, k=3, n_centroids=4, nprobe=4
+        ).collect()
+    }
+    dq = lambda df: df.select(  # noqa: E731
+        "vec_id", dequantize(quantize_int8(F.col("embedding"))).alias("embedding")
+    )
+    quant = {
+        (r.query_id, r.cand_id)
+        for r in SIM.ivf_topk(
+            dq(corpus), dq(queries), k=3, n_centroids=4, nprobe=4
+        ).collect()
+    }
+    # half-step-bounded quantization error barely perturbs cosine ranking
+    assert len(raw & quant) / len(raw) >= 0.8, (raw - quant, quant - raw)

@@ -143,3 +143,45 @@ def test_xml_quoteattr_parity_any_string(spark, vals):
     got = _run(spark, vals, xml_quoteattr_col(F.col("t")))
     for g, v in zip(got, vals):
         assert g == xml.sax.saxutils.quoteattr(v.strip())
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=EDGES)
+@settings(**SETTINGS)
+def test_components_star_and_hashmin_match_unionfind(spark, edges):
+    """Both component algorithms must agree with a union-find ground truth
+    on arbitrary small graphs (self-loops, parallel edges, singletons)."""
+    from corpusama_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    parent = list(range(31))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for e in edges for x in e}
+    want = {x: find(x) for x in nodes}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    st_out = {
+        r.id: r.component for r in connected_components_star(pairs).collect()
+    }
+    assert st_out == want
+    hm_out = {
+        r.id: r.component for r in connected_components(pairs).collect()
+    }
+    assert hm_out == want

@@ -108,3 +108,120 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     assert got2["c1"] == (True, None)
     assert got2["c2"] == (False, "c1")  # intra-batch dedup
     assert got2["d1"] == (True, None)
+
+
+def test_streaming_near_dedup_cross_restart(spark, tmp_path):
+    """Banded simhash state: a near-duplicate (one token changed) of a doc
+    admitted in run 1 must be matched in run 2 in at least one band
+    (pigeonhole: hamming <= 3 with 4 bands), across the checkpoint restart;
+    unrelated text must match nothing."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from corpusama_spark.operators.dedup import simhash_codes
+    from corpusama_spark.streaming.stateful import streaming_near_dedup
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("caption", StringType()),
+        ]
+    )
+    # simhash hamming after a 1-token swap shrinks with doc length (the
+    # per-bit vote margin grows as sqrt(T)); at 800 tokens it lands ~2-6,
+    # so search replacement tokens for a pair INSIDE the hamming<=3
+    # pigeonhole guarantee — a deterministic search, same result every run
+    base = " ".join(f"tok{i}" for i in range(800))
+    other = "zzz completely unrelated qqq phrase about xxx something else"
+    candidates = [
+        base.replace("tok13 ", f"swap{j} ", 1) for j in range(60)
+    ]
+    df = spark.createDataFrame(
+        [("a", base)] + [(f"c{j}", t) for j, t in enumerate(candidates)],
+        schema,
+    )
+    codes = {
+        r.image_id: r.sim
+        for r in simhash_codes(df, "caption", "image_id").collect()
+    }
+    near, fixture_h = None, None
+    for j, t in enumerate(candidates):
+        h = bin((codes["a"] ^ codes[f"c{j}"]) & (2**64 - 1)).count("1")
+        if 1 <= h <= 3:
+            near, fixture_h = t, h
+            break
+    assert near is not None, "no <=3-hamming perturbation in 60 candidates"
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_near_dedup(stream, hamming_k=3)
+            .writeStream.foreachBatch(
+                lambda d, _i: collected.extend(d.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([("a1", base)], schema).write.mode("append").parquet(src)
+    drain()
+    assert all(r.match_id is None for r in collected)  # nothing seen before
+
+    collected.clear()
+    spark.createDataFrame(
+        [("n1", near), ("u1", other)], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    by_id = {}
+    for r in collected:
+        by_id.setdefault(r.id, []).append(r)
+    # near-dup found in >= 1 band, pointing at the run-1 canonical
+    n1_matches = [r for r in by_id["n1"] if r.match_id == "a1"]
+    assert n1_matches, (fixture_h, by_id["n1"])
+    assert all(r.hamming == fixture_h for r in n1_matches)
+    # unrelated doc matches nothing
+    assert all(r.match_id is None for r in by_id["u1"])
+
+
+def test_streaming_near_dedup_flood_cap(spark, tmp_path):
+    """max_state caps per-bucket state: identical texts beyond the cap stop
+    being admitted but still match against the stored canonical."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from corpusama_spark.streaming.stateful import streaming_near_dedup
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("caption", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+    rows = [(f"x{i}", "same text every time") for i in range(8)]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_near_dedup(stream, hamming_k=0, max_state=2)
+        .writeStream.foreachBatch(lambda d, _i: collected.extend(d.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_band = {}
+    for r in collected:
+        per_band.setdefault(r.band, []).append(r)
+    for band_rows in per_band.values():
+        band_rows.sort(key=lambda r: r.id)
+        assert band_rows[0].match_id is None  # first admitted
+        # every later row matches x0 exactly (hamming 0) despite the cap
+        assert all(r.match_id == "x0" and r.hamming == 0 for r in band_rows[1:])
