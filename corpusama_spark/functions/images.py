@@ -27,7 +27,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from corpusama_spark.io.imagecodec import decode_image, encode_png, encode_qimg, psnr
+from corpusama_spark.io.imagecodec import (
+    HAVE_PIL,
+    QIMG_MAGIC,
+    decode_image,
+    psnr,
+    roundtrip_lossy,
+)
 
 MIN_PSNR_DB = 40.0
 
@@ -56,7 +62,11 @@ def _verify_one(data, fmt: str, w, h) -> tuple:
         # skipping the re-encode makes verify ~3x cheaper on PNG rows
         return (True, None, None)
     try:
-        rt = decode_image(encode_qimg(arr, fmt), fmt)
+        # roundtrip_lossy == decode(encode(arr)) exactly for the stand-in
+        # codec (test-pinned) but skips its zlib serialize/deserialize;
+        # real PIL-decoded bytes take the real re-encode path
+        real = HAVE_PIL and bytes(data)[:4] != QIMG_MAGIC
+        rt = roundtrip_lossy(arr, fmt, real=real)
         db = psnr(arr, rt)
     except ValueError:
         return (False, "image_reencode_failed", None)

@@ -191,6 +191,36 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown image format {fmt!r}")
 
 
+def roundtrip_lossy(
+    arr: np.ndarray, fmt: str, step: int = QUANT_STEP, real: bool = False
+) -> np.ndarray:
+    """Pixels after an encode→decode roundtrip in the declared lossy format.
+
+    For the qimg stand-in the loss is EXACTLY bin-center quantization —
+    the zlib serialize/deserialize in between is lossless and adds no
+    information — so the roundtrip is computed analytically (test-pinned
+    byte-equal to decode_qimg(encode_qimg(arr))): the verify stage skips
+    one zlib compress + decompress of w*h*3 bytes per image. With
+    ``real=True`` (a PIL-decoded genuine jpeg/webp) the actual encoder
+    must run — no analytic shortcut exists for real DCT codecs.
+    """
+    if real:  # pragma: no cover - exercised by tests/test_optional
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(
+            buf, format="JPEG" if fmt == "jpeg" else "WEBP", quality=90
+        )
+        with Image.open(buf) as im:
+            return np.asarray(im.convert("RGB"))
+    q = (arr.astype(np.uint16) // step).astype(np.uint8)
+    return np.minimum(q.astype(np.uint16) * step + step // 2, 255).astype(
+        np.uint8
+    )
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical arrays."""
     if a.shape != b.shape:

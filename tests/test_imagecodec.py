@@ -42,3 +42,24 @@ def test_decode_image_routes_by_fmt():
         ic.decode_image(b"junk", "png")
     with pytest.raises(ValueError):
         ic.decode_image(ic.encode_png(a), "tiff")
+
+
+def test_roundtrip_lossy_equals_real_roundtrip():
+    """The analytic roundtrip the verify stage uses must be BYTE-EQUAL to
+    an actual encode_qimg -> decode_qimg pass — the honesty pin for
+    skipping the zlib serialize/deserialize in the hot path."""
+    import numpy as np
+
+    from corpusama_spark.io.imagecodec import (
+        decode_qimg,
+        encode_qimg,
+        roundtrip_lossy,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(5, 7, 3), (32, 32, 3), (17, 64, 3)]:
+        arr = rng.integers(0, 256, shape).astype(np.uint8)
+        for fmt in ("jpeg", "webp"):
+            want = decode_qimg(encode_qimg(arr, fmt))
+            got = roundtrip_lossy(arr, fmt)
+            assert np.array_equal(got, want), (shape, fmt)
