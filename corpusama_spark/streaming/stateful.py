@@ -164,21 +164,76 @@ def streaming_near_dedup(
     )
 
 
+STATE_TTL_SCHEMA = "canonical string, n long, last_ms long"
+
+
+def _dedup_fn_ttl(ttl_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import time
+
+        now_ms = int(time.time() * 1000)
+        canonical, n = None, 0
+        if state.exists:
+            canonical, n, last_ms = state.get
+            if now_ms - last_ms > ttl_ms:
+                canonical, n = None, 0  # lazily expire: first-seen again
+        rows = []
+        for pdf in pdfs:
+            for image_id in pdf.sort_values("image_id")["image_id"]:
+                if canonical is None:
+                    canonical = image_id
+                    rows.append((key[0], image_id, True, None))
+                else:
+                    rows.append((key[0], image_id, False, canonical))
+                n += 1
+        state.update((canonical, n, now_ms))
+        yield pd.DataFrame(
+            rows, columns=["text_hash", "image_id", "is_first", "dupe_of"]
+        )
+
+    return fn
+
+
 def streaming_dedup(
-    stream: DataFrame, id_col: str = "image_id", text_col: str = "caption"
+    stream: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    ttl_minutes: float | None = None,
 ) -> DataFrame:
     """first-seen/duplicate decision per row, stateful across batches AND
-    restarts (state lives in the stream checkpoint). No timeout: corpus
-    dedup state is permanent by design; pass a TTL'd variant for
-    bounded-window dedup."""
+    restarts (state lives in the stream checkpoint).
+
+    ``ttl_minutes=None`` (default): state is permanent — corpus dedup
+    remembers every hash forever, growing with corpus CARDINALITY.
+    ``ttl_minutes=N``: bounded-window dedup — a hash whose last occurrence
+    is older than N minutes counts as never-seen again (the TTL slides on
+    every new occurrence). Expiry is LAZY: the timestamp lives in the
+    state row and is checked when the hash recurs, so the semantics hold
+    deterministically with NoTimeout. (ProcessingTimeTimeout sweeps would
+    also reclaim idle state storage, but this Spark build spins empty
+    micro-batches when a processing-time timeout is pending under
+    Trigger.AvailableNow — measured to a StackOverflowError — so storage
+    reclamation of idle keys is left to an offline state-store compaction.)
+    Use the TTL form for feeds where only recent repeats matter (scraper
+    retry storms, mirror bursts), permanent for training-corpus admission."""
     hashed = stream.select(
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_hash"),
         F.col(id_col).alias("image_id"),
     )
+    if ttl_minutes is None:
+        return hashed.groupBy("text_hash").applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     return hashed.groupBy("text_hash").applyInPandasWithState(
-        _dedup_fn,
+        _dedup_fn_ttl(int(ttl_minutes * 60_000)),
         outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=STATE_TTL_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

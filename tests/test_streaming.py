@@ -225,3 +225,72 @@ def test_streaming_near_dedup_flood_cap(spark, tmp_path):
         assert band_rows[0].match_id is None  # first admitted
         # every later row matches x0 exactly (hamming 0) despite the cap
         assert all(r.match_id == "x0" and r.hamming == 0 for r in band_rows[1:])
+
+
+def test_streaming_dedup_ttl_eviction(spark, tmp_path):
+    """Bounded-window dedup: a hash whose last occurrence is older than the
+    TTL counts as first-seen again, while within-TTL repeats stay dupes.
+    Expiry is lazy (timestamp checked in-state when the hash recurs), so
+    the two regimes are pinned with separate TTLs: a wide one that each
+    ~10 s drain cannot outlive, and a sub-second one that it always does."""
+    import time as _time
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from corpusama_spark.streaming.stateful import streaming_dedup
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("caption", StringType()),
+        ]
+    )
+    collected = []
+
+    def drain(src, ckpt, ttl):
+        q = (
+            streaming_dedup(
+                spark.readStream.schema(schema).parquet(src), ttl_minutes=ttl
+            )
+            .writeStream.foreachBatch(
+                lambda d, _i: collected.extend(d.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # regime 1: wide TTL (30 min) — the repeat lands well inside the window
+    src1, ckpt1 = str(tmp_path / "src1"), str(tmp_path / "ckpt1")
+    spark.createDataFrame([("a1", "ttl text")], schema).write.mode(
+        "append"
+    ).parquet(src1)
+    drain(src1, ckpt1, 30)
+    assert [(r.image_id, r.is_first) for r in collected] == [("a1", True)]
+    collected.clear()
+    spark.createDataFrame([("a2", "ttl text")], schema).write.mode(
+        "append"
+    ).parquet(src1)
+    drain(src1, ckpt1, 30)
+    assert [(r.image_id, r.is_first, r.dupe_of) for r in collected] == [
+        ("a2", False, "a1")
+    ]
+
+    # regime 2: sub-second TTL — the same repeat is first-seen again
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    collected.clear()
+    spark.createDataFrame([("b1", "ttl text")], schema).write.mode(
+        "append"
+    ).parquet(src2)
+    drain(src2, ckpt2, 0.005)  # 0.3 s
+    assert [(r.image_id, r.is_first) for r in collected] == [("b1", True)]
+    _time.sleep(1.0)
+    collected.clear()
+    spark.createDataFrame([("b2", "ttl text")], schema).write.mode(
+        "append"
+    ).parquet(src2)
+    drain(src2, ckpt2, 0.005)
+    got = [(r.image_id, r.is_first, r.dupe_of) for r in collected]
+    assert got == [("b2", True, None)], got
