@@ -799,6 +799,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup reduction: near-dup EDGES → connected components →
+    one canonical per cluster → per-document keep flag (the table a corpus
+    build anti-joins before training). Composes X5 over the deterministic
+    chains+links edge set; documents outside any edge keep themselves.
+    Oracle: the recursive-CTE closure left-joined back to documents."""
+    from corpusama_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    chains = docs.where(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    links = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 7).alias("id_b")
+    )
+    comp = connected_components(chains.unionByName(links), fixed_iters=12)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-verified ANN quality (recall@5 per query): the axis-sign-LSH
     tier against the brute-force cosine truth. Axis-sign buckets involve NO
@@ -1156,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stage_counts": q_stage_counts,
         "metrics_rollup": q_metrics_rollup,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keeplist": q_dedup_keeplist,
         "gopher_rules": q_gopher_rules,
         "bpe_tokens": q_bpe_tokens,
         "winnow_fp": q_winnow_fp,
@@ -1924,6 +1954,29 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(greatest(line_chars, 1) AS DOUBLE) <= 0.20
                     AND t2 <= 0.20 AND t3 <= 0.18) AS repetition_keep
             FROM m
+        """,
+        "dedup_keeplist": """
+            WITH RECURSIVE
+            p AS (
+                SELECT doc_id AS id_a, doc_id + 1 AS id_b
+                FROM documents WHERE doc_id % 5 != 4
+                UNION ALL
+                SELECT doc_id, doc_id + 7
+                FROM documents WHERE doc_id % 50 = 0),
+            e AS (
+                SELECT id_a AS s, id_b AS d FROM p
+                UNION
+                SELECT id_b, id_a FROM p),
+            r AS (
+                SELECT s AS id, s AS comp FROM e
+                UNION
+                SELECT r.id, e.d FROM r JOIN e ON e.s = r.comp),
+            c AS (
+                SELECT id, min(comp) AS component FROM r GROUP BY id)
+            SELECT doc_id,
+                   coalesce(component, doc_id) AS component,
+                   coalesce(component, doc_id) = doc_id AS keep
+            FROM documents LEFT JOIN c ON c.id = doc_id
         """,
         "ann_recall": f"""
             WITH cb AS (

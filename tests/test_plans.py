@@ -164,3 +164,19 @@ def test_training_sample_filter_below_rank(spark, tmp_path):
     i_filter = plan.find("pmod")
     i_rank = plan.find("TakeOrderedAndProject")
     assert 0 <= i_rank < i_filter  # filter prints below (after) the rank node
+
+
+def test_no_row_python_in_any_contract_query(spark):
+    """Blanket pin: NO contract query may carry a row-at-a-time Python UDF
+    (BatchEvalPython) anywhere in its physical plan — the engine-wide
+    'Arrow or JVM only' rule, checked on every queries() entry at once."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, fn in E.queries().items():
+        try:
+            audit.report(fn(spark, sf)).assert_no_row_python()
+        except AssertionError:
+            offenders.append(name)
+    assert not offenders, offenders
