@@ -453,9 +453,17 @@ def axis_lsh_topk(
     """Approximate top-k via axis-sign LSH buckets, reranked by exact
     cosine (6-decimal-rounded, ties id-asc — the cross-engine-stable
     ordering topk_cosine established). Same bucket-equi-join shape as
-    ann_topk; needs dim >= nbits*ntables."""
+    ann_topk; needs dim >= nbits*ntables (checked — out-of-range
+    element_at would otherwise yield NULL > 0 = constant '0' bits and
+    silently degrade every bucket)."""
     from pyspark.sql.window import Window
 
+    dim = infer_dim(corpus, vec_col)
+    if dim < nbits * ntables:
+        raise ValueError(
+            f"axis_lsh_topk needs dim >= nbits*ntables "
+            f"({nbits}*{ntables}={nbits * ntables}), got dim={dim}"
+        )
     vec = F.col(vec_col).cast("array<double>")
     c = corpus.select(
         F.col(id_col).alias("cand_id"),

@@ -535,3 +535,19 @@ def test_ivf_over_quantized_embeddings(spark, emb_df):
     }
     # half-step-bounded quantization error barely perturbs cosine ranking
     assert len(raw & quant) / len(raw) >= 0.8, (raw - quant, quant - raw)
+
+
+def test_axis_lsh_rejects_narrow_vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(10),
+                "embedding": [rng.standard_normal(16).tolist() for _ in range(10)],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="nbits"):
+        SIM.axis_lsh_topk(df, df.where("vec_id < 2"), nbits=6, ntables=8)
