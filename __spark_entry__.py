@@ -799,6 +799,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SENT_SEED_PREFIX = "Dr. Prime said so. "
+SENT_SEED_SUFFIX = " ¿Listo ya? Sr. Vega agrees. Fin."
+
+
+def q_sent_split_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 oracled: language-aware sentence split driven by the per-row lang
+    column (sentences.split_sentences_for). The seeded text carries 'Dr.'
+    (protected in en/fr/es), 'Sr.' (protected in en/es but NOT fr), and a
+    Spanish inverted-question opener, so every branch — en, fr, es, and
+    the de/zh fallback — produces a DIFFERENT split, all mirrored in the
+    DuckDB oracle via abbreviation-sentinel + chr(30)-break emulation of
+    the lookbehind/lookahead pattern."""
+    from corpusama_spark.operators.sentences import split_sentences_for
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.lit(SENT_SEED_PREFIX),
+        F.substring(F.col("text"), 1, 80),
+        F.lit(SENT_SEED_SUFFIX),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(split_sentences_for(seeded, F.col("lang"))).alias(
+            "sent_id", "sentence"
+        ),
+    ).select("doc_id", "lang", F.col("sent_id").cast("long").alias("sent_id"), "sentence")
+
+
 def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup reduction: near-dup EDGES → connected components →
     one canonical per cluster → per-document keep flag (the table a corpus
@@ -1184,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conllu_export": q_conllu_export,
         "stage_counts": q_stage_counts,
         "metrics_rollup": q_metrics_rollup,
+        "sent_split_lang": q_sent_split_lang,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
         "gopher_rules": q_gopher_rules,
@@ -1260,6 +1290,48 @@ def _sql_quote_fold(col: str) -> str:
         d = dst.replace("'", "''")
         out = f"replace({out}, '{s}', '{d}')"
     return out
+
+
+def _sql_lang_split() -> str:
+    """DuckDB twin of sentences.split_sentences_for over the seeded text:
+    abbreviation dots → chr(1) sentinel per language branch, terminator
+    breaks → chr(30) (the lookbehind emulation the vert oracles use),
+    Spanish additionally breaks before ¿/¡, then restore + trim + filter."""
+    from corpusama_spark.operators.sentences import ABBREVS
+
+    prefix = SENT_SEED_PREFIX.replace("'", "''")
+    suffix = SENT_SEED_SUFFIX.replace("'", "''")
+    base = (
+        f"regexp_replace('{prefix}' || substr(text, 1, 80) || '{suffix}',"
+        " '\\n', ' ', 'g')"
+    )
+    branches = []
+    for lg, abbrevs in ABBREVS.items():
+        pat = "\\b(" + "|".join(abbrevs) + ")\\."
+        protected = f"regexp_replace({base}, '{pat}', '\\1' || chr(1), 'g')"
+        broken = (
+            f"regexp_replace({protected}, '([.!?])\\s+', '\\1' || chr(30), 'g')"
+        )
+        if lg == "es":
+            broken = (
+                f"regexp_replace({broken}, '\\s+([¿¡])', chr(30) || '\\1', 'g')"
+            )
+        branches.append(f"WHEN lang = '{lg}' THEN replace({broken}, chr(1), '.')")
+    fallback = f"regexp_replace({base}, '([.!?])\\s+', '\\1' || chr(30), 'g')"
+    case = "CASE " + " ".join(branches) + f" ELSE {fallback} END"
+    return f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   list_filter(
+                       list_transform(string_split({case}, chr(30)),
+                                      x -> trim(x)),
+                       x -> len(x) > 0) AS sents
+            FROM documents)
+        SELECT doc_id, lang,
+               unnest(generate_series(0, len(sents) - 1)) AS sent_id,
+               unnest(sents) AS sentence
+        FROM s
+    """
 
 
 def _sql_axis_buckets(nbits: int = 6, ntables: int = 8) -> str:
@@ -1955,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
                     AND t2 <= 0.20 AND t3 <= 0.18) AS repetition_keep
             FROM m
         """,
+        "sent_split_lang": _sql_lang_split(),
         "dedup_keeplist": """
             WITH RECURSIVE
             p AS (
