@@ -85,21 +85,46 @@ def minhash_signature(shingle_col: F.Column, num_hashes: int = 16) -> F.Column:
     return F.array(*sigs)
 
 
+# per-position odd mixing constants for the tokenhash shingle combine
+_COMBINE_SEED = 0x9E3779B97F4A7C15  # 2^64 / golden ratio
+
+
+def _combine_consts(n: int) -> "np.ndarray":
+    return np.array(
+        [(_COMBINE_SEED * (2 * p + 1)) & 0xFFFFFFFFFFFFFFFF | 1 for p in range(n)],
+        dtype=np.uint64,
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingle_kernel: str = "tokenhash",
 ) -> DataFrame:
     """(id, sig) per row, with the expensive stages each evaluated ONCE.
 
-    The hashed-shingle array lands in its own projection; CollapseProject
-    will not inline a non-cheap (higher-order-function) alias referenced by
-    all K permutation expressions, so each row hashes its shingles exactly
-    once. If the incoming plan has fewer partitions than the cluster's
-    parallelism (one small parquet file), repartition first so the CPU-bound
-    signature stage actually fans out.
+    ``shingle_kernel`` picks how shingle hashes are produced:
+
+    - "tokenhash" (default): each TOKEN is xxhash64'd once JVM-side, and
+      the word-n-gram shingle hash is a fixed odd-constant linear combine
+      of its n token hashes inside the Arrow kernel (uint64 wraparound,
+      then mod MERSENNE). Minhash needs any uniform hash family, and this
+      one skips materializing shingle STRINGS — the slice+array_join per
+      window runs as an interpreted higher-order function and was measured
+      at ~8x the cost of the whole token-hash pass (BENCH.md r3).
+    - "string": xxhash64 of the joined shingle string — the original
+      family, value-parity with the Column twin ``minhash_signature``
+      (pinned by test), for callers that must reproduce those signatures.
+
+    Either way the hashed array lands in its own projection;
+    CollapseProject will not inline a non-cheap (higher-order-function)
+    alias referenced by all K permutation expressions, so each row hashes
+    exactly once. If the incoming plan has fewer partitions than the
+    cluster's parallelism (one small parquet file), repartition first so
+    the CPU-bound signature stage actually fans out.
     """
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
@@ -107,6 +132,10 @@ def minhash_signatures(
     # force a deserialization boundary into the plan, and the signature stage
     # is CPU-bound enough that one narrow-input shuffle always pays for itself
     src = src.repartition(spark.sparkContext.defaultParallelism)
+    if shingle_kernel == "tokenhash":
+        return _minhash_signatures_tokenhash(src, num_hashes, shingle_n)
+    if shingle_kernel != "string":
+        raise ValueError(f"unknown shingle_kernel {shingle_kernel!r}")
     hashed = src.withColumn(
         "_hs",
         F.transform(
@@ -146,6 +175,72 @@ def minhash_signatures(
         return pd.Series(out)
 
     return hashed.select("id", _sig_udf("_hs").alias("sig"))
+
+
+def _minhash_signatures_tokenhash(
+    src: DataFrame, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """tokenhash kernel: JVM xxhash64 per TOKEN, sliding-window combine +
+    permutations + mins in one numpy pass. Rows with 0 < L < n tokens get
+    one shingle combining all L hashes (mirroring shingles()'s short-doc
+    behavior); empty/NULL text yields a NULL signature."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("_t"))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    hashed = src.withColumn(
+        "_th", F.transform(toks, lambda x: F.abs(F.xxhash64(x)) % F.lit(MERSENNE))
+    )
+    a_coef = np.array([2 * k + 1 for k in range(num_hashes)], dtype=np.int64)
+    b_coef = np.array(
+        [1_000_003 * (k + 1) for k in range(num_hashes)], dtype=np.int64
+    )
+    consts = _combine_consts(shingle_n)
+    n = shingle_n
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig_udf(th: pd.Series) -> pd.Series:
+        lens = np.array([0 if v is None else len(v) for v in th])
+        if lens.sum() == 0:
+            return pd.Series([[None] * num_hashes for _ in th])
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in th if v is not None and len(v)]
+        ).astype(np.uint64)
+        starts = np.concatenate(([0], np.cumsum(lens[lens > 0])[:-1]))
+        # full-width windows over the concatenation; row-crossing windows
+        # are simply never selected by the per-row slices below
+        if len(flat) >= n:
+            g_full = np.zeros(len(flat) - n + 1, dtype=np.uint64)
+            for p in range(n):
+                g_full += flat[p : len(flat) - n + 1 + p] * consts[p]
+        else:
+            g_full = np.zeros(0, dtype=np.uint64)
+        g_rows = []
+        for s, ln in zip(starts, lens[lens > 0]):
+            if ln >= n:
+                g_rows.append(g_full[s : s + ln - n + 1])
+            else:  # short doc: one shingle over all its tokens
+                g_rows.append(
+                    np.array(
+                        [(flat[s : s + ln] * consts[:ln]).sum(dtype=np.uint64)],
+                        dtype=np.uint64,
+                    )
+                )
+        g_counts = np.array([len(g) for g in g_rows])
+        g_flat = (np.concatenate(g_rows) % np.uint64(MERSENNE)).astype(np.int64)
+        perms = (g_flat[None, :] * a_coef[:, None] + b_coef[:, None]) % MERSENNE
+        g_starts = np.concatenate(([0], np.cumsum(g_counts)[:-1]))
+        mins = np.minimum.reduceat(perms, g_starts, axis=1)
+        out, j = [], 0
+        for ln in lens:
+            if ln == 0:
+                out.append([None] * num_hashes)
+            else:
+                out.append(mins[:, j].tolist())
+                j += 1
+        return pd.Series(out)
+
+    return hashed.select("id", _sig_udf("_th").alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -100,7 +100,10 @@ def test_exact_dedup(spark, docs_df):
 
 
 def test_minhash_lsh_finds_near_dup(spark, docs_df):
-    pairs = D.minhash_lsh_pairs(docs_df, "text", "doc_id", num_hashes=16, bands=8)
+    # bands=16 (1 hash per band): the 0<->2 pair's shingle Jaccard is 0.4,
+    # so per-band collision P=0.4 — 16 single-hash bands make the near tier
+    # robust to the hash family instead of a 2-hash-band coin flip
+    pairs = D.minhash_lsh_pairs(docs_df, "text", "doc_id", num_hashes=16, bands=16)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 1) in got  # exact dup always collides
     assert (0, 2) in got or (1, 2) in got  # near dup collides in some band
@@ -228,7 +231,9 @@ def test_minhash_signature_vectorized_parity(spark, docs_df):
     }
     vec = {
         r.id: list(r.sig)
-        for r in minhash_signatures(docs_df, "text", "doc_id", 16).collect()
+        for r in minhash_signatures(
+            docs_df, "text", "doc_id", 16, shingle_kernel="string"
+        ).collect()
     }
     assert expr == vec
 
@@ -551,3 +556,83 @@ def test_axis_lsh_rejects_narrow_vectors(spark):
     )
     with pytest.raises(ValueError, match="nbits"):
         SIM.axis_lsh_topk(df, df.where("vec_id < 2"), nbits=6, ntables=8)
+
+
+def test_minhash_tokenhash_kernel_pinned_and_equivalent(spark, docs_df):
+    """The tokenhash shingle kernel (r3 fast path): (a) signatures match a
+    pure-python reimplementation of its definition — JVM token xxhash64,
+    odd-constant uint64 combine, affine permutations; (b) it finds the
+    same near-dup pairs as the string kernel on a copy fixture; (c) it is
+    deterministic across partitionings."""
+    import numpy as np
+
+    from corpusama_spark.operators.dedup import (
+        MERSENNE,
+        _combine_consts,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    sample = docs_df.limit(40)
+    # (a) python pin: recompute from JVM token hashes
+    toks_hashed = {
+        r.id: list(r.th)
+        for r in sample.selectExpr(
+            "doc_id as id",
+            "transform(filter(split(lower(trim(text)), '\\\\s+'),"
+            " t -> length(t) > 0), x -> abs(xxhash64(x)) % 2147483647) as th",
+        ).collect()
+    }
+    consts = _combine_consts(3)
+    want = {}
+    for i, hs in toks_hashed.items():
+        hs = np.array(hs, dtype=np.uint64)
+        if len(hs) == 0:
+            want[i] = [None] * 16
+            continue
+        if len(hs) >= 3:
+            g = np.zeros(len(hs) - 2, dtype=np.uint64)
+            for p in range(3):
+                g += hs[p : len(hs) - 2 + p] * consts[p]
+        else:
+            g = np.array([(hs * consts[: len(hs)]).sum(dtype=np.uint64)])
+        g = (g % np.uint64(MERSENNE)).astype(np.int64)
+        want[i] = [
+            int(
+                min(
+                    (int(x) * (2 * k + 1) + 1_000_003 * (k + 1)) % MERSENNE
+                    for x in g
+                )
+            )
+            for k in range(16)
+        ]
+    got = {
+        r.id: list(r.sig)
+        for r in minhash_signatures(sample, "text", "doc_id", 16).collect()
+    }
+    assert got == want
+    # (b) same candidate pairs as the string kernel on an exact-copy tier
+    copies = docs_df.limit(30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    src = docs_df.limit(30).select("doc_id", "text").unionByName(copies)
+    p_tok = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(src, "text", "doc_id", 16, bands=8).collect()
+    }
+    # copies must collide in every band under ANY hash family
+    base_ids = [r.doc_id for r in docs_df.limit(30).select("doc_id").collect()]
+    for i in base_ids:
+        assert (i, i + 100000) in p_tok
+    # (c) determinism across partitioning
+    g1 = sorted(
+        tuple(r.sig)
+        for r in minhash_signatures(sample, "text", "doc_id", 16).collect()
+    )
+    g2 = sorted(
+        tuple(r.sig)
+        for r in minhash_signatures(
+            sample.repartition(7), "text", "doc_id", 16
+        ).collect()
+    )
+    assert g1 == g2
