@@ -929,6 +929,26 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated regions (exact-substring dedup shape, Lee
+    et al. 2022, approximated with positional winnowing): char-8-gram
+    md5-prefix hashes, window-8 positional minima, fingerprints in >=3
+    distinct docs, covered char spans merged into islands per doc. Output
+    is the snip-list (doc_id, span_start, span_end) — 1-based inclusive
+    start, exclusive end. Oracle: the identical md5/argmin/island chain in
+    DuckDB (zipped double-unnest instead of a struct explode)."""
+    from corpusama_spark.operators.dedup import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_spans(
+        docs, "text", "doc_id", k=8, window=8, min_docs=3
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (model-/hash-UDF operators with no ANSI-SQL equivalent)
 # --------------------------------------------------------------------------
@@ -1219,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "bpe_tokens": q_bpe_tokens,
         "winnow_fp": q_winnow_fp,
+        "repeated_spans": q_repeated_spans,
         "embed_quantize": q_embed_quantize,
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
@@ -2136,6 +2157,62 @@ def oracle_sql() -> dict[str, str]:
                        ELSE [] END AS fps
                 FROM h)
             SELECT doc_id, unnest(fps) AS fp FROM m
+        """,
+        "repeated_spans": """
+            WITH g AS (
+                SELECT doc_id, lower(text) AS t FROM documents),
+            h AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) - 7 >= 1 THEN
+                           list_transform(generate_series(1, len(t) - 7),
+                               i -> substr(md5(substr(t, i, 8)), 1, 8))
+                       ELSE [] END AS hs
+                FROM g),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) - 7 >= 1 THEN
+                           list_transform(generate_series(1, len(hs) - 7),
+                               j -> list_aggregate(hs[j:j+7], 'min'))
+                       ELSE [] END AS fps,
+                       CASE WHEN len(hs) - 7 >= 1 THEN
+                           list_transform(generate_series(1, len(hs) - 7),
+                               j -> j - 1 + list_position(hs[j:j+7],
+                                        list_aggregate(hs[j:j+7], 'min')))
+                       ELSE [] END AS poss
+                FROM h),
+            sel AS (
+                SELECT DISTINCT doc_id, fp, pos FROM (
+                    SELECT doc_id, unnest(fps) AS fp, unnest(poss) AS pos
+                    FROM m)),
+            freq AS (
+                SELECT fp FROM sel GROUP BY fp
+                HAVING count(DISTINCT doc_id) >= 3),
+            marked AS (
+                SELECT DISTINCT doc_id, pos AS span_start, pos + 8 AS span_end
+                FROM sel WHERE fp IN (SELECT fp FROM freq)),
+            flagged AS (
+                SELECT doc_id, span_start, span_end,
+                       CASE WHEN max(span_end) OVER (
+                                PARTITION BY doc_id ORDER BY span_start
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                              OR span_start > max(span_end) OVER (
+                                PARTITION BY doc_id ORDER BY span_start
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS new_isl
+                FROM marked),
+            isl AS (
+                SELECT doc_id, span_start, span_end,
+                       sum(new_isl) OVER (
+                           PARTITION BY doc_id ORDER BY span_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+                FROM flagged)
+            SELECT doc_id,
+                   CAST(min(span_start) AS INTEGER) AS span_start,
+                   CAST(max(span_end) AS INTEGER) AS span_end
+            FROM isl GROUP BY doc_id, island
         """,
         "metrics_rollup": f"""
             WITH c AS (

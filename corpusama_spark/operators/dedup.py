@@ -627,3 +627,127 @@ def winnow_fingerprints(
     (no CSE within a projection), i.e. O(len²) per document. Use
     winnow_fingerprints_df on anything hot; outputs are identical."""
     return winnow_from_hashes(winnow_hashes(text_col, k), window)
+
+
+def positional_winnow(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnow-selected fingerprints WITH their k-gram offsets:
+    (id, fp, pos) — pos is the 1-based char index of the k-gram whose hash
+    is the (lexicographic) minimum of its window. Robust winnowing
+    guarantees any shared substring of length >= k + window - 1 yields at
+    least one shared selected fingerprint, so positions are exactly what a
+    repeated-REGION detector needs (Schleimer et al. 2003, §3).
+
+    The hash array is staged (see winnow_from_hashes' CSE note); inside
+    each window lambda the slice is evaluated twice (min + argmin) — a
+    constant factor, not the O(len^2) inlining trap. Selected structs are
+    array_distinct'ed BEFORE the explode, so the exploded row count is the
+    winnow density (~2/(window+1) per char), not one row per window.
+    """
+    spark = df.sparkSession
+    staged = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_hs", winnow_hashes("_t", k))
+    )
+    n_windows = F.size(F.col("_hs")) - (window - 1)
+    sel = F.when(
+        n_windows >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.struct(
+                    F.array_min(F.slice(F.col("_hs"), j, window)).alias("fp"),
+                    (
+                        j
+                        - 1
+                        + F.array_position(
+                            F.slice(F.col("_hs"), j, window),
+                            F.array_min(F.slice(F.col("_hs"), j, window)),
+                        )
+                    )
+                    .cast("int")
+                    .alias("pos"),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<fp:string,pos:int>>"))
+    return (
+        staged.select("id", F.explode(sel).alias("s"))
+        .select("id", F.col("s.fp").alias("fp"), F.col("s.pos").alias("pos"))
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated regions — the distributed shape of
+    exact-substring dedup over a training corpus (public method: suffix-
+    array substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"; approximated here with positional
+    winnowing instead of a suffix array, which a cluster cannot build
+    globally anyway).
+
+    Pipeline: positional fingerprints -> fingerprints present in
+    >= min_docs DISTINCT docs -> per-doc char spans [pos, pos+k) ->
+    overlapping/adjacent spans merged into islands. Returns
+    (id, span_start, span_end): 1-based inclusive start, EXCLUSIVE end —
+    the snip-list a corpus build subtracts before training.
+
+    Scale shape: three keyed shuffles (fp count-distinct, fp semi-join,
+    per-doc island window) — never a pair join, so a boilerplate
+    fingerprint shared by 10^8 docs costs one hot reducer in the count,
+    not 10^16 candidate pairs. The island merge is a per-doc running-max
+    window: rows per doc are bounded by doc length x winnow density.
+    """
+    from pyspark.sql import Window
+
+    rows = positional_winnow(df, text_col, id_col, k, window)
+    freq = (
+        rows.groupBy("fp")
+        .agg(F.countDistinct("id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("fp")
+    )
+    marked = (
+        rows.join(freq, "fp", "left_semi")
+        .select(
+            "id",
+            F.col("pos").alias("span_start"),
+            (F.col("pos") + k).alias("span_end"),
+        )
+        .distinct()
+    )
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("id")
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max("span_end").over(w_prev)
+    flag = F.when(
+        prev_end.isNull() | (F.col("span_start") > prev_end), 1
+    ).otherwise(0)
+    return (
+        marked.withColumn("_isl", F.sum(flag).over(w_cum))
+        .groupBy("id", "_isl")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "span_start",
+            F.col("span_end").cast("int").alias("span_end"),
+        )
+    )
