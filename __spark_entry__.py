@@ -996,6 +996,29 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash+LSH candidate pipeline in its portable-hash
+    configuration (hash_family='md5'): shingle hash, affine permutations,
+    band keys, flood guard and the banded self-join are all reproduced
+    exactly by the DuckDB oracle — upgrading minhash evidence from
+    rows-only to oracle-checked. Non-empty docs only (the null/empty tier
+    otherwise piles into one md5('') bucket on both engines — excluded so
+    the oracle checks near-dup structure, not null plumbing). The xxhash64
+    twin (`minhash_pairs`) stays the performance path."""
+    docs = _t(spark, sf_dir, "documents").where(
+        "text is not null and length(trim(text)) > 0"
+    )
+    return minhash_lsh_pairs(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=8,
+        max_bucket=1024,
+        hash_family="md5",
+    )
+
+
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (rows-only: xxhash64-based codes).
 
@@ -1240,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "winnow_fp": q_winnow_fp,
         "repeated_spans": q_repeated_spans,
+        "minhash_pairs_md5": q_minhash_pairs_md5,
         "embed_quantize": q_embed_quantize,
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
@@ -1272,6 +1296,57 @@ def _sql_stopword_hits(lang: str, text: str = "text") -> str:
         f"len(list_filter(string_split_regex(lower(trim({text})), '\\s+'),"
         f" x -> x IN ({words})))"
     )
+
+
+def _sql_minhash_md5(
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1024,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_family='md5'): identical
+    shingling, identical ('0x'||substr(md5,1,8))::BIGINT % p shingle hash,
+    identical affine permutations (a_k=2k+1, b_k=1000003(k+1)), identical
+    md5 band keys and flood guard."""
+    p = 2147483647
+    sig_exprs = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> (h * {2 * k + 1}"
+        f" + {1_000_003 * (k + 1)}) % {p}), 'min') AS s{k}"
+        for k in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    band_keys = ", ".join(
+        "md5(concat("
+        + ", ',', ".join(
+            f"CAST(s{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + "))"
+        for b in range(bands)
+    )
+    band_idx = ", ".join(str(b) for b in range(bands))
+    return f"""
+        WITH g AS (
+            SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        tok AS (SELECT id, string_split_regex(t, '\\s+') AS ws FROM g),
+        sh AS (SELECT id, list_distinct(list_filter(
+                 list_transform(
+                     generate_series(1, greatest(len(ws) - {shingle_n - 1}, 1)),
+                     i -> array_to_string(ws[i:i+{shingle_n - 1}], ' ')),
+                 s -> len(s) > 0)) AS sg FROM tok),
+        hsh AS (SELECT id, list_transform(sg, s ->
+                 ('0x' || substr(md5(s), 1, 8))::BIGINT % {p}) AS hs
+                FROM sh),
+        sig AS (SELECT id, {sig_exprs} FROM hsh),
+        banded AS (SELECT id, unnest([{band_keys}]) AS band_key,
+                          unnest([{band_idx}]) AS band FROM sig),
+        ok AS (SELECT band, band_key FROM banded GROUP BY band, band_key
+               HAVING count(*) <= {max_bucket}),
+        b2 AS (SELECT banded.* FROM banded JOIN ok USING (band, band_key))
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM b2 a JOIN b2 b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    """
 
 
 def _sql_token_count(text: str = "text") -> str:
@@ -2214,6 +2289,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(span_end) AS INTEGER) AS span_end
             FROM isl GROUP BY doc_id, island
         """,
+        "minhash_pairs_md5": _sql_minhash_md5(),
         "metrics_rollup": f"""
             WITH c AS (
                 SELECT lang, count(*) AS n,

@@ -103,8 +103,15 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     shingle_kernel: str = "tokenhash",
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """(id, sig) per row, with the expensive stages each evaluated ONCE.
+
+    ``hash_family``: "xxhash" (default, JVM xxhash64 — fastest) or "md5"
+    (conv(substr(md5(shingle),1,8),16,10) — slower but reproducible in any
+    engine with md5, which makes the WHOLE LSH pipeline oracle-checkable
+    in DuckDB; forces the string kernel since the tokenhash combine is
+    uint64-wraparound arithmetic other engines can't express).
 
     ``shingle_kernel`` picks how shingle hashes are produced:
 
@@ -132,16 +139,24 @@ def minhash_signatures(
     # force a deserialization boundary into the plan, and the signature stage
     # is CPU-bound enough that one narrow-input shuffle always pays for itself
     src = src.repartition(spark.sparkContext.defaultParallelism)
-    if shingle_kernel == "tokenhash":
+    if hash_family not in ("xxhash", "md5"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    if shingle_kernel == "tokenhash" and hash_family == "xxhash":
         return _minhash_signatures_tokenhash(src, num_hashes, shingle_n)
-    if shingle_kernel != "string":
+    if shingle_kernel not in ("string", "tokenhash"):
         raise ValueError(f"unknown shingle_kernel {shingle_kernel!r}")
+    if hash_family == "md5":
+        def _h(s):
+            return (
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+                % F.lit(MERSENNE)
+            )
+    else:
+        def _h(s):
+            return F.abs(F.xxhash64(s)) % F.lit(MERSENNE)
     hashed = src.withColumn(
         "_hs",
-        F.transform(
-            shingles("_t", shingle_n),
-            lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE),
-        ),
+        F.transform(shingles("_t", shingle_n), _h),
     )
     # the K affine permutations + mins run as ONE numpy pass per Arrow
     # batch: Spark executes higher-order-function lambdas interpreted, so
@@ -251,8 +266,14 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket: int | None = None,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via banded LSH.
+
+    ``hash_family="md5"`` makes every hash in the pipeline (shingle hash
+    AND band key) portable md5 arithmetic, so the whole candidate set is
+    reproducible in DuckDB — the oracle-checkable configuration. Default
+    xxhash64 is the fast path.
 
     Scale shape: signatures materialize once (persisted — at 10^12 rows this
     is the signature table you would write to storage anyway), explode to
@@ -268,22 +289,26 @@ def minhash_lsh_pairs(
     """
     from corpusama_spark.plans.caching import own_caches
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, hash_family=hash_family
+    )
+
+    def _band_key(b):
+        joined = F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        )
+        if hash_family == "md5":
+            return F.md5(joined)
+        return F.xxhash64(joined).cast("string")
+
     banded = sig.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_key)
         ).alias("band", "band_key"),
     ).persist()
     banded_persisted = banded

@@ -721,3 +721,19 @@ def test_repeated_spans_no_row_python_and_deterministic(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_minhash_md5_family(spark, docs_df):
+    """The portable-hash (oracle-checkable) configuration: md5 shingle
+    hashes + md5 band keys. Exact dups always share every band; unrelated
+    docs don't; unknown family raises."""
+    pairs = D.minhash_lsh_pairs(
+        docs_df, "text", "doc_id", num_hashes=16, bands=8, hash_family="md5"
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 3) not in got and (3, 4) not in got
+    with pytest.raises(ValueError, match="hash_family"):
+        D.minhash_signatures(
+            docs_df, "text", "doc_id", hash_family="sha9000"
+        ).collect()
