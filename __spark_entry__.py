@@ -1066,6 +1066,38 @@ def q_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash near-dup pipeline in its portable-hash configuration
+    (hash_family='md5', an effective 60-bit simhash): token hashes, the
+    sign-sum code, 4x16-bit band keys, flood guard, self-join and the
+    bit_count(xor) hamming verify are all reproduced exactly by the DuckDB
+    oracle — upgrading simhash evidence from rows-only to oracle-checked.
+    Same perturbation tiers as `simhash_groups`, guaranteed regime k=3."""
+    from corpusama_spark.operators.dedup import simhash_near_dups
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    every10 = docs.where(F.col("doc_id") % 10 == 0)
+    copies = every10.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    perturbed = every10.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "xqzyv").alias("text"),
+    )
+    src = docs.unionByName(copies).unionByName(perturbed)
+    return simhash_near_dups(
+        src,
+        "text",
+        "doc_id",
+        bands=4,
+        hamming_k=3,
+        max_bucket=1024,
+        hash_family="md5",
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k neighbors (xxhash64 planes; rows-only)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1264,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "repeated_spans": q_repeated_spans,
         "minhash_pairs_md5": q_minhash_pairs_md5,
+        "simhash_md5": q_simhash_md5,
         "embed_quantize": q_embed_quantize,
         "ann_recall": q_ann_recall,
         "ivf_topk": q_ivf_topk,
@@ -1346,6 +1379,52 @@ def _sql_minhash_md5(
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM b2 a JOIN b2 b
           ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    """
+
+
+def _sql_simhash_md5(bands: int = 4, hamming_k: int = 3, max_bucket: int = 1024) -> str:
+    """DuckDB twin of simhash_near_dups(hash_family='md5'): 60-bit md5
+    token hashes, per-bit sign-sum code, 16-bit band keys, flood guard,
+    banded self-join, bit_count(xor) verify."""
+    code_terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> {b})"
+        f" & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {b})"
+        " ELSE 0 END"
+        for b in range(60)
+    )
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    band_keys = ", ".join(
+        f"(code >> {b * band_bits}) & {mask}" for b in range(bands)
+    )
+    band_idx = ", ".join(str(b) for b in range(bands))
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        src AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + 100000, text FROM base WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 200000, regexp_replace(text, '^\\S+', 'xqzyv')
+            FROM base WHERE doc_id % 10 = 0),
+        tok AS (SELECT doc_id AS id, list_filter(
+                  string_split_regex(lower(trim(text)), '\\s+'),
+                  x -> len(x) > 0) AS hs0
+                FROM src),
+        th AS (SELECT id, list_transform(hs0, t ->
+                  ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs FROM tok),
+        code AS (SELECT id, ({code_terms}) AS code FROM th),
+        banded AS (SELECT id, code, unnest([{band_idx}]) AS band,
+                          unnest([{band_keys}]) AS band_key FROM code),
+        ok AS (SELECT band, band_key FROM banded GROUP BY band, band_key
+               HAVING count(*) <= {max_bucket}),
+        b2 AS (SELECT banded.* FROM banded JOIN ok USING (band, band_key))
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS hamming
+        FROM b2 a JOIN b2 b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+        WHERE bit_count(xor(a.code, b.code)) <= {hamming_k}
     """
 
 
@@ -2290,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
             FROM isl GROUP BY doc_id, island
         """,
         "minhash_pairs_md5": _sql_minhash_md5(),
+        "simhash_md5": _sql_simhash_md5(),
         "metrics_rollup": f"""
             WITH c AS (
                 SELECT lang, count(*) AS n,

@@ -389,10 +389,12 @@ def simhash_bits(text_col: str, bits: int = 64) -> F.Column:
     )
 
 
-def simhash_codes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_codes(
+    df: DataFrame, text_col: str, id_col: str, hash_family: str = "xxhash"
+) -> DataFrame:
     """(id, simhash: '0'/'1' string, sim: int64) with numpy bit-counting.
 
-    Token hashing stays JVM xxhash64; the 64-bit ±1 accumulation (a 64-wide
+    Token hashing stays JVM-side; the 64-bit ±1 accumulation (a 64-wide
     zip_with per token when expressed as Columns — interpreted, O(tokens×64)
     lambda evals per row) becomes one sign-sum matmul per Arrow batch.
     The string is bit-0-first and identical to simhash_bits (NULL text →
@@ -400,12 +402,26 @@ def simhash_codes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     all-zero hash). ``sim`` packs the same bits into an int64 (bit i of the
     string = bit i of the integer) so banding and hamming distance stay in
     64-bit JVM integer ops downstream.
+
+    ``hash_family="md5"`` swaps the token hash to
+    conv(substr(md5(t),1,15),16,10) — a 60-bit positive hash any engine
+    with md5 reproduces, making the simhash pipeline oracle-checkable in
+    DuckDB. Bits 60-63 of the code are then always 0 (an effective 60-bit
+    simhash); banding/hamming work unchanged.
     """
+    if hash_family == "md5":
+        def _th(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    elif hash_family == "xxhash":
+        def _th(t):
+            return F.xxhash64(t)
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
     )
     hashed = df.select(
-        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("_hs")
+        F.col(id_col), F.transform(toks, _th).alias("_hs")
     )
     shifts = np.arange(64, dtype=np.uint64)
     weights = (np.uint64(1) << shifts).astype(np.uint64)
@@ -547,9 +563,12 @@ def simhash_near_dups(
     bands: int = 4,
     hamming_k: int = 3,
     max_bucket: int | None = None,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Near-dup text pairs via banded simhash LSH (see hamming_band_pairs)."""
-    codes = simhash_codes(df, text_col, id_col).select(id_col, "sim")
+    codes = simhash_codes(df, text_col, id_col, hash_family).select(
+        id_col, "sim"
+    )
     return hamming_band_pairs(
         codes, id_col, "sim", bands, hamming_k, max_bucket
     )

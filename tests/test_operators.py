@@ -737,3 +737,22 @@ def test_minhash_md5_family(spark, docs_df):
         D.minhash_signatures(
             docs_df, "text", "doc_id", hash_family="sha9000"
         ).collect()
+
+
+def test_simhash_md5_family(spark, docs_df):
+    """md5 (portable/oracle-checkable) simhash: exact copies are hamming-0
+    pairs; codes use only the low 60 bits; unknown family raises."""
+    copies = docs_df.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    src = docs_df.unionByName(copies)
+    pairs = D.simhash_near_dups(
+        src, "text", "doc_id", bands=4, hamming_k=3, hash_family="md5"
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for i in range(5):
+        assert got[(i, i + 1000)] == 0
+    codes = D.simhash_codes(docs_df, "text", "doc_id", hash_family="md5")
+    for r in codes.collect():
+        assert r.sim is not None and 0 <= r.sim < (1 << 60)
+        assert r.simhash[60:] == "0000"
+    with pytest.raises(ValueError, match="hash_family"):
+        D.simhash_codes(docs_df, "text", "doc_id", hash_family="crc")
