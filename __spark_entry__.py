@@ -2319,7 +2319,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        CASE WHEN len(t) - 7 >= 1 THEN
                            list_transform(generate_series(1, len(t) - 7),
-                               i -> substr(md5(substr(t, i, 8)), 1, 8))
+                               i -> ('0x' || substr(md5(substr(t, i, 8)),
+                                                    1, 8))::BIGINT)
                        ELSE [] END AS hs
                 FROM g),
             m AS (

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -678,47 +679,68 @@ def positional_winnow(
 ) -> DataFrame:
     """Winnow-selected fingerprints WITH their k-gram offsets:
     (id, fp, pos) — pos is the 1-based char index of the k-gram whose hash
-    is the (lexicographic) minimum of its window. Robust winnowing
-    guarantees any shared substring of length >= k + window - 1 yields at
-    least one shared selected fingerprint, so positions are exactly what a
-    repeated-REGION detector needs (Schleimer et al. 2003, §3).
+    is the minimum of its window (first index on ties, matching
+    array_position / numpy argmin). Robust winnowing guarantees any shared
+    substring of length >= k + window - 1 yields at least one shared
+    selected fingerprint, so positions are exactly what a repeated-REGION
+    detector needs (Schleimer et al. 2003, §3).
 
-    The hash array is staged (see winnow_from_hashes' CSE note); inside
-    each window lambda the slice is evaluated twice (min + argmin) — a
-    constant factor, not the O(len^2) inlining trap. Selected structs are
-    array_distinct'ed BEFORE the explode, so the exploded row count is the
-    winnow density (~2/(window+1) per char), not one row per window.
+    Gram hashes are the portable integer family
+    conv(substr(md5(gram),1,8),16,10) — JVM-computed, DuckDB-reproducible
+    (fixed-width lowercase hex sorts identically as string or integer, so
+    this selects the same grams as the md5-prefix-string winnow). The
+    window min+argmin runs as a ZERO-COPY numpy sliding_window_view per
+    Arrow batch — the Column form costs 4 interpreted slice traversals
+    per window (min twice, argmin, struct) and measured ~3.4x slower at
+    sf0.1. A selected position determines its fingerprint (fp = h[pos]),
+    so dedup is np.unique over positions, done before the explode: row
+    volume out is the winnow density, not one row per window.
     """
     spark = df.sparkSession
+    t = F.lower(F.coalesce(F.col("_t"), F.lit("")))
+    n_grams = F.length(t) - (k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams), lambda i: F.substring(t, i, k)),
+    ).otherwise(F.array().cast("array<string>"))
     staged = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("_hs", winnow_hashes("_t", k))
-    )
-    n_windows = F.size(F.col("_hs")) - (window - 1)
-    sel = F.when(
-        n_windows >= 1,
-        F.array_distinct(
+        .withColumn(
+            "_hi",
             F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda j: F.struct(
-                    F.array_min(F.slice(F.col("_hs"), j, window)).alias("fp"),
-                    (
-                        j
-                        - 1
-                        + F.array_position(
-                            F.slice(F.col("_hs"), j, window),
-                            F.array_min(F.slice(F.col("_hs"), j, window)),
-                        )
-                    )
-                    .cast("int")
-                    .alias("pos"),
+                grams,
+                lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+                    "long"
                 ),
+            ),
+        )
+    )
+    w = window
+
+    @F.pandas_udf(
+        ArrayType(
+            StructType(
+                [StructField("fp", LongType()), StructField("pos", IntegerType())]
             )
-        ),
-    ).otherwise(F.array().cast("array<struct<fp:string,pos:int>>"))
+        )
+    )
+    def _sel_udf(hi: pd.Series) -> pd.Series:
+        out = []
+        for v in hi:
+            if v is None or len(v) < w:
+                out.append([])
+                continue
+            h = np.asarray(v, dtype=np.int64)
+            swv = np.lib.stride_tricks.sliding_window_view(h, w)
+            pos = np.unique(swv.argmin(axis=1) + np.arange(len(h) - w + 1))
+            out.append(
+                [(int(h[p]), int(p + 1)) for p in pos]
+            )
+        return pd.Series(out)
+
     return (
-        staged.select("id", F.explode(sel).alias("s"))
+        staged.select("id", F.explode(_sel_udf("_hi")).alias("s"))
         .select("id", F.col("s.fp").alias("fp"), F.col("s.pos").alias("pos"))
     )
 
