@@ -1241,6 +1241,88 @@ def q_lid_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C shape, Brown et al.
+    2020): the "benchmark" is a 120-char excerpt of every 37th doc; every
+    corpus doc sharing a 6-token shingle with any excerpt is flagged.
+    Bench grams are distinct + broadcast, so the doc-side explode stays
+    scan-stage and only hit rows shuffle."""
+    from corpusama_spark.operators.curation import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select(
+        F.substring(F.col("text"), 21, 120).alias("text")
+    )
+    return ngram_contamination(docs, bench, n=6)
+
+
+DUP_TOP = "Cookie notice: accept all cookies"
+DUP_BOT = "All rights reserved."
+
+
+def q_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-line removal (CCNet, Wenzek et al. 2020):
+    docs are decorated with boilerplate lines at three multiplicities
+    (corpus-wide, per doc_id%5, per doc_id%300); threshold=3 drops the
+    hot lines and keeps the unique content line, exercising both sides
+    of the count cutoff at every scale factor."""
+    from corpusama_spark.operators.curation import drop_duplicated_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    mt = F.concat_ws(
+        "\n",
+        F.lit(DUP_TOP),
+        F.concat(
+            F.lit("Sec "), (F.col("doc_id") % 5).cast("string"), F.lit(": intro")
+        ),
+        F.col("text"),
+        F.concat(F.lit("ref "), (F.col("doc_id") % 300).cast("string")),
+        F.lit(DUP_BOT),
+    )
+    return drop_duplicated_lines(
+        docs.select("doc_id", mt.alias("text")), threshold=3
+    )
+
+
+def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing primitive: per-language mixture weights as one
+    scan-stage md5-keyed predicate (retry-safe where rand() is not);
+    'fr' is absent from the fraction map and must be dropped entirely."""
+    from corpusama_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.75, "zh": 0.25, "de": 0.1}
+    return stratified_sample(docs, "lang", fractions, "doc_id", seed="mix").select(
+        "doc_id", "lang"
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023) on perturbation
+    tiers: exact vector copies (id+200000, every 25th) and one-coordinate
+    +0.5 bumps (id+100000, every 10th, cosine ~0.87-0.93 vs unit-norm
+    originals) against tau=0.85; original-original cosines top out ~0.5 so
+    only injected near-dups cluster. Axis-sign buckets + 6-decimal cosine
+    make the edge set — and the resulting clusters — DuckDB-reproducible."""
+    from corpusama_spark.operators.curation import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select(F.col("vec_id"), v.alias("v"))
+    copies = base.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), F.col("v")
+    )
+    twins = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(F.col("v"), 1) + F.lit(0.5)),
+            F.slice(F.col("v"), 2, F.size(F.col("v")) - 1),
+        ).alias("v"),
+    )
+    u = base.unionByName(copies).unionByName(twins)
+    return semantic_dedup(u, id_col="vec_id", vec_col="v", tau=0.85, fixed_iters=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "export_join": q_export_join,
@@ -1315,6 +1397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_tokens": q_align_tokens,
         "image_features": q_image_features,
         "image_near_dups": q_image_near_dups,
+        "contamination": q_contamination,
+        "dup_lines": q_dup_lines,
+        "strat_sample": q_strat_sample,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1509,18 +1595,31 @@ def _sql_lang_split() -> str:
     """
 
 
-def _sql_axis_buckets(nbits: int = 6, ntables: int = 8) -> str:
+def _sql_axis_buckets(
+    nbits: int = 6, ntables: int = 8, col: str = "embedding"
+) -> str:
     """DuckDB list literal of axis-sign LSH bucket keys — bit-exact twin of
-    similarity.axis_sign_buckets (bit = embedding[i] > 0, no arithmetic)."""
+    similarity.axis_sign_buckets (bit = component > 0, no arithmetic)."""
     keys = []
     for t in range(ntables):
         bits = " || ".join(
-            f"CASE WHEN embedding[{t * nbits + b + 1}] > 0"
+            f"CASE WHEN {col}[{t * nbits + b + 1}] > 0"
             " THEN '1' ELSE '0' END"
             for b in range(nbits)
         )
         keys.append(f"'{t}:' || {bits}")
     return "[" + ", ".join(keys) + "]"
+
+
+def _sql_shingles(n: int) -> str:
+    """DuckDB word-n-gram shingle list over a column `ws` (pre-split
+    tokens) — twin of dedup.shingles; same expression family
+    _sql_minhash_md5 proved value-exact."""
+    return (
+        "list_distinct(list_filter(list_transform("
+        f"generate_series(1, greatest(len(ws) - {n - 1}, 1)),"
+        f" i -> array_to_string(ws[i:i+{n - 1}], ' ')), s -> len(s) > 0))"
+    )
 
 
 def _sql_quartile(i: int, q: float) -> str:
@@ -2391,5 +2490,97 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY lang)
             SELECT c.lang, n, n_keep, avg_chars, q0, q1, q2, q3, q4
             FROM c JOIN q USING (lang)
+        """,
+        "contamination": f"""
+            WITH bg AS (
+                SELECT DISTINCT unnest({_sql_shingles(6)}) AS gram
+                FROM (
+                    SELECT string_split_regex(lower(trim(substr(text, 21, 120))),
+                                              '\\s+') AS ws
+                    FROM documents WHERE doc_id % 37 = 0)),
+            dg AS (
+                SELECT doc_id, unnest({_sql_shingles(6)}) AS gram
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\\s+') AS ws
+                    FROM documents)),
+            hits AS (
+                SELECT doc_id, count(*) AS n_hits
+                FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "dup_lines": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       '{DUP_TOP}' || chr(10) ||
+                       'Sec ' || CAST(doc_id % 5 AS VARCHAR) || ': intro' ||
+                       chr(10) || text || chr(10) ||
+                       'ref ' || CAST(doc_id % 300 AS VARCHAR) || chr(10) ||
+                       '{DUP_BOT}' AS mt
+                FROM documents),
+            ls AS (SELECT doc_id, string_split(mt, chr(10)) AS lsx FROM d),
+            l AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(lsx) - 1)) AS pos,
+                       unnest(lsx) AS line
+                FROM ls),
+            hot AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3),
+            kept AS (
+                SELECT doc_id, pos, line FROM l
+                WHERE line NOT IN (SELECT line FROM hot)),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, len(lsx) AS n_lines FROM ls)
+            SELECT t.doc_id, coalesce(a.text, '') AS text,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_dropped
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "strat_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT / 4294967296.0)
+                < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.75
+                            WHEN 'zh' THEN 0.25 WHEN 'de' THEN 0.1
+                            ELSE 0.0 END
+        """,
+        "semantic_dedup": f"""
+            WITH RECURSIVE
+            base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+            u AS (
+                SELECT vec_id, v FROM base
+                UNION ALL
+                SELECT vec_id + 200000, v FROM base WHERE vec_id % 25 = 0
+                UNION ALL
+                SELECT vec_id + 100000, list_concat([v[1] + 0.5], v[2:])
+                FROM base WHERE vec_id % 10 = 0),
+            bk AS (
+                SELECT vec_id, v,
+                       unnest({_sql_axis_buckets(col="v")}) AS bucket
+                FROM u),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS c
+                FROM bk a JOIN bk b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            e0 AS (SELECT ia, ib FROM cand WHERE c >= 0.85),
+            e AS (SELECT ia AS s, ib AS d FROM e0
+                  UNION SELECT ib, ia FROM e0),
+            r AS (SELECT s AS id, s AS comp FROM e
+                  UNION SELECT r.id, e.d FROM r JOIN e ON e.s = r.comp),
+            comp AS (SELECT id, min(comp) AS component FROM r GROUP BY id)
+            SELECT u.vec_id,
+                   coalesce(c2.component, u.vec_id) AS cluster_id,
+                   coalesce(c2.component, u.vec_id) = u.vec_id AS keep
+            FROM u LEFT JOIN comp c2 ON c2.id = u.vec_id
         """,
     }

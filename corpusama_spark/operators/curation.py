@@ -1,0 +1,250 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The reference curates corpora doc-by-doc (language filters, clean_text,
+dedup-by-upsert — corpusama/corpus/*.py); a 10^12-row training-data build
+needs the corpus-LEVEL curation family on top. Four operators, each
+shuffle-deliberate and deterministic (md5-keyed, never rand()), each with a
+DuckDB-oracle-portable contract twin in `__spark_entry__.py`:
+
+- `ngram_contamination`: benchmark-decontamination (GPT-3 appendix C /
+  Brown et al. 2020: flag any training doc sharing an n-gram with an eval
+  set). Bench grams are DISTINCT + broadcast → the doc-side explode stays
+  scan-stage; only hit rows ever shuffle.
+- `drop_duplicated_lines`: corpus-level duplicated-line removal (CCNet,
+  Wenzek et al. 2020: lines repeated across the corpus are boilerplate).
+  Counts flow as 16-byte md5 hashes with map-side partial aggregation; the
+  hot set (count >= threshold, at most total_lines/threshold entries) is
+  broadcast for the anti-join.
+- `stratified_sample`: per-stratum hash sampling for data-mixing weights.
+  Pure scan-stage predicate, ZERO shuffle — and retry-safe where
+  `df.sample`/rand() is not: a recomputed task re-derives the same md5(key)
+  decision, so speculative execution cannot change the sample.
+- `semantic_dedup`: SemDeDup-shaped (Abbas et al. 2023) embedding near-dup
+  clustering — axis-sign LSH buckets (bit-exact across engines, see
+  similarity.axis_sign_buckets) → within-bucket cosine >= tau edges →
+  connected components → keep the min-id representative per cluster.
+  Candidate work is O(sum bucket²), bounded by `max_bucket`; raise `nbits`
+  as the corpus grows to keep buckets small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from corpusama_spark.operators.dedup import shingles
+
+__all__ = [
+    "ngram_contamination",
+    "drop_duplicated_lines",
+    "stratified_sample",
+    "hash_uniform",
+    "semantic_dedup",
+]
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+) -> DataFrame:
+    """(id, n_hits, contaminated) per doc: n_hits = how many DISTINCT
+    benchmark n-grams the doc contains (word n-grams, lowercased,
+    whitespace-tokenized — dedup.shingles), contaminated = n_hits > 0.
+
+    Every doc in `docs` appears in the output (left join), so the result
+    is a complete keep/drop column, not just the flagged subset.
+
+    Scale shape: the bench side is `array_distinct`-ed per doc, then
+    globally distinct, then **broadcast** — eval suites are tiny next to a
+    training corpus (even 10^5 docs × 10^3 grams ≈ 10^8 grams is the upper
+    end; past broadcast range, swap the broadcast join for a bloom-filter
+    pre-pass + shuffle join on the gram). The doc-side explode never
+    shuffles: explode → broadcast hash join runs in the scan stage, and
+    only MATCHING (id, gram) rows reach the per-id count shuffle.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("gram")
+    )
+    bench_grams = (
+        bench.select(F.explode(shingles(text_col, n)).alias("gram")).distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def drop_duplicated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 2,
+) -> DataFrame:
+    """(id, text, n_kept, n_dropped): remove every line whose EXACT text
+    occurs >= threshold times across the whole corpus (CCNet's duplicated-
+    line boilerplate filter), preserving the order of surviving lines.
+    Docs whose lines are all boilerplate survive with text = ''.
+
+    Two shuffles, both sized deliberately: (1) the corpus-wide line count
+    groups by md5(line) — 16-byte keys with map-side partial aggregation,
+    never the line text; (2) the doc reassembly groups kept (pos, line)
+    pairs by id — the only place full text moves, and it moves once. The
+    hot set has at most total_lines/threshold entries and is broadcast for
+    the anti-join; at extreme scale feed it to a bloom filter instead and
+    keep the anti-join scan-stage.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    hot = (
+        lines.groupBy("lh")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= threshold)
+        .select("lh")
+    )
+    kept = lines.join(F.broadcast(hot), "lh", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+def hash_uniform(key: Column, seed: str = "strat") -> Column:
+    """Deterministic uniform [0, 1) from a key: first 8 md5 hex chars as a
+    32-bit int / 2^32. Portable to any engine with md5 (the DuckDB twin is
+    ('0x' || substr(md5(k), 1, 8))::BIGINT / 2^32), and retry-safe where
+    rand() is not — a re-executed task re-derives the same decision."""
+    k = F.concat_ws(":", F.lit(seed), key.cast("string"))
+    return F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "strat",
+) -> DataFrame:
+    """Keep each row with probability fractions[stratum] (strata absent
+    from the dict default to 0.0 — dropped), decided by md5(seed:key).
+    This is the data-mixing primitive: express per-source/per-language
+    mixture weights as fractions and sample in ONE scan-stage pass — no
+    shuffle, no rand() (retry/speculation-safe), no per-stratum jobs like
+    DataFrame.sampleBy issues.
+    """
+    frac: Column = F.lit(0.0)
+    for k in sorted(fractions):
+        frac = F.when(
+            F.col(strata_col) == F.lit(k), F.lit(float(fractions[k]))
+        ).otherwise(frac)
+    return df.where(hash_uniform(F.col(key_col), seed) < frac)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.85,
+    nbits: int = 6,
+    ntables: int = 8,
+    max_bucket: int = 10_000,
+    fixed_iters: int = 6,
+) -> DataFrame:
+    """(id, cluster_id, keep): SemDeDup-shaped semantic dedup. Vectors
+    meeting in any axis-sign LSH bucket with round(cosine, 6) >= tau form
+    edges; connected components label clusters; keep = (id == min id of
+    the cluster). Every input row appears (singletons keep themselves).
+
+    Axis-sign buckets (similarity.axis_sign_buckets) involve no float
+    arithmetic, so the candidate set — and with the 6-decimal cosine
+    rounding, the edge set — is reproducible bit-exactly in a DuckDB
+    oracle; this is the portable tier of the family (the random-plane /
+    IVF tiers trade that for better recall). Buckets above `max_bucket`
+    are dropped before the self-join (LSH flood guard: a degenerate
+    bucket would otherwise cost O(bucket²)).
+    """
+    from corpusama_spark.operators.components import connected_components
+
+    vec = F.col(vec_col).cast("array<double>")
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        F.explode(axis_keys(vec, nbits, ntables)).alias("bucket"),
+    )
+    sizes = base.groupBy("bucket").agg(F.count("*").alias("bsz"))
+    guarded = base.join(
+        F.broadcast(sizes.where(F.col("bsz") <= max_bucket).select("bucket")),
+        "bucket",
+    )
+    a = guarded.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = guarded.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    edges = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cos(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .distinct()
+        .where(F.col("cos_sim") >= F.lit(float(tau)))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges, fixed_iters=fixed_iters)
+    return (
+        emb.select(F.col(id_col).alias("id"))
+        .join(comp.withColumnRenamed("component", "cluster_id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            (F.coalesce(F.col("cluster_id"), F.col("id")) == F.col("id")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+def _cos(a: Column, b: Column) -> Column:
+    from corpusama_spark.operators.similarity import cosine
+
+    return cosine(a, b)
+
+
+def axis_keys(vec: Column, nbits: int, ntables: int) -> Column:
+    from corpusama_spark.operators.similarity import axis_sign_buckets
+
+    return axis_sign_buckets(vec, nbits, ntables)

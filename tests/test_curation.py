@@ -1,0 +1,157 @@
+"""Corpus-curation family: decontamination, corpus-level line dedup,
+stratified hash sampling, semantic dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ngram_contamination_flags_shared_grams(spark):
+    from corpusama_spark.operators.curation import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "a completely different sentence with no overlap at all"),
+            (3, "QUICK Brown FOX jumps OVER fences and nothing else"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "quick brown fox jumps over the lazy")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in ngram_contamination(docs, bench, n=5).collect()
+    }
+    # doc 1 contains all three bench 5-grams; doc 3 shares only the
+    # casefolded "quick brown fox jumps over"; doc 2 is clean
+    assert out[1] == (3, True)
+    assert out[3] == (1, True)
+    assert out[2] == (0, False)
+
+
+def test_ngram_contamination_reports_every_doc(spark):
+    from corpusama_spark.operators.curation import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i} with filler words") for i in range(7)],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 99)  # empty bench
+    got = ngram_contamination(docs, bench, n=3).collect()
+    assert len(got) == 7
+    assert all(r.n_hits == 0 and not r.contaminated for r in got)
+
+
+def test_drop_duplicated_lines_keeps_order_and_counts(spark):
+    from corpusama_spark.operators.curation import drop_duplicated_lines
+
+    boiler = "accept cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nalpha content\nbeta content"),
+            (2, f"{boiler}\ngamma content"),
+            (3, f"{boiler}\n{boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in drop_duplicated_lines(docs, threshold=2).collect()}
+    assert out[1].text == "alpha content\nbeta content"
+    assert (out[1].n_kept, out[1].n_dropped) == (2, 1)
+    assert out[2].text == "gamma content"
+    # all-boilerplate doc survives with empty text, not a missing row
+    assert out[3].text == ""
+    assert (out[3].n_kept, out[3].n_dropped) == (0, 2)
+
+
+def test_drop_duplicated_lines_threshold_boundary(spark):
+    from corpusama_spark.operators.curation import drop_duplicated_lines
+
+    docs = spark.createDataFrame(
+        [(1, "twice\nonce_a"), (2, "twice\nonce_b")],
+        "doc_id long, text string",
+    )
+    # threshold=3: the line occurring twice survives
+    out3 = {r.doc_id: r.text for r in drop_duplicated_lines(docs, threshold=3).collect()}
+    assert out3 == {1: "twice\nonce_a", 2: "twice\nonce_b"}
+    # threshold=2: it is dropped from BOTH docs
+    out2 = {r.doc_id: r.text for r in drop_duplicated_lines(docs, threshold=2).collect()}
+    assert out2 == {1: "once_a", 2: "once_b"}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from corpusama_spark.operators.curation import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    frac = {"a": 0.5, "b": 0.1}
+    got = stratified_sample(df, "stratum", frac, "id", seed="t").collect()
+    by = {"a": 0, "b": 0}
+    for r in got:
+        by[r.stratum] += 1
+    # 2000 rows per stratum; md5-uniform keeps within ~4 sigma of expectation
+    assert abs(by["a"] - 1000) < 100
+    assert abs(by["b"] - 200) < 60
+    # deterministic: the same rows every run (this is the retry-safety
+    # property rand()-based sampling lacks)
+    again = stratified_sample(df, "stratum", frac, "id", seed="t").collect()
+    assert sorted(r.id for r in got) == sorted(r.id for r in again)
+    # a different seed draws a different sample at the same rate
+    other = stratified_sample(df, "stratum", frac, "id", seed="u").collect()
+    assert sorted(r.id for r in other) != sorted(r.id for r in got)
+
+
+def test_stratified_sample_absent_stratum_dropped(spark):
+    from corpusama_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "zzz"), (3, None)], "id long, stratum string"
+    )
+    got = stratified_sample(df, "stratum", {"a": 1.0}, "id").collect()
+    # fraction 1.0 keeps every 'a' row; unknown and NULL strata default to 0
+    assert [r.id for r in got] == [1]
+
+
+def test_semantic_dedup_clusters_near_dups(spark):
+    import numpy as np
+
+    from corpusama_spark.operators.curation import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    vecs = {}
+    for i in range(6):
+        v = rng.normal(size=48)
+        vecs[i] = (v / np.linalg.norm(v)).tolist()
+    vecs[100] = vecs[0]  # exact copy of 0
+    bump = np.array(vecs[1])
+    bump[0] += 0.4  # near-dup of 1 (cosine ~0.93)
+    vecs[101] = bump.tolist()
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in semantic_dedup(df, tau=0.85, nbits=6, ntables=8).collect()
+    }
+    assert len(out) == 8
+    assert out[100] == (0, False) and out[0] == (0, True)
+    assert out[101] == (1, False) and out[1] == (1, True)
+    # unrelated vectors are singleton keepers
+    for i in (2, 3, 4, 5):
+        assert out[i] == (i, True)
+
+
+def test_semantic_dedup_flood_guard(spark):
+    """A degenerate bucket (many identical vectors) above max_bucket is
+    dropped before the self-join: no edges, everything keeps itself."""
+    from corpusama_spark.operators.curation import semantic_dedup
+
+    one = [1.0] * 48
+    df = spark.createDataFrame(
+        [(i, one) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup(df, tau=0.5, max_bucket=5).collect()
+    assert all(r.keep for r in out)
+    # and with the guard above the bucket size, they all collapse to min id
+    merged = semantic_dedup(df, tau=0.5, max_bucket=100).collect()
+    assert {r.cluster_id for r in merged} == {0}
