@@ -1320,7 +1320,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     u = base.unionByName(copies).unionByName(twins)
-    return semantic_dedup(u, id_col="vec_id", vec_col="v", tau=0.85, fixed_iters=6)
+    # 12-bit buckets (4096/table) over the 64-dim table: accidental
+    # collisions drop ~2^6-fold vs the 6-bit default while the injected
+    # tiers still share >= 4 of 5 tables (only one coordinate is bumped)
+    return semantic_dedup(
+        u, id_col="vec_id", vec_col="v", tau=0.85, nbits=12, ntables=5
+    )
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget training-shard assignment: shard_id = floor(exclusive
+    prefix sum of BPE-ish token counts, in doc_id order, / 2000).
+    Distributed prefix sum (range repartition + broadcast offsets); the
+    oracle is the plain window cumsum the distributed plan must equal."""
+    from corpusama_spark.operators.curation import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_shards(docs, budget=2000)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1401,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_lines": q_dup_lines,
         "strat_sample": q_strat_sample,
         "semantic_dedup": q_semantic_dedup,
+        "pack_shards": q_pack_shards,
     }
 
 
@@ -2565,7 +2582,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM base WHERE vec_id % 10 = 0),
             bk AS (
                 SELECT vec_id, v,
-                       unnest({_sql_axis_buckets(col="v")}) AS bucket
+                       unnest({_sql_axis_buckets(12, 5, col="v")}) AS bucket
                 FROM u),
             cand AS (
                 SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
@@ -2582,5 +2599,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c2.component, u.vec_id) AS cluster_id,
                    coalesce(c2.component, u.vec_id) = u.vec_id AS keep
             FROM u LEFT JOIN comp c2 ON c2.id = u.vec_id
+        """,
+        "pack_shards": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(coalesce(text, ''),
+                                '{bpe_re_sql}', 0)) AS BIGINT) AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) / 2000)
+                        AS BIGINT) AS shard_id
+            FROM t
         """,
     }

@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "winnow_fp",
     "repeated_spans",
     "image_features",
+    "contamination",
+    "dup_lines",
+    "strat_sample",
+    "semantic_dedup",
     # dedup_clusters is deliberately absent: its 12 fixed label-propagation
     # rounds over the tiny sf edge set measure the per-round scheduling
     # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale

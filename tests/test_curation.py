@@ -155,3 +155,60 @@ def test_semantic_dedup_flood_guard(spark):
     # and with the guard above the bucket size, they all collapse to min id
     merged = semantic_dedup(df, tau=0.5, max_bucket=100).collect()
     assert {r.cluster_id for r in merged} == {0}
+
+
+def test_pack_shards_exact_assignment(spark):
+    from pyspark.sql import functions as F
+
+    from corpusama_spark.operators.curation import pack_shards
+    from corpusama_spark.plans.caching import release
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 4), (3, 5), (4, 1), (5, 2)], "doc_id long, n long"
+    )
+    out = pack_shards(
+        df, budget=5, count_col=F.col("n"), partitions=2
+    )
+    got = {r.doc_id: (r.n_tokens, r.shard_id) for r in out.collect()}
+    release(out)
+    # exclusive prefix sums: 0,3,7,12,13 -> shards 0,0,1,2,2
+    assert got == {1: (3, 0), 2: (4, 0), 3: (5, 1), 4: (1, 2), 5: (2, 2)}
+
+
+def test_pack_shards_partition_invariant(spark):
+    """The distributed prefix sum must equal the sequential one no matter
+    how many range partitions the plan lands on."""
+    from pyspark.sql import functions as F
+
+    from corpusama_spark.operators.curation import pack_shards
+    from corpusama_spark.plans.caching import release
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    outs = []
+    for p in (1, 7, 32):
+        out = pack_shards(df, budget=40, count_col=F.col("n"), partitions=p)
+        outs.append(sorted((r.doc_id, r.shard_id) for r in out.collect()))
+        release(out)
+    assert outs[0] == outs[1] == outs[2]
+    # sequential truth
+    run, truth = 0, []
+    for i, n in rows:
+        truth.append((i, run // 40))
+        run += n
+    assert outs[0] == truth
+
+
+def test_pack_shards_oversized_doc(spark):
+    from pyspark.sql import functions as F
+
+    from corpusama_spark.operators.curation import pack_shards
+    from corpusama_spark.plans.caching import release
+
+    df = spark.createDataFrame([(1, 12), (2, 1)], "doc_id long, n long")
+    out = pack_shards(df, budget=5, count_col=F.col("n"), partitions=2)
+    got = {r.doc_id: r.shard_id for r in out.collect()}
+    release(out)
+    # doc 1 owns shard 0 (starts there, spills past it); doc 2 starts at
+    # token 12 -> shard 2
+    assert got == {1: 0, 2: 2}

@@ -185,3 +185,52 @@ def test_components_star_and_hashmin_match_unionfind(spark, edges):
         r.id: r.component for r in connected_components(pairs).collect()
     }
     assert hm_out == want
+
+
+@given(texts=TEXTS)
+@settings(**SETTINGS)
+def test_drop_duplicated_lines_idempotent(spark, texts):
+    """One pass reaches a fixpoint: every surviving line has corpus count
+    < threshold, so a second pass drops nothing."""
+    from corpusama_spark.operators.curation import drop_duplicated_lines
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = drop_duplicated_lines(df, threshold=2)
+    again = drop_duplicated_lines(
+        once.select("doc_id", "text"), threshold=2
+    )
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in again.collect()}
+    assert a == b
+    # ...and drops nothing further, except the representational edge that
+    # "all lines dropped" serializes as '' — indistinguishable from one
+    # empty line, which may itself be corpus-duplicated and re-dropped
+    assert all(
+        r.n_dropped == 0 for r in again.collect() if r.text != ""
+    )
+
+
+@given(texts=TEXTS, frac=st.sampled_from([0.0, 0.3, 1.0]))
+@settings(**SETTINGS)
+def test_stratified_sample_envelope(spark, texts, frac):
+    """fraction 0 keeps nothing, 1 keeps everything, and any fraction's
+    sample is a subset of a larger fraction's sample (nested samples —
+    the property that makes mixture re-weighting monotone)."""
+    from corpusama_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "id long, stratum string, text string",
+    )
+    got = {r.id for r in stratified_sample(df, "stratum", {"s": frac}, "id").collect()}
+    if frac == 0.0:
+        assert got == set()
+    elif frac == 1.0:
+        assert got == set(range(len(texts)))
+    bigger = {
+        r.id
+        for r in stratified_sample(df, "stratum", {"s": min(1.0, frac + 0.5)}, "id").collect()
+    }
+    assert got <= bigger
