@@ -1328,6 +1328,32 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): docs
+    split into head/middle/tail terciles PER LANGUAGE by LM perplexity.
+    Rows-only: the char-bigram LM is a model UDF no ANSI-SQL oracle can
+    reproduce (the tercile split itself is a plain ntile window).
+    Completes the CCNet trio: dup_lines + langid_sql + this."""
+    from corpusama_spark.functions.perplexity import perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("ppl"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "doc_id", "lang", F.round(perplexity("text"), 4).alias("ppl")
+        )
+        .withColumn("tercile", F.ntile(3).over(w))
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tercile"),
+            ),
+        )
+        .select("doc_id", "lang", "ppl", "bucket")
+    )
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget training-shard assignment: shard_id = floor(exclusive
     prefix sum of BPE-ish token counts, in doc_id order, / 2000).
@@ -1418,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strat_sample": q_strat_sample,
         "semantic_dedup": q_semantic_dedup,
         "pack_shards": q_pack_shards,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
