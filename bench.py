@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dup_lines",
     "strat_sample",
     "semantic_dedup",
+    "pack_shards",
     # dedup_clusters is deliberately absent: its 12 fixed label-propagation
     # rounds over the tiny sf edge set measure the per-round scheduling
     # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale

@@ -212,3 +212,23 @@ def test_pack_shards_oversized_doc(spark):
     # doc 1 owns shard 0 (starts there, spills past it); doc 2 starts at
     # token 12 -> shard 2
     assert got == {1: 0, 2: 2}
+
+
+def test_ppl_buckets_ordered_and_balanced(spark):
+    """CCNet terciles: within each language, every head-bucket doc has
+    perplexity <= every tail-bucket doc, and bucket sizes differ by <= 1."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["ppl_buckets"](spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.bucket, r.ppl))
+    assert len(rows) == 500
+    for lang, items in by_lang.items():
+        buckets = {}
+        for b, p in items:
+            buckets.setdefault(b, []).append(p)
+        assert set(buckets) <= {"head", "middle", "tail"}
+        sizes = sorted(len(v) for v in buckets.values())
+        assert sizes[-1] - sizes[0] <= 1
+        assert max(buckets["head"]) <= min(buckets["tail"])
