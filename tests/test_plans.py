@@ -180,3 +180,35 @@ def test_no_row_python_in_any_contract_query(spark):
         except AssertionError:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_curation_plan_shapes(spark, tmp_path):
+    """Plan pins for the curation family: the data-mixing sample is a pure
+    scan-stage predicate (ZERO exchanges); decontamination's bench-gram
+    join and line-dedup's hot-set join are BROADCAST (the doc side never
+    shuffles into them)."""
+    import duckdb  # noqa: F401  (parity of availability with selfcheck)
+
+    from corpusama_spark.operators.curation import (
+        drop_duplicated_lines,
+        ngram_contamination,
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"line a\ncontent {i}\nline b", "en") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    samp = stratified_sample(docs, "lang", {"en": 0.5}, "doc_id")
+    audit.report(samp).assert_no_row_python().assert_max_shuffles(0)
+
+    bench = docs.where(F.col("doc_id") % 7 == 0).select("text")
+    cont = ngram_contamination(docs, bench, n=2)
+    rep = audit.report(cont)
+    rep.assert_no_row_python()
+    assert rep.n_broadcasts >= 1  # bench grams broadcast into the scan stage
+
+    dl = drop_duplicated_lines(docs, threshold=3)
+    rep2 = audit.report(dl)
+    rep2.assert_no_row_python()
+    assert rep2.n_broadcasts >= 1  # hot-line set broadcast for the anti-join
