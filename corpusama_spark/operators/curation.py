@@ -43,6 +43,7 @@ __all__ = [
     "drop_duplicated_lines",
     "stratified_sample",
     "hash_uniform",
+    "temperature_fractions",
     "semantic_dedup",
     "pack_shards",
 ]
@@ -177,6 +178,45 @@ def stratified_sample(
             F.col(strata_col) == F.lit(k), F.lit(float(fractions[k]))
         ).otherwise(frac)
     return df.where(hash_uniform(F.col(key_col), seed) < frac)
+
+
+def temperature_fractions(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float = 2.0,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep-fractions that re-balance a skewed mixture by
+    temperature sampling (multilingual-training convention: sample stratum
+    s proportionally to count(s)^(1/T), so T=1 keeps the natural mix and
+    T→∞ approaches uniform). Fractions are scaled so the LARGEST resulting
+    stratum keeps 100% (no fraction exceeds 1), or so the total expected
+    sample is `target_rows` when given, then fed to `stratified_sample`.
+
+    One aggregate job over the strata column — a driver dict of
+    #distinct-strata entries (languages/sources: tiny), the same bounded-
+    collect scale as pack_shards' per-partition offsets.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] is not None and r[1] > 0
+    }
+    if not counts:
+        return {}
+    weights = {k: c ** (1.0 / temperature) for k, c in counts.items()}
+    total_w = sum(weights.values())
+    if target_rows is not None:
+        # expected kept rows = sum(frac_s * count_s) = target_rows
+        scale = target_rows / total_w
+        return {
+            k: min(1.0, (weights[k] * scale) / counts[k]) for k in counts
+        }
+    # normalize so the stratum with the highest weight-to-count ratio
+    # (the rarest one under T>1) keeps everything
+    ratios = {k: weights[k] / counts[k] for k in counts}
+    top = max(ratios.values())
+    return {k: min(1.0, ratios[k] / top) for k in counts}
 
 
 def semantic_dedup(

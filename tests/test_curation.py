@@ -232,3 +232,30 @@ def test_ppl_buckets_ordered_and_balanced(spark):
         sizes = sorted(len(v) for v in buckets.values())
         assert sizes[-1] - sizes[0] <= 1
         assert max(buckets["head"]) <= min(buckets["tail"])
+
+
+def test_temperature_fractions_rebalance(spark):
+    from corpusama_spark.operators.curation import (
+        stratified_sample,
+        temperature_fractions,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    # T=1 is the natural mix: every stratum keeps 100%
+    assert temperature_fractions(df, "stratum", temperature=1.0) == {
+        "big": 1.0,
+        "small": 1.0,
+    }
+    # T=2 down-samples the majority: rare stratum keeps all, big keeps
+    # sqrt(900)/sqrt(100) * (100/900) = 1/3
+    fr = temperature_fractions(df, "stratum", temperature=2.0)
+    assert fr["small"] == 1.0
+    assert abs(fr["big"] - 1 / 3) < 1e-9
+    # target_rows: expected sample size ~hits the target
+    fr2 = temperature_fractions(df, "stratum", temperature=2.0, target_rows=400)
+    expected = fr2["big"] * 900 + fr2["small"] * 100
+    assert abs(expected - 400) < 1e-6
+    # and it composes with the sampler
+    got = stratified_sample(df, "stratum", fr2, "id").count()
+    assert abs(got - 400) < 80  # ~4 sigma
