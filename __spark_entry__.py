@@ -1366,13 +1366,16 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data curation in ONE lazy plan: drop docs
-    contaminated by the benchmark excerpts (q_contamination's bench), keep
-    one doc per distinct text (exact dedup, min-id canonical), stratified-
-    sample the survivors by language, pack what remains into 2000-token
-    shards. Every stage is the already-oracled operator, so the whole
-    composition is DuckDB-value-exact — the judge-facing proof that the
-    curation family COMPOSES, not just that each piece works alone."""
+    """End-to-end training-data curation in one composed job graph: drop
+    docs contaminated by the benchmark excerpts (q_contamination's bench),
+    keep one doc per distinct text (exact dedup, min-id canonical),
+    stratified-sample the survivors by language, pack what remains into
+    2000-token shards. Every stage is the already-oracled operator, so the
+    whole composition is DuckDB-value-exact — proof the curation family
+    COMPOSES, not just that each piece works alone. NOTE: building this
+    DataFrame already runs the upstream stages once (pack_shards' bounded
+    per-partition subtotal collect is a driver action), so it is not
+    plan-only; release via plans.caching.release after materializing."""
     from corpusama_spark.operators.curation import (
         ngram_contamination,
         pack_shards,
@@ -2644,10 +2647,13 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT vec_id + 100000, list_concat([v[1] + 0.5], v[2:])
                 FROM base WHERE vec_id % 10 = 0),
-            bk AS (
+            bk0 AS (
                 SELECT vec_id, v,
                        unnest({_sql_axis_buckets(12, 5, col="v")}) AS bucket
                 FROM u),
+            okb AS (SELECT bucket FROM bk0 GROUP BY bucket
+                    HAVING count(*) <= 10000),
+            bk AS (SELECT bk0.* FROM bk0 JOIN okb USING (bucket)),
             cand AS (
                 SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
                        round(list_cosine_similarity(a.v, b.v), 6) AS c

@@ -140,12 +140,20 @@ def main() -> None:
     # over minutes (BENCH.md calibration), and a single-shot timing can
     # land an otherwise-fast operator in a bad window; the plan is rebuilt
     # each trial so no shuffle-output reuse flatters the second run
+    from corpusama_spark.plans.caching import release
+
     for name in names:
         trials = []
         for _ in range(2):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).select(F.count(F.lit(1))).collect()
+            df = qs[name](spark, sf_dir)
+            df.select(F.count(F.lit(1))).collect()
             trials.append(time.perf_counter() - t0)
+            # operators that persist intermediates (pack_shards,
+            # semantic_dedup, banded dedup) attach handles; releasing per
+            # trial keeps executor storage memory from pinning cached
+            # blocks across the rest of the bench (no-op for the others)
+            release(df)
         timings[name] = round(min(trials), 3)
 
     total = round(sum(timings.values()), 3)

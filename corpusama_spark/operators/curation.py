@@ -112,9 +112,12 @@ def drop_duplicated_lines(
     the anti-join; at extreme scale feed it to a bloom filter instead and
     keep the anti-join scan-stage.
     """
+    # NULL text is treated as empty (one empty line): split(NULL) would
+    # otherwise drop the doc from the explode AND null out n_dropped
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(txt, "\n")).alias("pos", "line"),
     ).withColumn("lh", F.md5(F.col("line")))
     hot = (
         lines.groupBy("lh")
@@ -135,7 +138,7 @@ def drop_duplicated_lines(
     )
     totals = df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+        F.size(F.split(txt, "\n")).alias("n_lines"),
     )
     return totals.join(rebuilt, "id", "left").select(
         F.col("id").alias(id_col),
@@ -150,9 +153,13 @@ def drop_duplicated_lines(
 def hash_uniform(key: Column, seed: str = "strat") -> Column:
     """Deterministic uniform [0, 1) from a key: first 8 md5 hex chars as a
     32-bit int / 2^32. Portable to any engine with md5 (the DuckDB twin is
-    ('0x' || substr(md5(k), 1, 8))::BIGINT / 2^32), and retry-safe where
-    rand() is not — a re-executed task re-derives the same decision."""
-    k = F.concat_ws(":", F.lit(seed), key.cast("string"))
+    ('0x' || substr(md5(seed || ':' || k), 1, 8))::BIGINT / 2^32), and
+    retry-safe where rand() is not — a re-executed task re-derives the
+    same decision. NULL keys yield NULL (concat propagates, exactly like
+    the SQL twin's ||), so a `u < frac` filter drops them — never the
+    concat_ws trap of collapsing every NULL key onto one shared hash that
+    keeps or drops the whole NULL cohort as a block."""
+    k = F.concat(F.lit(seed + ":"), key.cast("string"))
     return F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("double") / F.lit(
         float(1 << 32)
     )
@@ -172,11 +179,18 @@ def stratified_sample(
     shuffle, no rand() (retry/speculation-safe), no per-stratum jobs like
     DataFrame.sampleBy issues.
     """
-    frac: Column = F.lit(0.0)
-    for k in sorted(fractions):
-        frac = F.when(
-            F.col(strata_col) == F.lit(k), F.lit(float(fractions[k]))
-        ).otherwise(frac)
+    # one FLAT CaseWhen (chained .when on a single Column), not a
+    # |fractions|-deep nest of otherwise()-wrapped CaseWhens — a realistic
+    # mixing map has hundreds of language x source strata and the nested
+    # form recurses the analyzer/codegen that deep
+    keys = sorted(fractions)
+    frac: Column = F.when(
+        F.col(strata_col) == F.lit(keys[0]), F.lit(float(fractions[keys[0]]))
+    ) if keys else F.lit(0.0)
+    for k in keys[1:]:
+        frac = frac.when(F.col(strata_col) == F.lit(k), F.lit(float(fractions[k])))
+    if keys:
+        frac = frac.otherwise(F.lit(0.0))
     return df.where(hash_uniform(F.col(key_col), seed) < frac)
 
 
@@ -190,8 +204,10 @@ def temperature_fractions(
     temperature sampling (multilingual-training convention: sample stratum
     s proportionally to count(s)^(1/T), so T=1 keeps the natural mix and
     T→∞ approaches uniform). Fractions are scaled so the LARGEST resulting
-    stratum keeps 100% (no fraction exceeds 1), or so the total expected
-    sample is `target_rows` when given, then fed to `stratified_sample`.
+    stratum keeps 100% (no fraction exceeds 1), or — with `target_rows` —
+    so the total EXPECTED sample hits the target exactly, waterfilling the
+    mass of any stratum that clamps at 1.0 onto the rest (unreachable only
+    when target_rows exceeds the corpus). Feed it to `stratified_sample`.
 
     One aggregate job over the strata column — a driver dict of
     #distinct-strata entries (languages/sources: tiny), the same bounded-
@@ -205,13 +221,28 @@ def temperature_fractions(
     if not counts:
         return {}
     weights = {k: c ** (1.0 / temperature) for k, c in counts.items()}
-    total_w = sum(weights.values())
     if target_rows is not None:
-        # expected kept rows = sum(frac_s * count_s) = target_rows
-        scale = target_rows / total_w
-        return {
-            k: min(1.0, (weights[k] * scale) / counts[k]) for k in counts
-        }
+        # expected kept rows = sum(frac_s * count_s) = target_rows, with
+        # frac <= 1: waterfill — strata whose fraction clamps at 1.0
+        # contribute all their rows, and the clamped-off mass is
+        # redistributed over the rest (<= #strata rounds) instead of
+        # silently undershooting the target
+        frac = {k: 0.0 for k in counts}
+        free = set(counts)
+        remaining = float(target_rows)
+        while free and remaining > 0:
+            w_free = sum(weights[k] for k in free)
+            scale = remaining / w_free
+            clamped = {k for k in free if weights[k] * scale >= counts[k]}
+            if not clamped:
+                for k in free:
+                    frac[k] = (weights[k] * scale) / counts[k]
+                break
+            for k in clamped:
+                frac[k] = 1.0
+                remaining -= counts[k]
+            free -= clamped
+        return frac
     # normalize so the stratum with the highest weight-to-count ratio
     # (the rarest one under T>1) keeps everything
     ratios = {k: weights[k] / counts[k] for k in counts}
@@ -289,7 +320,7 @@ def semantic_dedup(
         .select("id_a", "id_b")
     )
     comp = connected_components(edges, fixed_iters=fixed_iters)
-    return (
+    out = (
         emb.select(F.col(id_col).alias("id"))
         .join(comp.withColumnRenamed("component", "cluster_id"), "id", "left")
         .select(
@@ -300,6 +331,12 @@ def semantic_dedup(
             ),
         )
     )
+    # propagate connected_components' persisted handles: wrapping comp in
+    # joins/renames sheds the own_caches attribute, so without this the
+    # caller could never release them (plans/caching.py contract)
+    from corpusama_spark.plans.caching import own_caches
+
+    return own_caches(out, *getattr(comp, "_owned_caches", []))
 
 
 def pack_shards(

@@ -259,3 +259,61 @@ def test_temperature_fractions_rebalance(spark):
     # and it composes with the sampler
     got = stratified_sample(df, "stratum", fr2, "id").count()
     assert abs(got - 400) < 80  # ~4 sigma
+
+
+def test_temperature_fractions_waterfill_hits_target(spark):
+    """When a stratum's fraction clamps at 1.0, its shortfall is
+    redistributed so the expected sample still hits target_rows."""
+    from corpusama_spark.operators.curation import temperature_fractions
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    # naive scaling would give small 2.0 (clamped) and undershoot by 100
+    fr = temperature_fractions(df, "stratum", temperature=2.0, target_rows=800)
+    assert fr["small"] == 1.0
+    expected = fr["big"] * 900 + fr["small"] * 100
+    assert abs(expected - 800) < 1e-9
+    # target above the corpus: everything keeps 100%
+    fr_all = temperature_fractions(df, "stratum", temperature=2.0, target_rows=5000)
+    assert fr_all == {"big": 1.0, "small": 1.0}
+
+
+def test_stratified_sample_null_key_dropped(spark):
+    """NULL sampling keys must be dropped row-by-row (hash propagates
+    NULL, like the SQL twin's ||), never kept as one all-or-nothing
+    cohort sharing a constant hash."""
+    from corpusama_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (None, "a")], "id long, stratum string"
+    )
+    got = stratified_sample(df, "stratum", {"a": 1.0}, "id").collect()
+    assert [r.id for r in got] == [1]
+
+
+def test_drop_duplicated_lines_null_text(spark):
+    from corpusama_spark.operators.curation import drop_duplicated_lines
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x\ny")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in drop_duplicated_lines(df, threshold=2).collect()}
+    # NULL text = empty doc: counts are concrete longs, never NULL
+    assert (out[1].text, out[1].n_kept, out[1].n_dropped) == ("", 1, 0)
+    assert out[2].n_kept + out[2].n_dropped == 2
+
+
+def test_semantic_dedup_releases_component_caches(spark):
+    from corpusama_spark.operators.curation import semantic_dedup
+    from corpusama_spark.plans.caching import release
+
+    one = [1.0] * 48
+    df = spark.createDataFrame(
+        [(i, one) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup(df, tau=0.5, nbits=6, ntables=8)
+    out.collect()
+    handles = getattr(out, "_owned_caches", [])
+    assert handles, "semantic_dedup must expose its persisted handles"
+    release(out)
+    assert getattr(out, "_owned_caches") == []
