@@ -55,6 +55,8 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 6,
+    bloom_bits: int | None = None,
+    bloom_k: int = 5,
 ) -> DataFrame:
     """(id, n_hits, contaminated) per doc: n_hits = how many DISTINCT
     benchmark n-grams the doc contains (word n-grams, lowercased,
@@ -66,10 +68,17 @@ def ngram_contamination(
     Scale shape: the bench side is `array_distinct`-ed per doc, then
     globally distinct, then **broadcast** — eval suites are tiny next to a
     training corpus (even 10^5 docs × 10^3 grams ≈ 10^8 grams is the upper
-    end; past broadcast range, swap the broadcast join for a bloom-filter
-    pre-pass + shuffle join on the gram). The doc-side explode never
-    shuffles: explode → broadcast hash join runs in the scan stage, and
-    only MATCHING (id, gram) rows reach the per-id count shuffle.
+    end). The doc-side explode never shuffles: explode → broadcast hash
+    join runs in the scan stage, and only MATCHING (id, gram) rows reach
+    the per-id count shuffle.
+
+    `bloom_bits` engages the documented past-broadcast scale path: a
+    distributed-built Bloom filter over the bench grams (operators/bloom)
+    pre-filters doc grams in the scan stage, and the exact join only sees
+    the surviving ~fpp fraction. Bloom filters have no false negatives and
+    the exact join removes the false positives, so results are
+    byte-identical to the exact-only plan (test-pinned) — but building the
+    bitmap is an eager action, so the default stays lazy/exact-only.
     """
     grams = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("gram")
@@ -77,6 +86,18 @@ def ngram_contamination(
     bench_grams = (
         bench.select(F.explode(shingles(text_col, n)).alias("gram")).distinct()
     )
+    if bloom_bits:
+        from corpusama_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        words = bloom_build(bench_grams, F.col("gram"), bloom_bits, bloom_k)
+        grams = grams.where(
+            bloom_might_contain(
+                docs.sparkSession, words, F.col("gram"), bloom_bits, bloom_k
+            )
+        )
     hits = (
         grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("id")
