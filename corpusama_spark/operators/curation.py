@@ -130,8 +130,9 @@ def drop_duplicated_lines(
     never the line text; (2) the doc reassembly groups kept (pos, line)
     pairs by id — the only place full text moves, and it moves once. The
     hot set has at most total_lines/threshold entries and is broadcast for
-    the anti-join; at extreme scale feed it to a bloom filter instead and
-    keep the anti-join scan-stage.
+    the anti-join; at extreme scale route it through operators/bloom
+    (definitely-not-hot lines skip the exact anti-join entirely — Bloom's
+    no-false-negative side is the safe side here).
     """
     # NULL text is treated as empty (one empty line): split(NULL) would
     # otherwise drop the doc from the explode AND null out n_dropped
