@@ -1404,6 +1404,80 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(sampled, budget=2000)
 
 
+def q_image_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION/DataComp-style metadata-only image quality gate: dimension
+    floors/ceilings, aspect-ratio bound, bytes-per-pixel sanity, format
+    allowlist — evaluated WITHOUT decoding (Catalyst prunes the bytes
+    column; at 10^12 rows this tier costs a metadata scan). The metadata
+    derives deterministically from `part` via integer arithmetic so the
+    DuckDB twin reproduces every input value exactly; each rule both
+    passes and fails somewhere in the derived distribution."""
+    from corpusama_spark.functions.imageops import image_quality_rules
+
+    pk = F.col("p_partkey")
+    meta = _t(spark, sf_dir, "part").select(
+        pk.alias("image_id"),
+        (F.lit(8) + F.pmod(pk * 97, F.lit(10000))).cast("int").alias("w"),
+        (F.lit(8) + F.pmod(pk * 61, F.lit(9000))).cast("int").alias("h"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ("png", "jpeg", "gif", "bmp", "tiff")]),
+            (F.pmod(pk, F.lit(5)) + 1).cast("int"),
+        ).alias("fmt"),
+    ).withColumn(
+        "nbytes",
+        (F.pmod(F.col("image_id"), F.lit(50)) * F.col("w") * F.col("h")).cast(
+            "long"
+        ),
+    )
+    return meta.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        "nbytes",
+        image_quality_rules(
+            F.col("w"), F.col("h"), F.col("fmt"), F.col("nbytes")
+        ).alias("r"),
+    ).select("image_id", "w", "h", "fmt", "nbytes", "r.*")
+
+
+def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-image agreement (CLIP-score shape): md5 feature-hashed
+    caption vector vs the image embedding joined on doc_id = vec_id,
+    cosine >= 0.05 keeps the pair. The featurizer is portable md5
+    arithmetic, so the WHOLE two-tower score is DuckDB-value-exact."""
+    from corpusama_spark.operators.alignment import caption_image_agreement
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return caption_image_agreement(docs, emb, threshold=0.05)
+
+
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bigram-LM train + score in ONE lazy plan: add-k model
+    counts aggregated from the corpus, every doc scored by joining its
+    bigrams back against the (broadcast) model — the KenLM-style
+    perplexity lane as pure relational algebra, value-checked end to end
+    (upgrades perplexity evidence from rows-only to oracle-exact)."""
+    from corpusama_spark.operators.lm import corpus_perplexity
+
+    return corpus_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality-filter tier (GPT-3 appx-A shape) as relational
+    algebra: train token log-odds on two seed slices (lang='en' good,
+    lang='zh' bad), score EVERY document by joining its token multiset
+    against the broadcast model and summing — train + score in ONE lazy
+    plan, value-checked end to end in DuckDB."""
+    from corpusama_spark.operators.classifier import quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier(
+        docs, F.col("lang") == "en", F.col("lang") == "zh"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "export_join": q_export_join,
@@ -1485,6 +1559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "ppl_buckets": q_ppl_buckets,
         "curation_pipeline": q_curation_pipeline,
+        "image_rules": q_image_rules,
+        "caption_align": q_caption_align,
+        "bigram_ppl": q_bigram_ppl,
+        "nb_quality": q_nb_quality,
     }
 
 
@@ -2724,5 +2802,143 @@ def oracle_sql() -> dict[str, str]:
                                      AND 1 PRECEDING), 0) / 2000)
                         AS BIGINT) AS shard_id
             FROM t
+        """,
+        "image_rules": """
+            WITH m AS (
+                SELECT p_partkey AS image_id,
+                       CAST(8 + (p_partkey * 97) % 10000 AS INTEGER) AS w,
+                       CAST(8 + (p_partkey * 61) % 9000 AS INTEGER) AS h,
+                       CASE p_partkey % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                            WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp'
+                            ELSE 'tiff' END AS fmt
+                FROM part),
+            mm AS (
+                SELECT *, CAST((image_id % 50) * w * h AS BIGINT) AS nbytes,
+                       greatest(CAST(w AS DOUBLE), CAST(h AS DOUBLE))
+                         / greatest(least(CAST(w AS DOUBLE), CAST(h AS DOUBLE)),
+                                    1.0) AS aspect,
+                       CAST((image_id % 50) * w * h AS DOUBLE)
+                         / greatest(CAST(w AS DOUBLE) * h, 1.0) AS bpp
+                FROM m)
+            SELECT image_id, w, h, fmt, nbytes,
+                   round(CAST(w AS DOUBLE) * h / 1000000.0, 4) AS megapixels,
+                   round(aspect, 4) AS aspect_ratio,
+                   round(bpp, 4) AS bytes_per_pixel,
+                   (least(w, h) >= 64 AND greatest(w, h) <= 8192) AS dims_ok,
+                   (aspect <= 3.0) AS aspect_ok,
+                   (bpp BETWEEN 0.02 AND 16.0) AS bpp_ok,
+                   (lower(fmt) IN ('png', 'jpeg', 'gif', 'webp')) AS fmt_ok,
+                   (least(w, h) >= 64 AND greatest(w, h) <= 8192
+                    AND aspect <= 3.0 AND bpp BETWEEN 0.02 AND 16.0
+                    AND lower(fmt) IN ('png', 'jpeg', 'gif', 'webp'))
+                       AS image_keep
+            FROM mm
+        """,
+        "caption_align": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           t -> len(t) > 0)) AS tok
+                FROM documents
+                WHERE text IS NOT NULL AND len(trim(text)) > 0),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+                       CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                            THEN 1 ELSE -1 END AS sgn
+                FROM tok),
+            wt AS (
+                SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS wt
+                FROM h GROUP BY 1, 2),
+            feat AS (
+                SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2
+                FROM wt GROUP BY 1),
+            dots AS (
+                SELECT w.doc_id,
+                       sum(w.wt * CAST(e.embedding[CAST(w.bucket AS INTEGER) + 1]
+                                       AS DOUBLE)) AS dot
+                FROM wt w JOIN embeddings e ON e.vec_id = w.doc_id
+                GROUP BY 1),
+            en AS (
+                SELECT vec_id,
+                       sqrt(list_aggregate(
+                           list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x), 'sum')) AS vn
+                FROM embeddings)
+            SELECT f.doc_id, f.n2,
+                   round(d.dot / (sqrt(CAST(f.n2 AS DOUBLE)) * en.vn), 6)
+                       AS align_score,
+                   (round(d.dot / (sqrt(CAST(f.n2 AS DOUBLE)) * en.vn), 6)
+                    >= 0.05) AS keep
+            FROM feat f
+            JOIN dots d USING (doc_id)
+            JOIN en ON en.vec_id = f.doc_id
+            WHERE f.n2 > 0 AND en.vn > 0
+        """,
+        "bigram_ppl": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> len(t) > 0) AS ws
+                FROM documents),
+            bg AS (
+                SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, greatest(len(ws) - 1, 0)),
+                               i -> [ws[i], ws[i + 1]])) AS pair
+                    FROM w)),
+            bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+            cc AS (SELECT w1, count(*) AS ctx FROM bg GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v FROM
+                      (SELECT unnest(ws) AS tok FROM w)),
+            s AS (
+                SELECT b.doc_id,
+                       ln((CAST(bc.c AS DOUBLE) + 0.5)
+                          / (CAST(cc.ctx AS DOUBLE)
+                             + 0.5 * CAST(v.v AS DOUBLE))) AS lp
+                FROM bg b
+                JOIN bc USING (w1, w2)
+                JOIN cc USING (w1)
+                CROSS JOIN v)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(exp(-sum(lp) / count(*)), 6) AS ppl
+            FROM s GROUP BY doc_id
+        """,
+        "nb_quality": r"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       unnest(list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> len(t) > 0)) AS tok
+                FROM documents),
+            g AS (SELECT tok, count(*) AS cg FROM tok
+                  WHERE lang = 'en' GROUP BY 1),
+            b AS (SELECT tok, count(*) AS cb FROM tok
+                  WHERE lang = 'zh' GROUP BY 1),
+            m AS (SELECT coalesce(g.tok, b.tok) AS tok,
+                         coalesce(g.cg, 0) AS cg, coalesce(b.cb, 0) AS cb
+                  FROM g FULL JOIN b ON g.tok = b.tok),
+            tot AS (SELECT coalesce(sum(cg), 0) AS ng,
+                           coalesce(sum(cb), 0) AS nb,
+                           count(*) AS v
+                    FROM m),
+            s AS (
+                SELECT t.doc_id,
+                       ln((CAST(coalesce(m.cg, 0) AS DOUBLE) + 0.5)
+                          / (CAST(tot.ng AS DOUBLE)
+                             + 0.5 * CAST(tot.v AS DOUBLE)))
+                       - ln((CAST(coalesce(m.cb, 0) AS DOUBLE) + 0.5)
+                            / (CAST(tot.nb AS DOUBLE)
+                               + 0.5 * CAST(tot.v AS DOUBLE))) AS w
+                FROM tok t
+                LEFT JOIN m USING (tok)
+                CROSS JOIN tot)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(w), 6) AS nb_score,
+                   (round(sum(w), 6) >= 0.0) AS keep
+            FROM s GROUP BY doc_id
         """,
     }

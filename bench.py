@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "strat_sample",
     "semantic_dedup",
     "pack_shards",
+    "image_rules",
+    "caption_align",
+    "bigram_ppl",
+    "nb_quality",
     # dedup_clusters is deliberately absent: its 12 fixed label-propagation
     # rounds over the tiny sf edge set measure the per-round scheduling
     # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale

@@ -179,6 +179,81 @@ def resize_image(
 
 
 # ---------------------------------------------------------------------------
+# Image METADATA quality rules (no decode) — the LAION/DataComp-style gate
+# ---------------------------------------------------------------------------
+
+IMAGE_RULE_FIELDS = (
+    "megapixels",
+    "aspect_ratio",
+    "bytes_per_pixel",
+    "dims_ok",
+    "aspect_ok",
+    "bpp_ok",
+    "fmt_ok",
+    "image_keep",
+)
+
+
+def image_quality_rules(
+    w_col: Column,
+    h_col: Column,
+    fmt_col: Column,
+    nbytes_col: Column,
+    min_dim: int = 64,
+    max_dim: int = 8192,
+    max_aspect: float = 3.0,
+    min_bpp: float = 0.02,
+    max_bpp: float = 16.0,
+    fmt_allow: tuple[str, ...] = ("png", "jpeg", "gif", "webp"),
+) -> Column:
+    """Metadata-only image quality gate as ONE struct of pure-JVM
+    expressions — the filter tier every web-scale image pipeline runs
+    BEFORE any byte decode (LAION-5B §2.2 / DataComp filtering: dimension
+    floors, aspect-ratio bounds, format allowlists; public papers).
+
+    Because only (w, h, fmt, len(bytes)) are read, Catalyst prunes the
+    bytes column out of the scan entirely when the caller projects just
+    the rule struct — at 10^12 rows this gate costs a metadata-column
+    scan, not an image scan. Flags:
+
+    - ``dims_ok``: min(w,h) >= min_dim and max(w,h) <= max_dim (icons and
+      decompression-bomb dimensions out);
+    - ``aspect_ok``: max(w,h)/min(w,h) <= max_aspect (banner/sliver crops
+      out — these are overwhelmingly ads/chrome, not photographs);
+    - ``bpp_ok``: encoded bytes per pixel within [min_bpp, max_bpp]
+      (sub-floor = truncated/placeholder payload, above-ceiling = corrupt
+      or bomb-shaped encoding for any compressed format);
+    - ``fmt_ok``: declared container in the allowlist.
+
+    The reference gates records the same shape-level way before running
+    models (corpusama/util/convert.py nan_to_none + pdf size checks);
+    this is that idea applied to the image leg of the input_hint schema.
+    """
+    w = w_col.cast("double")
+    h = h_col.cast("double")
+    px = F.greatest(w * h, F.lit(1.0))
+    aspect = F.greatest(w, h) / F.greatest(F.least(w, h), F.lit(1.0))
+    bpp = nbytes_col.cast("double") / px
+    dims_ok = (F.least(w_col, h_col) >= min_dim) & (
+        F.greatest(w_col, h_col) <= max_dim
+    )
+    aspect_ok = aspect <= max_aspect
+    bpp_ok = bpp.between(min_bpp, max_bpp)
+    fmt_ok = F.lower(fmt_col).isin(*[f.lower() for f in fmt_allow])
+    keep = dims_ok & aspect_ok & bpp_ok & fmt_ok
+    return F.struct(
+        F.round(w * h / 1_000_000.0, 4).alias("megapixels"),
+        F.round(aspect, 4).alias("aspect_ratio"),
+        F.round(bpp, 4).alias("bytes_per_pixel"),
+        dims_ok.alias("dims_ok"),
+        aspect_ok.alias("aspect_ok"),
+        bpp_ok.alias("bpp_ok"),
+        fmt_ok.alias("fmt_ok"),
+        keep.alias("image_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # QVID: a real (if minimal) multi-frame container for the video slot
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,144 @@
+"""Caption-image agreement scoring (CLIP-score shape, engine-exact).
+
+The operator every web-scale image+caption pipeline runs after the
+unimodal gates: score how well a caption matches its image and drop pairs
+below a threshold (LAION-5B kept pairs with CLIP similarity >= 0.28 —
+public paper; DataComp's baseline filter is the same shape). A real CLIP
+encoder is a model-weights seam like fastText (functions/langid.py); what
+the ENGINE owes is the distributed computation around it:
+
+  caption -> sparse hashed feature vector -> cosine against the image
+  embedding column -> keep/drop.
+
+The caption featurizer here is deterministic signed feature hashing
+(Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+Learning" — public): token t adds sign(t) into bucket(t), both derived
+from md5 prefixes, so ANY engine with md5 reproduces the vector bit-for-
+bit and the whole score is DuckDB-oracle-able (same portability trick as
+the md5 minhash family, operators/dedup.py). A learned text encoder slots
+in by replacing ONE stage (the wt aggregation) with an Arrow-batched
+model UDF; the join/cosine/threshold plumbing is identical.
+
+Plan shape (the 10^12-row story):
+
+- tokens explode in the scan stage; the two aggregations share the doc_id
+  hash partitioning (bucket-level then doc-level), so Catalyst plans ONE
+  exchange for both;
+- the doc-level feature row is tiny (<= dim (bucket, weight) pairs), and
+  the dot product runs as an ordered JVM ``aggregate`` over the sorted
+  pairs — deterministic summation order, no Python anywhere;
+- the only join is doc_id = image_id, equi-join between two tables that
+  are both id-partitioned in a real deployment (bucketed/Iceberg), i.e.
+  shuffle-free there; the image EMBEDDING (dim floats) joins, never the
+  image bytes.
+
+Reference seam: corpusama scores each record with a model column the same
+way (make_langid -> lid column, corpusama/corpus/langid.py); this is that
+pattern with a two-tower score instead of a classifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from corpusama_spark.operators.similarity import infer_dim, l2norm
+
+
+def hashed_token_parts(tok: Column, dim: int) -> tuple[Column, Column]:
+    """(bucket, sign) of one token under md5 feature hashing.
+
+    bucket = first 8 md5 hex chars as an int, mod dim; sign = +-1 from the
+    parity of the 9th hex char. Pure JVM, portable to any md5-bearing
+    engine (DuckDB twin: ('0x' || substr(md5(t), 1, 8))::BIGINT % dim).
+    """
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+    sign = F.when(
+        F.pmod(F.conv(F.substring(F.md5(tok), 9, 1), 16, 10).cast("long"), F.lit(2))
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return bucket, sign
+
+
+def caption_features(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse hashed caption features: (id, comps, n2) with ``comps`` a
+    bucket-sorted array<struct<bucket,wt>> and ``n2`` the exact integer
+    squared L2 norm. Captions with no tokens produce no row (nothing to
+    score — same drop the reference's empty-text nullifier applies)."""
+    tok = (
+        docs.where(
+            F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("tok"),
+        )
+    )
+    bucket, sign = hashed_token_parts(F.col("tok"), dim)
+    wt = (
+        tok.select("id", bucket.alias("bucket"), sign.alias("sgn"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("wt"))
+    )
+    return wt.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "wt"))).alias("comps"),
+        F.sum(F.col("wt") * F.col("wt")).cast("long").alias("n2"),
+    )
+
+
+def caption_image_agreement(
+    docs: DataFrame,
+    images: DataFrame,
+    threshold: float = 0.05,
+    dim: int | None = None,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    img_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_id, n2, align_score, keep): cosine between the hashed caption
+    features and the image embedding joined on doc_id = img_id, kept when
+    score >= threshold. Zero-norm sides are dropped, not divided by.
+
+    The dot product folds the sorted sparse pairs against the dense image
+    vector JVM-side (element_at by bucket) — O(nnz) per row, summation
+    order fixed by the sort, bytes/text never in the join.
+    """
+    dim = dim if dim is not None else infer_dim(images, vec_col)
+    feats = caption_features(docs, dim, doc_id, text_col)
+    img = images.select(
+        F.col(img_id).alias("img_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    j = feats.join(img, feats["id"] == img["img_id"])
+    dot = F.aggregate(
+        F.col("comps"),
+        F.lit(0.0),
+        lambda acc, c: acc
+        + c.getField("wt").cast("double")
+        * F.element_at(F.col("vec"), (c.getField("bucket") + 1).cast("int")),
+    )
+    vnorm = l2norm(F.col("vec"))
+    score = F.round(dot / (F.sqrt(F.col("n2").cast("double")) * vnorm), 6)
+    return (
+        j.where((F.col("n2") > 0) & (vnorm > 0))
+        .select(
+            F.col("id").alias(doc_id),
+            F.col("n2"),
+            score.alias("align_score"),
+            (score >= threshold).alias("keep"),
+        )
+    )

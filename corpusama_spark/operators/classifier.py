@@ -1,0 +1,164 @@
+"""Distributed linear quality classifier (naive-Bayes log-odds).
+
+The learned tier of the quality_filter stack: GPT-3 trained a logistic
+classifier on WebText-vs-CommonCrawl and kept documents scoring high
+(Brown et al. 2020, Appendix A — public); CCNet and fastText's supervised
+mode are the same shape — a LINEAR score over token features. This module
+re-expresses that tier as pure relational algebra so the whole
+train-then-score round trip is DuckDB-oracle-checkable:
+
+    train: per-token occurrence counts in a "good" seed corpus and a "bad"
+           seed corpus (two groupBys — map-side partial aggregation makes
+           the shuffle carry one row per distinct token per partition);
+    model: per-token add-k-smoothed log-odds
+           w(t) = ln((cg+k)/(Ng+kV)) - ln((cb+k)/(Nb+kV))
+           (multinomial naive Bayes; Chen & Goodman smoothing, public);
+    score: each document's token multiset joins the model and sums w —
+           exactly the linear layer a fastText supervised classifier
+           applies; a learned embedding table slots in by swapping the
+           model DataFrame, the join/sum plumbing is identical.
+
+Scale shape (10^12 rows):
+
+- the model is Zipf-headed: ``prune_model`` drops rare tokens so the
+  broadcast stays small; pruned tokens fall back to the SAME unseen-token
+  floor the scorer applies to genuinely novel tokens (coalesce to c=0),
+  so pruning degrades smoothly instead of changing semantics;
+- scoring is one explode (scan stage) + one broadcast hash join + one
+  doc_id groupBy — the same exchange the downstream keep/drop filter
+  consumes, so the classifier adds zero extra shuffles to the pipeline;
+- totals (Ng, Nb, V) stay a 1-row DataFrame cross-joined lazily — no
+  driver collect anywhere.
+
+Reference seam: corpusama attaches model verdicts as columns the same way
+(make_langid -> lid, corpusama/corpus/langid.py); this is that pattern
+with a two-class linear scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok) — one row per token OCCURRENCE (multinomial NB counts
+    occurrences, not presence), exploded in the scan stage."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    return docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+
+
+def train_token_logodds(
+    good: DataFrame,
+    bad: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(model, totals) from two seed corpora.
+
+    model: (tok, cg, cb) — occurrence counts of each token in the good
+    and bad seeds, full-outer merged so one-sided tokens keep a 0 on the
+    other side; totals: ONE row (ng, nb, v) = total good occurrences,
+    total bad occurrences, distinct-token vocabulary of the union — kept
+    as a DataFrame so scoring composes lazily (no driver collect).
+    """
+    cg = _doc_tokens(good, id_col, text_col).groupBy("tok").agg(
+        F.count("*").alias("cg")
+    )
+    cb = _doc_tokens(bad, id_col, text_col).groupBy("tok").agg(
+        F.count("*").alias("cb")
+    )
+    model = cg.join(cb, "tok", "full").select(
+        "tok",
+        F.coalesce("cg", F.lit(0)).cast("long").alias("cg"),
+        F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+    )
+    totals = model.agg(
+        F.sum("cg").cast("long").alias("ng"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("v"),
+    )
+    return model, totals
+
+
+def prune_model(model: DataFrame, min_count: int = 2) -> DataFrame:
+    """Drop tokens with fewer than ``min_count`` total occurrences so the
+    broadcast model stays head-sized at web vocabulary. IMPORTANT: prune
+    AFTER computing ``totals`` from the full model — pruned tokens must
+    still contribute to Ng/Nb/V so the floor probability they fall back
+    to is the one they were trained under."""
+    return model.where((F.col("cg") + F.col("cb")) >= min_count)
+
+
+def _logodds(k: float) -> Column:
+    num_g = F.coalesce(F.col("cg"), F.lit(0)).cast("double") + F.lit(k)
+    num_b = F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(k)
+    den_g = F.col("ng").cast("double") + F.lit(k) * F.col("v").cast("double")
+    den_b = F.col("nb").cast("double") + F.lit(k) * F.col("v").cast("double")
+    return F.log(num_g / den_g) - F.log(num_b / den_b)
+
+
+def score_naive_bayes(
+    docs: DataFrame,
+    model: DataFrame,
+    totals: DataFrame,
+    k: float = 0.5,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, n_tokens, nb_score, keep): summed per-token log-odds per doc,
+    kept when the score clears ``threshold`` (GPT-3 kept score>0 plus a
+    Pareto re-admission lottery; the lottery is a sampling policy, not an
+    operator, so the deterministic gate is what lives here). Documents
+    with no tokens produce no row (nothing to score — same convention as
+    operators/lm.py). Unseen tokens hit the add-k floor via the left
+    join's coalesce."""
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    j = (
+        _doc_tokens(docs, id_col, text_col)
+        .join(hint(model), ["tok"], "left")
+        .crossJoin(hint(totals))
+    )
+    score = F.round(F.sum(_logodds(k)), 6)
+    return (
+        j.groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            score.alias("nb_score"),
+            (score >= threshold).alias("keep"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "nb_score", "keep")
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    good_pred: Column,
+    bad_pred: Column,
+    k: float = 0.5,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Train on two predicate-selected seed slices of ``docs`` and score
+    every document — ONE lazy plan end to end (the CCNet composition:
+    seed = in-domain reference, candidates = everything)."""
+    model, totals = train_token_logodds(
+        docs.where(good_pred), docs.where(bad_pred), id_col, text_col
+    )
+    return score_naive_bayes(
+        docs,
+        model,
+        totals,
+        k=k,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast_model=broadcast_model,
+    )

@@ -1,0 +1,145 @@
+"""Distributed n-gram language-model training + relational perplexity.
+
+The reference scores text with a PRE-TRAINED model column (Stanza slot,
+corpusama pipeline docs; re-expressed in functions/perplexity.py as a
+char-bigram LM inside an Arrow UDF). This module closes the other half of
+the KenLM story the north_star names: TRAIN the n-gram model ON the
+corpus as a distributed aggregation, then score documents by JOINING
+their n-grams against the model table — no model weights ever leave the
+cluster, no UDF anywhere, and (because every step is relational) the
+whole train+score round trip is DuckDB-oracle-checkable, which upgrades
+perplexity evidence from rows-only to value-exact.
+
+Model: word-bigram with add-k smoothing (Chen & Goodman 1999, public):
+
+    P(w2 | w1) = (C(w1,w2) + k) / (C(w1,*) + k * V)
+
+Scale shape (10^12 rows):
+
+- training is two groupBy counts — map-side partial aggregation makes the
+  shuffle carry one row per DISTINCT bigram per partition, not per token;
+- scoring joins doc bigrams to the model on (w1, w2). Zipf skew means a
+  handful of bigrams ("of the") dominate: the model's heavy head fits in
+  a broadcast (``broadcast_model=True``, default) so the hot keys never
+  shuffle; at vocabularies past broadcast size the same plan runs as a
+  sort-merge join and AQE's skew-join split handles the head;
+- the per-doc logprob sum is a doc_id groupBy — same exchange the
+  downstream per-doc filter consumes.
+
+Smoothing floor: bigrams absent from the model (scoring fresh text) get
+C=0 and C(w1,*)=0 via left joins + coalesce — the add-k floor keeps the
+probability finite, matching the closed-vocabulary convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def _doc_bigrams(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, w1, w2) — one row per bigram OCCURRENCE, exploded scan-stage."""
+    words = _words(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))).alias("w1"),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))).alias("w2"),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def train_bigram_lm(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bigram_counts, context_counts, vocab_size) from the corpus.
+
+    bigram_counts: (w1, w2, c) — occurrences of each bigram;
+    context_counts: (w1, ctx) — occurrences of w1 as a bigram left side
+    (exactly sum_w2 c(w1, w2), computed from the same exploded pass);
+    vocab_size: one row (v) — distinct tokens corpus-wide, kept as a
+    DataFrame so the scorer composes it lazily (no driver collect).
+    """
+    bg = _doc_bigrams(docs, id_col, text_col)
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    context_counts = bg.groupBy("w1").agg(F.count("*").alias("ctx"))
+    vocab_size = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    return bigram_counts, context_counts, vocab_size
+
+
+def score_perplexity(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab_size: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, n_bigrams, ppl): per-document add-k bigram perplexity
+    exp(-mean log P(w2|w1)). Documents with fewer than 2 tokens have no
+    bigrams and produce no row (nothing to score). ``broadcast_model``
+    broadcasts the count tables — right for the pruned/headline model; at
+    full web vocabulary switch it off and let AQE handle the Zipf head.
+    """
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    bg = _doc_bigrams(docs, id_col, text_col)
+    j = (
+        bg.join(hint(bigram_counts), ["w1", "w2"], "left")
+        .join(hint(context_counts), ["w1"], "left")
+        .crossJoin(hint(vocab_size))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(k))
+        / (
+            F.coalesce(F.col("ctx"), F.lit(0)).cast("double")
+            + F.lit(k) * F.col("v").cast("double")
+        )
+    )
+    return (
+        j.groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.exp(-F.sum(logp) / F.count("*")), 6).alias("ppl"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "ppl")
+    )
+
+
+def corpus_perplexity(
+    docs: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Train on the corpus, score the corpus — the CCNet-style self-score
+    (Wenzek et al. 2020 train on reference corpus, score candidates; here
+    both are the input, the composition callers use to bucket docs by
+    in-domain-ness). One lazy plan end to end."""
+    bigram_counts, context_counts, vocab_size = train_bigram_lm(
+        docs, id_col, text_col
+    )
+    return score_perplexity(
+        docs,
+        bigram_counts,
+        context_counts,
+        vocab_size,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast_model=broadcast_model,
+    )

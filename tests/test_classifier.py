@@ -1,0 +1,101 @@
+"""Naive-Bayes quality classifier (operators/classifier.py): Python-
+recomputed parity, pruning semantics, seed separation, plan shape."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from corpusama_spark.plans.audit import report
+
+GOOD = {1: "clean prose reads well and informs", 2: "clean prose informs readers"}
+BAD = {3: "buy buy cheap cheap pills pills", 4: "cheap pills click here"}
+MIXED = {
+    5: "clean prose with pills",
+    6: "totally novel vocabulary entirely",
+    7: "",
+}
+
+
+def _expected(k: float = 0.5):
+    def toks(d):
+        return [t for t in d.lower().split() if t]
+
+    cg: dict[str, int] = {}
+    cb: dict[str, int] = {}
+    for t in (tok for d in GOOD.values() for tok in toks(d)):
+        cg[t] = cg.get(t, 0) + 1
+    for t in (tok for d in BAD.values() for tok in toks(d)):
+        cb[t] = cb.get(t, 0) + 1
+    vocab = set(cg) | set(cb)
+    ng, nb, v = sum(cg.values()), sum(cb.values()), len(vocab)
+
+    def w(t):
+        return math.log((cg.get(t, 0) + k) / (ng + k * v)) - math.log(
+            (cb.get(t, 0) + k) / (nb + k * v)
+        )
+
+    out = {}
+    for did, d in {**GOOD, **BAD, **MIXED}.items():
+        ts = toks(d)
+        if not ts:
+            continue
+        s = round(sum(w(t) for t in ts), 6)
+        out[did] = (len(ts), s, s >= 0.0)
+    return out
+
+
+def _docs(spark):
+    rows = [(d, t, "g" if d in GOOD else "b" if d in BAD else "m")
+            for d, t in {**GOOD, **BAD, **MIXED}.items()]
+    return spark.createDataFrame(rows, "doc_id long, text string, grp string")
+
+
+def test_nb_matches_python_and_separates(spark):
+    from corpusama_spark.operators.classifier import quality_classifier
+
+    got = {
+        r.doc_id: (r.n_tokens, r.nb_score, r.keep)
+        for r in quality_classifier(
+            _docs(spark), F.col("grp") == "g", F.col("grp") == "b"
+        ).collect()
+    }
+    assert got == _expected()
+    # seeds score on their own side of the gate; all-novel text is neutral
+    assert all(got[d][2] for d in GOOD) and not any(got[d][2] for d in BAD)
+    assert abs(got[6][1]) < 1e-9  # every-token-unseen -> symmetric floor
+
+
+def test_nb_pruning_floor_consistency(spark):
+    """min_count=1 pruning is a no-op; aggressive pruning only moves
+    pruned tokens to the unseen floor (totals computed pre-prune)."""
+    from corpusama_spark.operators.classifier import (
+        prune_model,
+        score_naive_bayes,
+        train_token_logodds,
+    )
+
+    docs = _docs(spark)
+    good, bad = docs.where(F.col("grp") == "g"), docs.where(F.col("grp") == "b")
+    model, totals = train_token_logodds(good, bad)
+    base = {r.doc_id: r.nb_score
+            for r in score_naive_bayes(docs, model, totals).collect()}
+    noop = {r.doc_id: r.nb_score
+            for r in score_naive_bayes(docs, prune_model(model, 1), totals).collect()}
+    assert base == noop
+    pruned = {r.doc_id: r.nb_score
+              for r in score_naive_bayes(docs, prune_model(model, 2), totals).collect()}
+    # repeated seed tokens survive pruning, so seed docs keep a signal
+    assert set(pruned) == set(base)
+    assert pruned[1] != base[1]  # singletons fell to the floor -> score moved
+
+
+def test_nb_plan_broadcast_and_jvm(spark):
+    from corpusama_spark.operators.classifier import quality_classifier
+
+    out = quality_classifier(
+        _docs(spark), F.col("grp") == "g", F.col("grp") == "b"
+    )
+    rep = report(out)
+    rep.assert_no_row_python()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

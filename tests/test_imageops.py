@@ -133,3 +133,59 @@ def test_image_ops_are_narrow(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_image_quality_rules_flags(spark):
+    """Each metadata rule fires independently; keep is the conjunction."""
+    from corpusama_spark.functions.imageops import image_quality_rules
+
+    rows = [
+        # (id, w, h, fmt, nbytes) -> expected (dims, aspect, bpp, fmt, keep)
+        ("ok", 640, 480, "jpeg", 640 * 480, (True, True, True, True, True)),
+        ("icon", 16, 16, "png", 256, (False, True, True, True, False)),
+        ("bomb", 9000, 9000, "png", 9000 * 9000, (False, True, True, True, False)),
+        ("banner", 1200, 100, "jpeg", 120000, (True, False, True, True, False)),
+        ("truncated", 640, 480, "jpeg", 100, (True, True, False, True, False)),
+        ("bloated", 100, 100, "png", 200000, (True, True, False, True, False)),
+        ("badfmt", 640, 480, "tiff", 640 * 480, (True, True, True, False, False)),
+        ("caps", 640, 480, "JPEG", 640 * 480, (True, True, True, True, True)),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "id string, w int, h int, fmt string, nbytes long",
+    )
+    out = {
+        r.id: (r.r.dims_ok, r.r.aspect_ok, r.r.bpp_ok, r.r.fmt_ok, r.r.image_keep)
+        for r in df.select(
+            "id",
+            image_quality_rules(
+                F.col("w"), F.col("h"), F.col("fmt"), F.col("nbytes")
+            ).alias("r"),
+        ).collect()
+    }
+    for rid, _w, _h, _f, _n, want in rows:
+        assert out[rid] == want, rid
+
+
+def test_image_quality_rules_prune_bytes(tmp_path, spark):
+    """The metadata gate must never read the bytes column: project only the
+    rule struct from a parquet table with a binary column and assert the
+    scan's ReadSchema excludes it — the property that makes this tier a
+    metadata scan at 10^12 rows."""
+    from corpusama_spark.functions.imageops import image_quality_rules
+
+    p = str(tmp_path / "imgs")
+    spark.createDataFrame(
+        [("a", b"\x89PNG" * 100, 640, 480, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = df.select(
+        "image_id",
+        image_quality_rules(
+            F.col("w"), F.col("h"), F.col("fmt"), F.lit(1000)
+        ).alias("r"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_schema and all("bytes" not in ln for ln in scan_schema)
