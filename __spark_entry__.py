@@ -1478,6 +1478,38 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-Engine-core collocation statistics: logDice (Rychlý 2008 —
+    the metric word sketches rank by), PMI, and t-score over corpus
+    bigrams with contingency marginals broadcast — the day-one corpus
+    query a corpusama user runs on the corpus this engine builds."""
+    from corpusama_spark.operators.colloc import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+def q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kilgarriff simple-maths keyword extraction: French-document slice
+    as the focus subcorpus vs everything else as reference, scored by
+    (fpm_focus + 100)/(fpm_ref + 100) over per-million frequencies."""
+    from corpusama_spark.operators.colloc import keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return keywords(
+        docs.where(F.col("lang") == "fr"),
+        docs.where(F.col("lang") != "fr"),
+    )
+
+
+def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed concordance (KWIC): every occurrence of the token
+    'spark' with 3 tokens of context either side, sliced from the token
+    array already in hand — the text column is scanned exactly once."""
+    from corpusama_spark.operators.colloc import kwic
+
+    return kwic(_t(spark, sf_dir, "documents"), "spark", width=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "export_join": q_export_join,
@@ -1563,6 +1595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_align": q_caption_align,
         "bigram_ppl": q_bigram_ppl,
         "nb_quality": q_nb_quality,
+        "collocations": q_collocations,
+        "keywords": q_keywords,
+        "kwic": q_kwic,
     }
 
 
@@ -2940,5 +2975,86 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(w), 6) AS nb_score,
                    (round(sum(w), 6) >= 0.0) AS keep
             FROM s GROUP BY doc_id
+        """,
+        "collocations": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> len(t) > 0) AS ws
+                FROM documents),
+            bg AS (
+                SELECT pair[1] AS w1, pair[2] AS w2 FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, greatest(len(ws) - 1, 0)),
+                        i -> [ws[i], ws[i + 1]])) AS pair
+                    FROM w)),
+            pair AS (SELECT w1, w2, count(*) AS f_xy FROM bg GROUP BY 1, 2),
+            lft AS (SELECT w1, count(*) AS f_x FROM bg GROUP BY 1),
+            rgt AS (SELECT w2, count(*) AS f_y FROM bg GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bg)
+            SELECT p.w1, p.w2, p.f_xy, l.f_x, r.f_y,
+                   round(ln(CAST(p.f_xy AS DOUBLE) * tot.n
+                            / (CAST(l.f_x AS DOUBLE) * r.f_y))
+                         / 0.6931471805599453, 6) AS pmi,
+                   round((CAST(p.f_xy AS DOUBLE)
+                          - CAST(l.f_x AS DOUBLE) * r.f_y / tot.n)
+                         / sqrt(CAST(p.f_xy AS DOUBLE)), 6) AS t_score,
+                   round(14.0 + ln(2.0 * CAST(p.f_xy AS DOUBLE)
+                                   / (CAST(l.f_x AS DOUBLE) + r.f_y))
+                         / 0.6931471805599453, 6) AS log_dice
+            FROM pair p
+            JOIN lft l USING (w1)
+            JOIN rgt r USING (w2)
+            CROSS JOIN tot
+            WHERE p.f_xy >= 5
+        """,
+        "keywords": r"""
+            WITH tok AS (
+                SELECT lang,
+                       unnest(list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> len(t) > 0)) AS tok
+                FROM documents),
+            fc AS (SELECT tok, count(*) AS f_focus FROM tok
+                   WHERE lang = 'fr' GROUP BY 1),
+            rc AS (SELECT tok, count(*) AS f_ref FROM tok
+                   WHERE lang != 'fr' GROUP BY 1),
+            ft AS (SELECT CAST(coalesce(sum(f_focus), 0) AS DOUBLE) AS t
+                   FROM fc),
+            rt AS (SELECT CAST(coalesce(sum(f_ref), 0) AS DOUBLE) AS t
+                   FROM rc)
+            SELECT fc.tok, fc.f_focus,
+                   CAST(coalesce(rc.f_ref, 0) AS BIGINT) AS f_ref,
+                   round(CAST(fc.f_focus AS DOUBLE) * 1e6 / ft.t, 6)
+                       AS fpm_focus,
+                   round(CAST(coalesce(rc.f_ref, 0) AS DOUBLE) * 1e6 / rt.t,
+                         6) AS fpm_ref,
+                   round((CAST(fc.f_focus AS DOUBLE) * 1e6 / ft.t + 100.0)
+                         / (CAST(coalesce(rc.f_ref, 0) AS DOUBLE) * 1e6
+                            / rt.t + 100.0), 6) AS score
+            FROM fc
+            LEFT JOIN rc USING (tok)
+            CROSS JOIN ft CROSS JOIN rt
+            WHERE fc.f_focus >= 3
+        """,
+        "kwic": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> len(t) > 0) AS ws
+                FROM documents),
+            x AS (
+                SELECT doc_id, ws,
+                       generate_subscripts(ws, 1) AS i, unnest(ws) AS tok
+                FROM w)
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                   coalesce(array_to_string(
+                       ws[greatest(i - 3, 1):i - 1], ' '), '') AS "left",
+                   tok AS hit,
+                   coalesce(array_to_string(
+                       ws[i + 1:least(i + 3, len(ws))], ' '), '') AS "right"
+            FROM x WHERE tok = 'spark'
         """,
     }

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "caption_align",
     "bigram_ppl",
     "nb_quality",
+    "collocations",
+    "kwic",
     # dedup_clusters is deliberately absent: its 12 fixed label-propagation
     # rounds over the tiny sf edge set measure the per-round scheduling
     # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale

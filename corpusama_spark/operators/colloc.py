@@ -1,0 +1,192 @@
+"""Corpus-linguistics query operators: collocations, keywords, KWIC.
+
+corpusama exists to BUILD corpora that Sketch Engine then queries
+(reference README; registry/ files point compiled corpora at the Sketch
+Engine query stack). The reference itself never runs those queries — it
+ships text out. This module closes that loop so a corpusama user can run
+the day-one corpus queries INSIDE the engine, distributed:
+
+- ``collocations``: bigram association scores — logDice (Rychlý 2008,
+  "A lexicographer-friendly association score", the actual Sketch Engine
+  metric — public), pointwise mutual information (Church & Hanks 1990),
+  and the t-score. Contingency counts use the standard convention:
+  N = total bigrams, f_x = bigrams with w1=x, f_y = bigrams with w2=y.
+- ``keywords``: focus-vs-reference keyword extraction by Kilgarriff's
+  "simple maths" (Kilgarriff 2009, public): score = (fpm_f + n)/(fpm_r + n)
+  over frequencies per million tokens.
+- ``kwic``: keyword-in-context concordance — every occurrence of a term
+  with ``width`` tokens of left/right context, reconstructed JVM-side
+  from the token array (no second scan of the text).
+
+Scale shape (10^12 rows):
+
+- every operator is explode (scan stage) + groupBy counts — map-side
+  partial aggregation means shuffles carry distinct-key rows, not tokens;
+- collocation marginals join back on single-word keys: Zipf-headed, so
+  the marginal tables broadcast (they are vocabulary-sized, not
+  corpus-sized); the pair table never self-joins;
+- kwic's per-occurrence context comes from ``slice`` on the already-held
+  token array — the text column is read exactly once, and the output is
+  occurrence-sized, driver never touches it.
+
+All three are pure relational algebra — DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LOG2 = 0.6931471805599453  # ln(2); Spark has no log2 column-arg overload
+
+
+def _words(text_col: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def _log2(c: Column) -> Column:
+    return F.log(c) / F.lit(LOG2)
+
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    ws = _words(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w1"),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))).alias("w2"),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    ).select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_marginals: bool = True,
+) -> DataFrame:
+    """(w1, w2, f_xy, f_x, f_y, pmi, t_score, log_dice) for every bigram
+    with f_xy >= min_count.
+
+    logDice = 14 + log2(2*f_xy / (f_x + f_y)) — corpus-size independent,
+    bounded at 14, the score Sketch Engine word sketches rank by. The
+    marginal tables (f_x, f_y) are vocabulary-sized and broadcast; the
+    min_count filter runs BEFORE the marginal joins so only the surviving
+    head pairs join at all."""
+    bg = _bigrams(docs, id_col, text_col)
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("f_xy"))
+    left = bg.groupBy("w1").agg(F.count("*").alias("f_x"))
+    right = bg.groupBy("w2").agg(F.count("*").alias("f_y"))
+    total = bg.agg(F.count("*").cast("double").alias("n"))
+    hint = F.broadcast if broadcast_marginals else (lambda d: d)
+    j = (
+        pair.where(F.col("f_xy") >= min_count)
+        .join(hint(left), ["w1"])
+        .join(hint(right), ["w2"])
+        .crossJoin(hint(total))
+    )
+    fxy = F.col("f_xy").cast("double")
+    fx = F.col("f_x").cast("double")
+    fy = F.col("f_y").cast("double")
+    pmi = _log2(fxy * F.col("n") / (fx * fy))
+    t_score = (fxy - fx * fy / F.col("n")) / F.sqrt(fxy)
+    log_dice = F.lit(14.0) + _log2(F.lit(2.0) * fxy / (fx + fy))
+    return j.select(
+        "w1",
+        "w2",
+        "f_xy",
+        "f_x",
+        "f_y",
+        F.round(pmi, 6).alias("pmi"),
+        F.round(t_score, 6).alias("t_score"),
+        F.round(log_dice, 6).alias("log_dice"),
+    )
+
+
+def keywords(
+    focus: DataFrame,
+    reference: DataFrame,
+    smooth_n: float = 100.0,
+    min_focus_count: int = 3,
+    text_col: str = "text",
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """(tok, f_focus, f_ref, fpm_focus, fpm_ref, score): Kilgarriff
+    simple-maths keyword score of the focus subcorpus against the
+    reference. score > 1 means over-represented in focus; the smoothing
+    constant ``smooth_n`` trades rare-word sensitivity for stability
+    (Kilgarriff 2009 recommends exposing it, default 100). Tokens absent
+    from the reference keep f_ref=0 via the left join."""
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(_words(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias(name))
+        )
+
+    fc = counts(focus, "f_focus")
+    rc = counts(reference, "f_ref")
+    ftot = fc.agg(F.sum("f_focus").cast("double").alias("ft"))
+    rtot = rc.agg(F.sum("f_ref").cast("double").alias("rt"))
+    hint = F.broadcast if broadcast_reference else (lambda d: d)
+    j = (
+        fc.where(F.col("f_focus") >= min_focus_count)
+        .join(hint(rc), ["tok"], "left")
+        .crossJoin(hint(ftot))
+        .crossJoin(hint(rtot))
+    )
+    fpm_f = F.col("f_focus").cast("double") * F.lit(1e6) / F.col("ft")
+    fpm_r = (
+        F.coalesce(F.col("f_ref"), F.lit(0)).cast("double")
+        * F.lit(1e6)
+        / F.col("rt")
+    )
+    score = (fpm_f + F.lit(smooth_n)) / (fpm_r + F.lit(smooth_n))
+    return j.select(
+        "tok",
+        "f_focus",
+        F.coalesce(F.col("f_ref"), F.lit(0)).cast("long").alias("f_ref"),
+        F.round(fpm_f, 6).alias("fpm_focus"),
+        F.round(fpm_r, 6).alias("fpm_ref"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def kwic(
+    docs: DataFrame,
+    term: str,
+    width: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, left, hit, right): every occurrence of ``term``
+    (casefolded whitespace token) with up to ``width`` tokens of context
+    either side — the concordance view. ``pos`` is the 0-based token
+    offset, so ordering and export are deterministic. One scan: the
+    context is sliced from the token array already in hand."""
+    ws = _words(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        ws.alias("ws"),
+    ).select("id", "ws", F.posexplode(F.col("ws")).alias("pos", "tok"))
+    lo = F.greatest(F.col("pos") - F.lit(width) + 1, F.lit(1))
+    left = F.array_join(
+        F.slice(F.col("ws"), lo, F.col("pos") + F.lit(1) - lo), " "
+    )
+    right = F.array_join(
+        F.slice(F.col("ws"), F.col("pos") + F.lit(2), F.lit(width)), " "
+    )
+    return (
+        exploded.where(F.col("tok") == term.lower())
+        .select(
+            F.col("id").alias(id_col),
+            F.col("pos"),
+            left.alias("left"),
+            F.col("tok").alias("hit"),
+            right.alias("right"),
+        )
+    )
