@@ -76,12 +76,21 @@ def collocations(
     bounded at 14, the score Sketch Engine word sketches rank by. The
     marginal tables (f_x, f_y) are vocabulary-sized and broadcast; the
     min_count filter runs BEFORE the marginal joins so only the surviving
-    head pairs join at all."""
+    head pairs join at all.
+
+    One corpus pass: f_x = Σ_w2 f_xy and f_y = Σ_w1 f_xy exactly, so the
+    marginals and N re-aggregate the persisted DISTINCT-PAIR table instead
+    of re-exploding the corpus — at 10^12 rows that turns three extra
+    full scans into three aggregations of a vocabulary²-bounded table.
+    Caller owns the persisted pair stage: release via
+    plans.caching.release(result)."""
+    from corpusama_spark.plans.caching import own_caches
+
     bg = _bigrams(docs, id_col, text_col)
-    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("f_xy"))
-    left = bg.groupBy("w1").agg(F.count("*").alias("f_x"))
-    right = bg.groupBy("w2").agg(F.count("*").alias("f_y"))
-    total = bg.agg(F.count("*").cast("double").alias("n"))
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("f_xy")).persist()
+    left = pair.groupBy("w1").agg(F.sum("f_xy").alias("f_x"))
+    right = pair.groupBy("w2").agg(F.sum("f_xy").alias("f_y"))
+    total = pair.agg(F.sum("f_xy").cast("double").alias("n"))
     hint = F.broadcast if broadcast_marginals else (lambda d: d)
     j = (
         pair.where(F.col("f_xy") >= min_count)
@@ -95,15 +104,18 @@ def collocations(
     pmi = _log2(fxy * F.col("n") / (fx * fy))
     t_score = (fxy - fx * fy / F.col("n")) / F.sqrt(fxy)
     log_dice = F.lit(14.0) + _log2(F.lit(2.0) * fxy / (fx + fy))
-    return j.select(
-        "w1",
-        "w2",
-        "f_xy",
-        "f_x",
-        "f_y",
-        F.round(pmi, 6).alias("pmi"),
-        F.round(t_score, 6).alias("t_score"),
-        F.round(log_dice, 6).alias("log_dice"),
+    return own_caches(
+        j.select(
+            "w1",
+            "w2",
+            "f_xy",
+            "f_x",
+            "f_y",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(t_score, 6).alias("t_score"),
+            F.round(log_dice, 6).alias("log_dice"),
+        ),
+        pair,
     )
 
 

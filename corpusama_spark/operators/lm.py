@@ -64,14 +64,21 @@ def train_bigram_lm(
     """(bigram_counts, context_counts, vocab_size) from the corpus.
 
     bigram_counts: (w1, w2, c) — occurrences of each bigram;
-    context_counts: (w1, ctx) — occurrences of w1 as a bigram left side
-    (exactly sum_w2 c(w1, w2), computed from the same exploded pass);
+    context_counts: (w1, ctx) — occurrences of w1 as a bigram left side,
+    computed as sum_w2 c(w1, w2) FROM bigram_counts (exactly equal), so
+    the corpus is exploded once for both tables — re-aggregating the
+    vocabulary²-bounded count table costs nothing next to a second
+    10^12-row scan;
     vocab_size: one row (v) — distinct tokens corpus-wide, kept as a
-    DataFrame so the scorer composes it lazily (no driver collect).
+    DataFrame so the scorer composes it lazily (no driver collect). This
+    is a genuine second (unigram) pass: single-token documents contribute
+    vocabulary but no bigram, so V cannot be derived from bigram_counts.
     """
     bg = _doc_bigrams(docs, id_col, text_col)
     bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    context_counts = bg.groupBy("w1").agg(F.count("*").alias("ctx"))
+    context_counts = bigram_counts.groupBy("w1").agg(
+        F.sum("c").alias("ctx")
+    )
     vocab_size = (
         docs.select(F.explode(_words(F.col(text_col))).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
