@@ -1510,6 +1510,51 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kwic(_t(spark, sf_dir, "documents"), "spark", width=3)
 
 
+from corpusama_spark.functions.mojibake import (  # noqa: E402
+    MOJIBAKE_PATTERN as MOJ_PATTERN,
+)
+
+_MOJ_A = " cafÃ© party"          # "cafÃ©" — utf-8 é read as latin-1
+_MOJ_B = " donâ€™t stop"    # "donâ€™t" — utf-8 ’ read as cp1252
+_FIX_A = " café party"
+_FIX_B = " don’t stop"
+
+
+def _mojibake_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic double-encoding damage appended to
+    doc_id%5∈{0,1} rows — same derivation in the DuckDB twins."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    return docs.withColumn(
+        "text",
+        F.when(m == 0, F.concat(F.col("text"), F.lit(_MOJ_A)))
+        .when(m == 1, F.concat(F.col("text"), F.lit(_MOJ_B)))
+        .otherwise(F.col("text")),
+    )
+
+
+def q_mojibake_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-stage mojibake telltale (pure-JVM regexp over the byte shapes
+    UTF-8-read-as-latin1/cp1252 produces). The oracle runs the SAME
+    generated pattern through DuckDB's RE2 — an X38-style generated twin."""
+    from corpusama_spark.functions.mojibake import flag_mojibake
+
+    d = _mojibake_decorated(spark, sf_dir)
+    return d.select("doc_id", flag_mojibake(F.col("text")).alias("flagged"))
+
+
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style roundtrip REPAIR, value-exact: the engine runs the real
+    codec roundtrip (JVM pre-filter → Arrow batch fix → union); the oracle
+    constructs the expected output directly from the known-fix literals.
+    Clean rows must pass through byte-identical."""
+    from corpusama_spark.functions.mojibake import fix_mojibake
+
+    return fix_mojibake(_mojibake_decorated(spark, sf_dir)).select(
+        "doc_id", "text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "export_join": q_export_join,
@@ -1598,6 +1643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "keywords": q_keywords,
         "kwic": q_kwic,
+        "mojibake_flag": q_mojibake_flag,
+        "mojibake_fix": q_mojibake_fix,
     }
 
 
@@ -3056,5 +3103,23 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(
                        ws[i + 1:least(i + 3, len(ws))], ' '), '') AS "right"
             FROM x WHERE tok = 'spark'
+        """,
+        "mojibake_flag": f"""
+            SELECT doc_id,
+                   regexp_matches(
+                       CASE doc_id % 5
+                           WHEN 0 THEN text || '{_MOJ_A}'
+                           WHEN 1 THEN text || '{_MOJ_B}'
+                           ELSE text END,
+                       '{MOJ_PATTERN}') AS flagged
+            FROM documents
+        """,
+        "mojibake_fix": f"""
+            SELECT doc_id,
+                   CASE doc_id % 5
+                       WHEN 0 THEN text || '{_FIX_A}'
+                       WHEN 1 THEN text || '{_FIX_B}'
+                       ELSE text END AS text
+            FROM documents
         """,
     }
