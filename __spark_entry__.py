@@ -1513,6 +1513,12 @@ def q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
 from corpusama_spark.functions.mojibake import (  # noqa: E402
     MOJIBAKE_PATTERN as MOJ_PATTERN,
 )
+from corpusama_spark.functions.urls import (  # noqa: E402
+    _HOST_RE as URL_HOST_RE,
+    MULTIPART_SUFFIXES,
+)
+
+_SUFFIX_SQL = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
 
 _MOJ_A = " cafÃ© party"          # "cafÃ©" — utf-8 é read as latin-1
 _MOJ_B = " donâ€™t stop"    # "donâ€™t" — utf-8 ’ read as cp1252
@@ -1552,6 +1558,53 @@ def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return fix_mojibake(_mojibake_decorated(spark, sf_dir)).select(
         "doc_id", "text"
+    )
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4-style URL gate: deterministic URLs derived from
+    (source, doc_id) — dirty on purpose (ports, userinfo, schemeless,
+    uppercase, fragments) — host + eTLD+1 extracted pure-JVM, then a
+    broadcast anti-join against a blocklist drops example.com and
+    spam-mall.net registered domains (subdomains included by
+    construction). Output is the KEPT set with its extraction columns, so
+    the oracle value-checks host parsing, suffix handling, and the join."""
+    from corpusama_spark.functions.urls import blocklist_filter, url_host
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://news."),
+                F.col("source"),
+                F.lit(".co.uk/a/"),
+                F.col("doc_id"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("http://user@"),
+                F.col("source"),
+                F.lit("-ads.example.com:8080/x?q=1"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(F.col("source"), F.lit(".spam-mall.net/path")),
+        )
+        .otherwise(
+            F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit(".ORG/a#f"))
+        )
+    )
+    d = docs.withColumn("url", url)
+    bl = spark.createDataFrame(
+        [("example.com",), ("spam-mall.net",)], "domain string"
+    )
+    return blocklist_filter(d, bl).select(
+        "doc_id", url_host(F.col("url")).alias("host"), "domain"
     )
 
 
@@ -1645,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic": q_kwic,
         "mojibake_flag": q_mojibake_flag,
         "mojibake_fix": q_mojibake_fix,
+        "url_filter": q_url_filter,
     }
 
 
@@ -3121,5 +3175,38 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 1 THEN text || '{_FIX_B}'
                        ELSE text END AS text
             FROM documents
+        """,
+        "url_filter": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE doc_id % 4
+                           WHEN 0 THEN 'https://news.' || source
+                                       || '.co.uk/a/' || doc_id
+                           WHEN 1 THEN 'http://user@' || source
+                                       || '-ads.example.com:8080/x?q=1'
+                           WHEN 2 THEN source || '.spam-mall.net/path'
+                           ELSE 'HTTPS://WWW.' || source || '.ORG/a#f'
+                       END AS url
+                FROM documents),
+            h AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url, '{URL_HOST_RE}', 1)) AS host
+                FROM d),
+            r AS (
+                SELECT doc_id, host, string_split(host, '.') AS ls,
+                       len(string_split(host, '.')) AS n
+                FROM h),
+            dom AS (
+                SELECT doc_id, host,
+                       CASE WHEN n <= 1 THEN host
+                            WHEN n >= 3 AND (ls[n - 1] || '.' || ls[n])
+                                 IN ({_SUFFIX_SQL})
+                                 THEN ls[n - 2] || '.' || ls[n - 1]
+                                      || '.' || ls[n]
+                            ELSE ls[n - 1] || '.' || ls[n] END AS domain
+                FROM r)
+            SELECT doc_id, host, domain
+            FROM dom
+            WHERE domain NOT IN ('example.com', 'spam-mall.net')
         """,
     }
