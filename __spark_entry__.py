@@ -1608,6 +1608,24 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppl_buckets_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet bucketing with the RELATIONAL LM (operators/lm.py): per-
+    language head/middle/tail terciles over the trained-on-corpus bigram
+    perplexity. Upgrades the bucketing lane from rows-only (`ppl_buckets`,
+    model-UDF ppl) to end-to-end DuckDB-value-exact — train, score, window
+    all relational. Ties broken by doc_id so ntile is deterministic."""
+    from corpusama_spark.operators.lm import corpus_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = corpus_perplexity(docs).join(
+        docs.select("doc_id", "lang"), ["doc_id"]
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("ppl"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id", "lang", "ppl", F.ntile(3).over(w).alias("tercile")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "export_join": q_export_join,
@@ -1699,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_flag": q_mojibake_flag,
         "mojibake_fix": q_mojibake_fix,
         "url_filter": q_url_filter,
+        "ppl_buckets_rel": q_ppl_buckets_rel,
     }
 
 
@@ -3208,5 +3227,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, domain
             FROM dom
             WHERE domain NOT IN ('example.com', 'spam-mall.net')
+        """,
+        "ppl_buckets_rel": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> len(t) > 0) AS ws
+                FROM documents),
+            bg AS (
+                SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, greatest(len(ws) - 1, 0)),
+                               i -> [ws[i], ws[i + 1]])) AS pair
+                    FROM w)),
+            bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+            cc AS (SELECT w1, count(*) AS ctx FROM bg GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v FROM
+                      (SELECT unnest(ws) AS tok FROM w)),
+            s AS (
+                SELECT b.doc_id,
+                       ln((CAST(bc.c AS DOUBLE) + 0.5)
+                          / (CAST(cc.ctx AS DOUBLE)
+                             + 0.5 * CAST(v.v AS DOUBLE))) AS lp
+                FROM bg b
+                JOIN bc USING (w1, w2)
+                JOIN cc USING (w1)
+                CROSS JOIN v),
+            ppl AS (
+                SELECT doc_id, round(exp(-sum(lp) / count(*)), 6) AS ppl
+                FROM s GROUP BY doc_id)
+            SELECT p.doc_id, d.lang, p.ppl,
+                   CAST(ntile(3) OVER (PARTITION BY d.lang
+                                       ORDER BY p.ppl ASC, p.doc_id ASC)
+                        AS INTEGER) AS tercile
+            FROM ppl p JOIN documents d USING (doc_id)
         """,
     }
