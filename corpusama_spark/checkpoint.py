@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from corpusama_spark.pipeline import FilterConfig, lineage, run_pipeline
+from corpusama_spark.plans.metrics import metrics_row, observe_decisions
 
 
 def add_bucket(df: DataFrame, nbuckets: int) -> DataFrame:
@@ -72,20 +73,48 @@ def run_checkpointed(
     wave_size = max(1, len(todo) // 4)
     processed = 0
     for i in range(0, len(todo), wave_size):
-        wave = todo[i : i + wave_size]
-        part = df.where(F.col("bucket").isin([int(b) for b in wave]))
-        decisions = run_pipeline(part, config)
+        wave = [int(b) for b in todo[i : i + wave_size]]
+        part = df.where(F.col("bucket").isin(wave))
+        # metrics ride the write itself (plans/metrics.py) — no second
+        # pipeline execution anywhere in the commit path
+        observed, obs = observe_decisions(run_pipeline(part, config))
         (
-            decisions.withColumn(
+            observed.withColumn(
                 "bucket", F.pmod(F.col("phash"), F.lit(config.nbuckets)).cast("int")
             )
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(out_path)
         )
-        lineage(decisions, run_id, config.nbuckets).write.mode("append").parquet(
+        # lineage re-aggregates the JUST-WRITTEN partitions (bucket-pruned,
+        # two-column scan) instead of re-running the whole pipeline — at
+        # 10^12 rows the old shape re-decoded every image a second time
+        written = spark.read.parquet(out_path).where(F.col("bucket").isin(wave))
+        lineage(written, run_id, config.nbuckets).write.mode("append").parquet(
             manifest_path
         )
+        # commit verification: the in-flight counts the write observed must
+        # equal what the committed manifest says for this wave — a torn or
+        # short write fails the job here, before the wave is marked done
+        m = metrics_row(obs)
+        committed = (
+            spark.read.parquet(manifest_path)
+            .where(F.col("run_id") == run_id)
+            .where(F.col("bucket").isin(wave))
+            .agg(
+                F.sum("n_rows").alias("r"), F.sum("n_keep").alias("k")
+            )
+            .collect()[0]
+        )
+        if (int(committed.r or 0), int(committed.k or 0)) != (
+            m["n_rows"],
+            m["n_keep"],
+        ):
+            raise RuntimeError(
+                f"commit verification failed for wave {wave}: observed "
+                f"({m['n_rows']}, {m['n_keep']}) vs committed "
+                f"({committed.r}, {committed.k})"
+            )
         processed += len(wave)
         if fail_after_buckets is not None and processed >= fail_after_buckets:
             raise RuntimeError(f"injected failure after {processed} buckets")
