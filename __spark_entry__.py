@@ -1517,6 +1517,13 @@ from corpusama_spark.functions.urls import (  # noqa: E402
     _HOST_RE as URL_HOST_RE,
     MULTIPART_SUFFIXES,
 )
+from corpusama_spark.functions.scrub import (  # noqa: E402
+    EMAIL_RE as _SC_EMAIL,
+    URL_RE as _SC_URL,
+    IP_RE as _SC_IP,
+    ID_RE as _SC_ID,
+    toxicity_pattern as _sc_tox,
+)
 
 _SUFFIX_SQL = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
 
@@ -1626,6 +1633,36 @@ def q_ppl_buckets_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule scrub observability: the FULL production chain (incl. the
+    lookbehind PHONE rule) counts and rewrites each PII category in chain
+    order over the same seeded text as `scrub`. The seed contains no
+    phone-shaped digit runs (and the corpus text has no digits at all),
+    so n_phone=0 — the one count RE2 cannot express is pinned by
+    construction here and by dedicated pytests with real phone numbers."""
+    from corpusama_spark.functions.scrub import scrub_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact admin"),
+            F.col("doc_id").cast("string"),
+            F.lit("@relief.org see https://example.org/r/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" case AB"),
+            (F.col("doc_id") + 1234567).cast("string"),
+            F.lit(" you frakking fool"),
+        ).alias("seeded"),
+    )
+    return seeded.select(
+        "doc_id", scrub_audit(F.col("seeded")).alias("a")
+    ).select("doc_id", "a.*")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "export_join": q_export_join,
@@ -1718,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_fix": q_mojibake_fix,
         "url_filter": q_url_filter,
         "ppl_buckets_rel": q_ppl_buckets_rel,
+        "scrub_audit": q_scrub_audit,
     }
 
 
@@ -3263,5 +3301,54 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY p.ppl ASC, p.doc_id ASC)
                         AS INTEGER) AS tercile
             FROM ppl p JOIN documents d USING (doc_id)
+        """,
+        # n_phone: the PHONE rule uses lookbehind/lookahead RE2 cannot run;
+        # the seed (and the digit-free corpus text) contains no phone-shaped
+        # runs, so the expected count is identically 0 — asserted as a
+        # literal here and behaviorally pinned by pytests with real phones.
+        "scrub_audit": f"""
+            WITH seeded AS (
+                SELECT doc_id,
+                       text || ' contact admin' || doc_id
+                            || '@relief.org see https://example.org/r/'
+                            || doc_id
+                            || ' from 10.0.0.' || (doc_id % 256)
+                            || ' case AB' || (doc_id + 1234567)
+                            || ' you frakking fool' AS t
+                FROM documents),
+            s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t, '{_SC_EMAIL}'))
+                            AS BIGINT) AS n_email,
+                       regexp_replace(t, '{_SC_EMAIL}', '<EMAIL>', 'g') AS t
+                FROM seeded),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(t, '{_SC_URL}'))
+                            AS BIGINT) AS n_url,
+                       regexp_replace(t, '{_SC_URL}', '<URL>', 'g') AS t
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, n_email, n_url,
+                       CAST(len(regexp_extract_all(t, '{_SC_IP}'))
+                            AS BIGINT) AS n_ip,
+                       regexp_replace(t, '{_SC_IP}', '<IP>', 'g') AS t
+                FROM s2),
+            s4 AS (
+                SELECT doc_id, n_email, n_url, n_ip,
+                       CAST(0 AS BIGINT) AS n_phone,
+                       CAST(len(regexp_extract_all(t, '{_SC_ID}'))
+                            AS BIGINT) AS n_id,
+                       regexp_replace(t, '{_SC_ID}', '<ID>', 'g') AS t
+                FROM s3),
+            s5 AS (
+                SELECT doc_id, n_email, n_url, n_ip, n_phone, n_id,
+                       CAST(len(regexp_extract_all(t, '{_sc_tox()}'))
+                            AS BIGINT) AS n_tox,
+                       regexp_replace(t, '{_sc_tox()}', '<TOX>', 'g') AS t
+                FROM s4)
+            SELECT doc_id, t AS scrubbed,
+                   n_email, n_url, n_ip, n_phone, n_id, n_tox
+            FROM s5
         """,
     }

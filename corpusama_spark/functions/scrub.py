@@ -56,6 +56,34 @@ def scrub_count(col: Column | str) -> Column:
     )
 
 
+AUDIT_NAMES = ("n_email", "n_url", "n_ip", "n_phone", "n_id")
+
+
+def scrub_audit(col: Column | str, terms: list[str] | None = None) -> Column:
+    """struct(scrubbed, n_email, n_url, n_ip, n_phone, n_id, n_tox): the
+    scrubbed text plus per-rule hit counts — the observability row a
+    PII-scrub lane owes its audit log (which rules fire, how often, per
+    document; corpus rollup is a plain sum downstream).
+
+    Counts are measured ON THE CHAIN: each category is counted on the
+    text AFTER the earlier categories replaced, so the numbers are
+    exactly the occurrences the chain rewrote (an email never double-
+    counts as a URL). Pure JVM — the nested regexp expressions stay
+    inside whole-stage codegen and Catalyst's subexpression elimination
+    shares the chain prefixes across the struct fields."""
+    cur = F.col(col) if isinstance(col, str) else col
+    counts: list[Column] = []
+    for (pattern, token), name in zip(SCRUB_CHAIN, AUDIT_NAMES):
+        counts.append(
+            F.regexp_count(cur, F.lit(pattern)).cast("long").alias(name)
+        )
+        cur = F.regexp_replace(cur, pattern, token)
+    tox = toxicity_pattern(terms)
+    counts.append(F.regexp_count(cur, F.lit(tox)).cast("long").alias("n_tox"))
+    cur = F.regexp_replace(cur, tox, "<TOX>")
+    return F.struct(cur.alias("scrubbed"), *counts)
+
+
 def scrub_caption_py(text: str, terms: list[str] | None = None) -> str:
     """Pure-Python oracle twin of scrub_caption for tests (same chain)."""
     import re

@@ -176,3 +176,27 @@ def test_bytes_never_shuffled(spark):
     for line in plan.splitlines():
         if "bytes" in line and "Exchange" in line:
             raise AssertionError(f"bytes column crosses a shuffle: {line}")
+
+
+def test_scrub_audit_counts_and_chain_order(spark):
+    """scrub_audit counts what the chain rewrites: an email never
+    double-counts as URL/phone; phone counting (the rule the DuckDB
+    oracle cannot express) is pinned here with real numbers."""
+    cases = {
+        "call +1 (555) 123-4567 or 020 7946 0958 now": (0, 0, 0, 2, 0, 0),
+        "mail a@b.org via https://a.b.org/x from 10.1.2.3": (1, 1, 1, 0, 0, 0),
+        "case XY1234567 you frakking gorramit fools": (0, 0, 0, 0, 1, 2),
+        "clean caption with nothing to scrub": (0, 0, 0, 0, 0, 0),
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "s string")
+    got = {
+        r.s: (r.a.n_email, r.a.n_url, r.a.n_ip, r.a.n_phone, r.a.n_id, r.a.n_tox)
+        for r in df.select("s", S.scrub_audit("s").alias("a")).collect()
+    }
+    assert got == cases
+    # the scrubbed field equals the plain scrub_caption output
+    both = df.select(
+        S.scrub_audit("s").getField("scrubbed").alias("a"),
+        S.scrub_caption("s").alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in both)
