@@ -1663,6 +1663,16 @@ def q_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "a.*")
 
 
+def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al. 2007 — the canonical
+    distributed n-gram LM): trigram/bigram/unigram count tables trained on
+    the corpus, every doc scored by its mean ln S over broadcast joins +
+    one CASE. Train + score, one lazy plan, DuckDB-value-exact."""
+    from corpusama_spark.operators.lm import corpus_stupid_backoff
+
+    return corpus_stupid_backoff(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "export_join": q_export_join,
@@ -1756,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "ppl_buckets_rel": q_ppl_buckets_rel,
         "scrub_audit": q_scrub_audit,
+        "stupid_backoff": q_stupid_backoff,
     }
 
 
@@ -3350,5 +3361,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS scrubbed,
                    n_email, n_url, n_ip, n_phone, n_id, n_tox
             FROM s5
+        """,
+        "stupid_backoff": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> len(t) > 0) AS ws
+                FROM documents),
+            tg AS (
+                SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3 FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, greatest(len(ws) - 2, 0)),
+                               i -> [ws[i], ws[i + 1], ws[i + 2]])) AS g
+                    FROM w)),
+            bg AS (
+                SELECT pair[1] AS w1, pair[2] AS w2 FROM (
+                    SELECT unnest(list_transform(
+                        generate_series(1, greatest(len(ws) - 1, 0)),
+                        i -> [ws[i], ws[i + 1]])) AS pair
+                    FROM w)),
+            tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+            bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+            uni AS (SELECT tok AS w, count(*) AS c1 FROM
+                        (SELECT unnest(ws) AS tok FROM w) GROUP BY 1),
+            tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+            s AS (
+                SELECT t.doc_id,
+                       CASE
+                           WHEN coalesce(tri.c3, 0) > 0
+                               THEN CAST(tri.c3 AS DOUBLE)
+                                    / CAST(b1.c2 AS DOUBLE)
+                           WHEN coalesce(b2.c2, 0) > 0
+                               THEN 0.4 * CAST(b2.c2 AS DOUBLE)
+                                    / CAST(u2.c1 AS DOUBLE)
+                           -- 0.4*0.4, NOT the literal 0.16: the engine
+                           -- computes alpha*alpha in binary and the two
+                           -- differ in the last ulp
+                           ELSE (0.4 * 0.4)
+                                * CAST(coalesce(u3.c1, 0) AS DOUBLE)
+                                / tot.n
+                       END AS sc
+                FROM tg t
+                LEFT JOIN tri ON tri.w1 = t.w1 AND tri.w2 = t.w2
+                             AND tri.w3 = t.w3
+                LEFT JOIN bi b1 ON b1.w1 = t.w1 AND b1.w2 = t.w2
+                LEFT JOIN bi b2 ON b2.w1 = t.w2 AND b2.w2 = t.w3
+                LEFT JOIN uni u2 ON u2.w = t.w2
+                LEFT JOIN uni u3 ON u3.w = t.w3
+                CROSS JOIN tot)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   round(avg(ln(sc)), 6) AS sb_logscore
+            FROM s GROUP BY doc_id
         """,
     }

@@ -150,3 +150,160 @@ def corpus_perplexity(
         text_col=text_col,
         broadcast_model=broadcast_model,
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid backoff (Brants et al. 2007, "Large Language Models in Machine
+# Translation" — the canonical distributed n-gram LM, built for exactly this
+# kind of cluster counting; public). Score, not probability:
+#
+#   S(w3|w1,w2) = c(w1,w2,w3)/c(w1,w2)          if the trigram was seen
+#               = a * c(w2,w3)/c(w2)            elif the bigram was seen
+#               = a^2 * c(w3)/N                 otherwise  (a = 0.4)
+#
+# Everything is counts + joins: training is three n-gram count passes
+# (lower orders are NOT derivable from the trigram table — a doc's tail
+# bigram/unigrams prefix no trigram; see train_stupid_backoff), scoring is
+# left joins against broadcast count tables and a CASE — the 10^12-row
+# shape Brants et al. ran on MapReduce, as Catalyst relations.
+# ---------------------------------------------------------------------------
+
+
+def _doc_trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, w3) — one row per trigram occurrence, scan-stage."""
+    words = _words(F.col(text_col))
+    n = F.greatest(F.size(words) - 2, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(words, 1, n).alias("w1"),
+        F.slice(words, 2, n).alias("w2"),
+        F.slice(words, 3, n).alias("w3"),
+    )
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    ).select(
+        "id",
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+        F.col("p.w3").alias("w3"),
+    )
+
+
+def train_stupid_backoff(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(tri, bi, uni, total): count tables for stupid-backoff scoring.
+
+    tri (w1,w2,w3,c3) aggregates the one exploded trigram pass; bi and uni
+    are separate n-gram passes (a doc's last bigram / last two unigrams
+    are not the prefix of any trigram, so they CANNOT be derived from the
+    trigram table — correctness over the one-pass trick here, unlike the
+    exact bigram-marginal derivation in train_bigram_lm). total is one
+    row (n) = corpus token count, composed lazily."""
+    tri = (
+        _doc_trigrams(docs, id_col, text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    bi = (
+        _doc_bigrams(docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    uni = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").cast("double").alias("n"))
+    return tri, bi, uni, total
+
+
+def score_stupid_backoff(
+    docs: DataFrame,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    total: DataFrame,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, n_trigrams, sb_logscore): per-document mean ln(S) over its
+    trigrams under stupid backoff. Documents with fewer than 3 tokens
+    have no trigram and produce no row. S is a score, not a probability
+    (Brants et al. use it unnormalized on purpose — at web scale the
+    normalization constant buys nothing for ranking).
+
+    Held-out caveat: a final token absent from the training vocabulary
+    makes S=0 for that trigram, and Spark's ln(0) is NULL, which avg()
+    skips — when scoring text the model was not trained on, prune OOV
+    tokens first or treat missing trigram rows as floor evidence. The
+    self-score composition (corpus_stupid_backoff) can never hit this."""
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    tg = _doc_trigrams(docs, id_col, text_col)
+    j = (
+        tg.join(hint(tri), ["w1", "w2", "w3"], "left")
+        .join(
+            hint(bi.select(F.col("w1"), F.col("w2"), F.col("c2"))),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            hint(
+                bi.select(
+                    F.col("w1").alias("w2"),
+                    F.col("w2").alias("w3"),
+                    F.col("c2").alias("c2_back"),
+                )
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            hint(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_mid"))),
+            ["w2"],
+            "left",
+        )
+        .join(
+            hint(uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1_last"))),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(hint(total))
+    )
+    c3 = F.coalesce(F.col("c3"), F.lit(0)).cast("double")
+    c2 = F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+    c2b = F.coalesce(F.col("c2_back"), F.lit(0)).cast("double")
+    c1m = F.coalesce(F.col("c1_mid"), F.lit(0)).cast("double")
+    c1l = F.coalesce(F.col("c1_last"), F.lit(0)).cast("double")
+    score = (
+        F.when(c3 > 0, c3 / c2)
+        .when(c2b > 0, F.lit(alpha) * c2b / c1m)
+        .otherwise(F.lit(alpha * alpha) * c1l / F.col("n"))
+    )
+    return (
+        j.groupBy("id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg(F.log(score)), 6).alias("sb_logscore"),
+        )
+        .select(F.col("id").alias(id_col), "n_trigrams", "sb_logscore")
+    )
+
+
+def corpus_stupid_backoff(
+    docs: DataFrame,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Train on the corpus, score the corpus — one lazy plan (the same
+    self-score composition as corpus_perplexity)."""
+    tri, bi, uni, total = train_stupid_backoff(docs, id_col, text_col)
+    return score_stupid_backoff(
+        docs, tri, bi, uni, total,
+        alpha=alpha, id_col=id_col, text_col=text_col,
+        broadcast_model=broadcast_model,
+    )

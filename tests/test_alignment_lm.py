@@ -162,3 +162,117 @@ def test_score_against_held_out_model(spark):
     got = {r.doc_id: r.ppl for r in score_perplexity(test, bc, cc, v).collect()}
     assert set(got) == {9, 10}
     assert math.isfinite(got[9]) and got[9] > got[10]
+
+
+def _expected_sb(corpus: dict[int, str], alpha: float = 0.4):
+    words = {d: t.lower().split() for d, t in corpus.items()}
+    tri: dict = {}
+    bi: dict = {}
+    uni: dict = {}
+    for ws in words.values():
+        for g in zip(ws, ws[1:], ws[2:]):
+            tri[g] = tri.get(g, 0) + 1
+        for g in zip(ws, ws[1:]):
+            bi[g] = bi.get(g, 0) + 1
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+    n = sum(uni.values())
+    out = {}
+    for d, ws in words.items():
+        tgs = list(zip(ws, ws[1:], ws[2:]))
+        if not tgs:
+            continue
+        ss = []
+        for w1, w2, w3 in tgs:
+            if tri.get((w1, w2, w3), 0) > 0:
+                s = tri[(w1, w2, w3)] / bi[(w1, w2)]
+            elif bi.get((w2, w3), 0) > 0:
+                s = alpha * bi[(w2, w3)] / uni[w2]
+            else:
+                s = alpha * alpha * uni.get(w3, 0) / n
+            ss.append(math.log(s))
+        out[d] = (len(tgs), round(sum(ss) / len(ss), 6))
+    return out
+
+
+def test_stupid_backoff_self_score_matches_python(spark):
+    """Self-score parity. Note: in self-scoring every trigram is seen by
+    construction, so only the trigram tier fires — the backoff tiers are
+    exercised by the held-out test below."""
+    from corpusama_spark.operators.lm import corpus_stupid_backoff
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat sat quietly",
+        3: "a dog sat on a rug",
+        4: "zz cat sat here",
+        5: "qq rr mat",
+        6: "two words",                  # no trigram -> no row
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_trigrams, r.sb_logscore)
+        for r in corpus_stupid_backoff(docs).collect()
+    }
+    assert got == _expected_sb(corpus)
+    assert 6 not in got
+    # a doc whose context repeats (c3 < c2) scores below ln(1)=0;
+    # a doc of corpus-unique trigrams scores exactly 0
+    assert got[1][1] < 0.0 == got[5][1]
+
+
+def test_stupid_backoff_held_out_exercises_backoff_tiers(spark):
+    """Held-out scoring: trigram tier, bigram-backoff tier (alpha), and
+    unigram tier (alpha^2) all fire, matching the Python recomputation."""
+    from corpusama_spark.operators.lm import (
+        score_stupid_backoff,
+        train_stupid_backoff,
+    )
+
+    train_corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat ran off quickly",
+    }
+    test_corpus = {
+        9: "the cat sat",          # trigram tier: seen
+        10: "zz cat sat",          # bigram tier: "cat sat" seen, trigram not
+        11: "zz qq mat",           # unigram tier: "qq mat" bigram unseen
+    }
+    train = spark.createDataFrame(
+        list(train_corpus.items()), "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        list(test_corpus.items()), "doc_id long, text string"
+    )
+    tri, bi, uni, tot = train_stupid_backoff(train)
+    got = {
+        r.doc_id: (r.n_trigrams, r.sb_logscore)
+        for r in score_stupid_backoff(test, tri, bi, uni, tot).collect()
+    }
+    # recompute against the TRAIN counts
+    words = {d: t.lower().split() for d, t in train_corpus.items()}
+    trid, bid, unid = {}, {}, {}
+    for ws in words.values():
+        for g in zip(ws, ws[1:], ws[2:]):
+            trid[g] = trid.get(g, 0) + 1
+        for g in zip(ws, ws[1:]):
+            bid[g] = bid.get(g, 0) + 1
+        for w in ws:
+            unid[w] = unid.get(w, 0) + 1
+    n = sum(unid.values())
+    exp = {}
+    for d, t in test_corpus.items():
+        ws = t.split()
+        scores = []
+        for w1, w2, w3 in zip(ws, ws[1:], ws[2:]):
+            if trid.get((w1, w2, w3), 0) > 0:
+                s = trid[(w1, w2, w3)] / bid[(w1, w2)]
+            elif bid.get((w2, w3), 0) > 0:
+                s = 0.4 * bid[(w2, w3)] / unid[w2]
+            else:
+                s = 0.4 * 0.4 * unid.get(w3, 0) / n
+            scores.append(math.log(s))
+        exp[d] = (len(scores), round(sum(scores) / len(scores), 6))
+    assert got == exp
+    # tiers strictly ordered: exact > bigram backoff > unigram backoff
+    assert got[9][1] > got[10][1] > got[11][1]
