@@ -1673,6 +1673,16 @@ def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stupid_backoff(_t(spark, sf_dir, "documents"))
 
 
+def q_freq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency list with cumulative coverage: rank (freq desc,
+    tok asc) + cum_share — the table vocabulary-truncation decisions read
+    ('top N tokens cover X%'). The window is global but runs over the
+    VOCABULARY-sized count table, not the corpus."""
+    from corpusama_spark.operators.colloc import frequency_profile
+
+    return frequency_profile(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "export_join": q_export_join,
@@ -1767,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets_rel": q_ppl_buckets_rel,
         "scrub_audit": q_scrub_audit,
         "stupid_backoff": q_stupid_backoff,
+        "freq_profile": q_freq_profile,
     }
 
 
@@ -3414,5 +3425,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
                    round(avg(ln(sc)), 6) AS sb_logscore
             FROM s GROUP BY doc_id
+        """,
+        "freq_profile": r"""
+            WITH uni AS (
+                SELECT tok, count(*) AS freq FROM (
+                    SELECT unnest(list_filter(string_split_regex(
+                        lower(trim(coalesce(text, ''))), '\s+'),
+                        t -> len(t) > 0)) AS tok
+                    FROM documents)
+                GROUP BY 1)
+            SELECT tok, freq,
+                   CAST(row_number() OVER w AS INTEGER) AS rank,
+                   round(CAST(sum(freq) OVER (w ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND CURRENT ROW)
+                              AS DOUBLE)
+                         / (SELECT sum(freq) FROM uni), 6) AS cum_share
+            FROM uni
+            WINDOW w AS (ORDER BY freq DESC, tok ASC)
         """,
     }

@@ -202,3 +202,42 @@ def kwic(
             right.alias("right"),
         )
     )
+
+
+def frequency_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(tok, freq, rank, cum_share): the corpus frequency list with
+    cumulative coverage — rank 1 = most frequent, ``cum_share`` = fraction
+    of all token occurrences covered by ranks 1..rank. The table every
+    vocabulary decision reads: "the top N tokens cover X% of the corpus"
+    is one filter on this output (and the Zipf head it exposes is why the
+    broadcast-model pruning in classifier/lm degrades so little).
+
+    Ties break (freq desc, tok asc) so ranks are deterministic. Scale
+    note: the window is GLOBAL, but it runs over the VOCABULARY-sized
+    count table (millions of rows at web scale), not the corpus — the
+    corpus-sized work is the one groupBy count before it.
+    """
+    from pyspark.sql import Window
+
+    uni = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    order = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    total = Window.partitionBy()
+    return uni.select(
+        "tok",
+        "freq",
+        F.row_number().over(order).alias("rank"),
+        F.round(
+            F.sum("freq").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            / F.sum("freq").over(total),
+            6,
+        ).alias("cum_share"),
+    )

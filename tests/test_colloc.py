@@ -89,3 +89,20 @@ def test_colloc_plans_stay_jvm_and_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # marginals broadcast, pairs never self-join
+
+
+def test_frequency_profile_ranks_and_coverage(spark):
+    from corpusama_spark.operators.colloc import frequency_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], "doc_id long, text string"
+    )
+    got = {r.tok: (r.freq, r.rank, r.cum_share)
+           for r in frequency_profile(docs).collect()}
+    # a:4 b:3 c:1 z:1 of 9; ties (c,z) break alphabetically
+    assert got == {
+        "a": (4, 1, round(4 / 9, 6)),
+        "b": (3, 2, round(7 / 9, 6)),
+        "c": (1, 3, round(8 / 9, 6)),
+        "z": (1, 4, 1.0),
+    }
