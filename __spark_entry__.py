@@ -1683,6 +1683,16 @@ def q_freq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequency_profile(_t(spark, sf_dir, "documents"))
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (30-min inactivity
+    gap): two windows + one groupBy sharing a single user_id exchange —
+    the batch twin of Structured Streaming's session_window, value-exact
+    against the same window SQL in DuckDB."""
+    from corpusama_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "export_join": q_export_join,
@@ -1778,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_audit": q_scrub_audit,
         "stupid_backoff": q_stupid_backoff,
         "freq_profile": q_freq_profile,
+        "sessions": q_sessions,
     }
 
 
@@ -3442,5 +3453,33 @@ def oracle_sql() -> dict[str, str]:
                          / (SELECT sum(freq) FROM uni), 6) AS cum_share
             FROM uni
             WINDOW w AS (ORDER BY freq DESC, tok ASC)
+        """,
+        "sessions": """
+            WITH g AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS starts
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)),
+            s AS (
+                SELECT user_id, event_id, ts, value,
+                       CAST(sum(starts) OVER (PARTITION BY user_id
+                                              ORDER BY ts ASC, event_id ASC
+                                              ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND CURRENT ROW)
+                            AS INTEGER) AS session_idx
+                FROM g)
+            SELECT user_id, session_idx,
+                   user_id || '-' || session_idx AS session_id,
+                   count(*) AS n_events,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS started_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS ended_us,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                       AS duration_us,
+                   round(sum(value), 6) AS total_value
+            FROM s GROUP BY 1, 2, 3
         """,
     }
