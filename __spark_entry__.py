@@ -876,6 +876,41 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(ann, brute, k=5)
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verified IVF quality (recall@5 per query): the full ivf_topk
+    machinery — inverted-list assignment UDF, nprobe explode, list equi-join,
+    exact-cosine rerank — run with INJECTED one-hot centroids scaled by 2.0
+    so the quantizer itself is engine-exact: with c_j = 2*e_j the assignment
+    score is 4 - 4*x_j (powers of two — every float op exact), so list
+    membership reduces to comparing raw embedding components, which DuckDB
+    reproduces bit-for-bit (argsort is kind='stable'; DuckDB tie-break is
+    first index — no ties exist, but semantics match anyway). The TRAINED
+    quantizer tier (`ivf_topk`) stays rows-only: k-means float means are not
+    cross-engine reproducible. Same comparison-only recall pattern as
+    `ann_recall`."""
+    import numpy as np
+
+    from corpusama_spark.operators.similarity import ann_recall, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_lists, nprobe = 8, 3
+    cents = np.zeros((n_lists, 64), dtype=np.float64)
+    cents[np.arange(n_lists), np.arange(n_lists)] = 2.0
+    emb = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ann = ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 8),
+        k=5,
+        n_centroids=n_lists,
+        nprobe=nprobe,
+        centroids=cents,
+    )
+    brute = q_topk_cosine(spark, sf_dir).select("query_id", "cand_id")
+    return ann_recall(ann, brute, k=5)
+
+
 GOPHER_DECOR_PREFIX = "- bullet line\n… \n"
 GOPHER_DECOR_SUFFIX = "\nan ending line...\n# symbols ## here"
 
@@ -1694,85 +1729,26 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Contract registry. ORDER IS DELIBERATE: the driver's correctness
+    harness verifies a 50-query window from the front, so the dict leads
+    with the oracled queries that have never had a driver row (the whole
+    round-2/3 X-family, verified only by scripts/selfcheck.py so far) plus
+    this round's new oracles, then previously driver-green oracled queries,
+    then the 16 rows-only (no ANSI-SQL twin) entries last."""
     return {
-        "export_join": q_export_join,
-        "semi_join": q_semi_join,
-        "explode_tokens": q_explode_tokens,
-        "byte_share": q_byte_share,
-        "argmax_lang": q_argmax_lang,
-        "char_quartiles": q_char_quartiles,
-        "window_renumber": q_window_renumber,
-        "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
-        "token_stats": q_token_stats,
-        "langid_sql": q_langid_sql,
-        "quality_score": q_quality_score,
-        "scrub": q_scrub,
-        "nanlike": q_nanlike,
-        "min_portion": q_min_portion,
-        "year_rollup": q_year_rollup,
-        "topk_cosine": q_topk_cosine,
-        "union_halves": q_union,
-        "multivalue_join": q_multivalue_join,
-        "doc_tag": q_doc_tag,
-        "wrap_lines": q_wrap_lines,
-        "json_extract": q_json_extract,
-        "quote_fold": q_quote_fold,
-        "stopword_hits": q_stopword_hits,
-        "lang_presence": q_lang_presence,
-        "jaccard_adjacent": q_jaccard_adjacent,
-        "subcorpus": q_subcorpus,
-        "vert_export": q_vert_export,
-        "html_text": q_html_text,
-        "seeded_sample": q_seeded_sample,
-        "pivot_counts": q_pivot_counts,
-        "majority_vote": q_majority_vote,
-        "flatten": q_flatten,
-        "export_doc": q_export_doc,
-        "pdf_clean": q_pdf_clean,
-        "xml_clean": q_xml_clean,
-        "no_sep_join": q_no_sep_join,
-        "json_obj": q_json_obj,
-        "schema_drift": q_schema_drift,
-        "na_profile": q_na_profile,
-        "diff_summary": q_diff_summary,
-        "vert_parse": q_vert_parse,
-        "conllu_export": q_conllu_export,
-        "stage_counts": q_stage_counts,
-        "metrics_rollup": q_metrics_rollup,
-        "sent_split_lang": q_sent_split_lang,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keeplist": q_dedup_keeplist,
-        "gopher_rules": q_gopher_rules,
-        "bpe_tokens": q_bpe_tokens,
+        # -- oracled, never driver-verified before round 4 ------------------
         "winnow_fp": q_winnow_fp,
         "repeated_spans": q_repeated_spans,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "simhash_md5": q_simhash_md5,
         "embed_quantize": q_embed_quantize,
         "ann_recall": q_ann_recall,
-        "ivf_topk": q_ivf_topk,
         "repetition": q_repetition,
-        "flagship": q_flagship,
-        "narrow_flagship": q_narrow_flagship,
-        "flagship_metrics": q_flagship_metrics,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_groups": q_simhash_groups,
-        "simhash_exact": q_simhash_exact,
-        "ann_topk": q_ann_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "sentence_langid": q_sentence_langid,
-        "str_obj_any": q_str_obj_any,
-        "lid_shares": q_lid_shares,
-        "align_tokens": q_align_tokens,
-        "image_features": q_image_features,
-        "image_near_dups": q_image_near_dups,
         "contamination": q_contamination,
         "dup_lines": q_dup_lines,
         "strat_sample": q_strat_sample,
         "semantic_dedup": q_semantic_dedup,
         "pack_shards": q_pack_shards,
-        "ppl_buckets": q_ppl_buckets,
         "curation_pipeline": q_curation_pipeline,
         "image_rules": q_image_rules,
         "caption_align": q_caption_align,
@@ -1789,6 +1765,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff": q_stupid_backoff,
         "freq_profile": q_freq_profile,
         "sessions": q_sessions,
+        # -- new in round 4 --------------------------------------------------
+        "ivf_recall": q_ivf_recall,
+        # -- driver-green in r03, refreshed inside the window ----------------
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keeplist": q_dedup_keeplist,
+        "gopher_rules": q_gopher_rules,
+        "bpe_tokens": q_bpe_tokens,
+        "sent_split_lang": q_sent_split_lang,
+        "export_join": q_export_join,
+        "topk_cosine": q_topk_cosine,
+        "jaccard_adjacent": q_jaccard_adjacent,
+        "scrub": q_scrub,
+        "langid_sql": q_langid_sql,
+        "quality_score": q_quality_score,
+        "schema_drift": q_schema_drift,
+        "na_profile": q_na_profile,
+        "diff_summary": q_diff_summary,
+        "vert_export": q_vert_export,
+        "conllu_export": q_conllu_export,
+        "vert_parse": q_vert_parse,
+        "stage_counts": q_stage_counts,
+        "metrics_rollup": q_metrics_rollup,
+        "subcorpus": q_subcorpus,
+        "majority_vote": q_majority_vote,
+        # -- driver-green in r03 (re-verifiable via scripts/selfcheck.py) ----
+        "semi_join": q_semi_join,
+        "explode_tokens": q_explode_tokens,
+        "byte_share": q_byte_share,
+        "argmax_lang": q_argmax_lang,
+        "char_quartiles": q_char_quartiles,
+        "window_renumber": q_window_renumber,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "nanlike": q_nanlike,
+        "min_portion": q_min_portion,
+        "year_rollup": q_year_rollup,
+        "union_halves": q_union,
+        "multivalue_join": q_multivalue_join,
+        "doc_tag": q_doc_tag,
+        "wrap_lines": q_wrap_lines,
+        "json_extract": q_json_extract,
+        "quote_fold": q_quote_fold,
+        "stopword_hits": q_stopword_hits,
+        "lang_presence": q_lang_presence,
+        "seeded_sample": q_seeded_sample,
+        "pivot_counts": q_pivot_counts,
+        "flatten": q_flatten,
+        "export_doc": q_export_doc,
+        "pdf_clean": q_pdf_clean,
+        "xml_clean": q_xml_clean,
+        "no_sep_join": q_no_sep_join,
+        "json_obj": q_json_obj,
+        "html_text": q_html_text,
+        # -- rows-only (no ANSI-SQL twin: model / float / UDF semantics) -----
+        "ivf_topk": q_ivf_topk,
+        "flagship": q_flagship,
+        "narrow_flagship": q_narrow_flagship,
+        "flagship_metrics": q_flagship_metrics,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_groups": q_simhash_groups,
+        "simhash_exact": q_simhash_exact,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "sentence_langid": q_sentence_langid,
+        "str_obj_any": q_str_obj_any,
+        "lid_shares": q_lid_shares,
+        "align_tokens": q_align_tokens,
+        "image_features": q_image_features,
+        "image_near_dups": q_image_near_dups,
+        "ppl_buckets": q_ppl_buckets,
     }
 
 
@@ -2751,6 +2798,60 @@ def oracle_sql() -> dict[str, str]:
                                    CAST(c.embedding AS DOUBLE[])), 6)
                                    AS cos_sim
                         FROM embeddings c, embeddings q
+                        WHERE q.vec_id < 8 AND c.vec_id != q.vec_id))
+                WHERE rnk <= 5)
+            SELECT b.query_id, count(a.cand_id) AS n_hit,
+                   round(count(a.cand_id) / 5.0, 4) AS recall_at_5
+            FROM brute b
+            LEFT JOIN ann a ON a.query_id = b.query_id
+                           AND a.cand_id = b.cand_id
+            GROUP BY b.query_id
+        """,
+        "ivf_recall": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+            c AS (
+                SELECT vec_id AS cand_id, emb AS cvec,
+                       list_position(emb[1:8],
+                           list_aggregate(emb[1:8], 'max')) - 1 AS list_id
+                FROM e),
+            qp AS (
+                SELECT vec_id AS query_id, emb AS qvec, j - 1 AS list_id
+                FROM (
+                    SELECT vec_id, emb,
+                           unnest(generate_series(1, 8)) AS j,
+                           unnest(emb[1:8]) AS v
+                    FROM e WHERE vec_id < 8)
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY v DESC, j) <= 3),
+            cand AS (
+                SELECT DISTINCT q.query_id, c.cand_id, q.qvec, c.cvec
+                FROM c JOIN qp q USING (list_id)
+                WHERE c.cand_id != q.query_id),
+            ann AS (
+                SELECT query_id, cand_id FROM (
+                    SELECT query_id, cand_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos_sim DESC, cand_id)
+                               AS rnk
+                    FROM (
+                        SELECT query_id, cand_id,
+                               round(list_cosine_similarity(qvec, cvec), 6)
+                                   AS cos_sim
+                        FROM cand))
+                WHERE rnk <= 5),
+            brute AS (
+                SELECT query_id, cand_id FROM (
+                    SELECT query_id, cand_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos_sim DESC, cand_id)
+                               AS rnk
+                    FROM (
+                        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                               round(list_cosine_similarity(q.emb, c.emb), 6)
+                                   AS cos_sim
+                        FROM e c, e q
                         WHERE q.vec_id < 8 AND c.vec_id != q.vec_id))
                 WHERE rnk <= 5)
             SELECT b.query_id, count(a.cand_id) AS n_hit,

@@ -16,8 +16,19 @@ work the way a 10^12-row deployment must:
    flagged slice (filter → repair → union with the untouched slice).
    The clean side is a pass-through projection; the dirty side pays one
    Python exchange for the rows that actually need it. Iterates (≤3) so
-   double-mojibake ("cafÃƒÂ©") also lands, and keeps the ORIGINAL string
-   whenever any roundtrip step fails — repair never destroys data.
+   double-mojibake ("cafÃƒÂ©") also lands. Two safety properties:
+
+   - MIXED content repairs: when the whole string fails the roundtrip
+     (legitimate non-ASCII next to damage — "café … cafÃ©" on a fr
+     crawl), each maximal run of telltale matches round-trips on its
+     own, so the legitimate text never has to survive the wrong codec.
+   - A repair is ACCEPTED only if it strictly reduces the telltale
+     count (ftfy gates on a badness heuristic for the same reason), so
+     text that merely byte-resembles mojibake is kept verbatim unless
+     the rewrite actually removes damage shapes. Residual window: an
+     isolated pair whose roundtrip lands on a clean codepoint ("×" +
+     em-dash → "ח") still passes the count gate — full disambiguation
+     needs language statistics, out of scope for a regex-gated kernel.
 
 Reference seam: the reference normalizes entities and unicode the same
 pass-through way (pipeline/ske_fr/uninorm_4.py, re-expressed in
@@ -27,6 +38,7 @@ see because the damage happened before the text was text.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -61,10 +73,16 @@ def flag_mojibake(text_col: Column) -> Column:
     )
 
 
-def _roundtrip_once(s: str) -> str:
-    """One wrong-codec → UTF-8 roundtrip; the input unchanged if any step
-    fails (not encodable with either single-byte codec, or the bytes are
-    not valid UTF-8 — i.e. the string wasn't mojibake after all)."""
+_MOJI_RE = re.compile(MOJIBAKE_PATTERN)
+# Maximal runs of telltale matches: adjacent damaged sequences repair as
+# one region, so multi-char damage ("â€” " next to "â€¦") decodes whole.
+_MOJI_RUN_RE = re.compile(f"(?:{MOJIBAKE_PATTERN})+")
+
+
+def _roundtrip_string(s: str) -> str | None:
+    """Wrong-codec → UTF-8 roundtrip of exactly ``s``; None if no codec
+    ladder step survives (not encodable with either single-byte codec, or
+    the bytes are not valid UTF-8 — i.e. ``s`` wasn't mojibake after all)."""
     for codec in ("cp1252", "latin-1"):
         try:
             raw = s.encode(codec)
@@ -74,19 +92,46 @@ def _roundtrip_once(s: str) -> str:
             return raw.decode("utf-8")
         except UnicodeDecodeError:
             continue
-    return s
+    return None
+
+
+def _roundtrip_once(s: str) -> str:
+    """One repair pass: whole-string roundtrip when the string survives a
+    single-byte encode (pure-ASCII-plus-damage, the crawl common case),
+    else per-region — each maximal telltale run round-trips independently
+    so legitimate non-ASCII outside the runs is never re-encoded."""
+    whole = _roundtrip_string(s)
+    if whole is not None:
+        return whole
+
+    def _sub(m: re.Match) -> str:
+        fixed = _roundtrip_string(m.group(0))
+        return fixed if fixed is not None else m.group(0)
+
+    return _MOJI_RUN_RE.sub(_sub, s)
 
 
 def repair_text(s: str, max_rounds: int = 3) -> str:
     """Driver/test-visible scalar kernel: iterate the roundtrip until
-    stable (handles double-mojibake) or ``max_rounds``."""
+    stable (handles double-mojibake) or ``max_rounds``. Every accepted
+    round must strictly REDUCE the telltale-match count — a successful
+    decode that doesn't remove damage shapes is evidence the input merely
+    byte-resembled mojibake, and the original is kept."""
     if s is None:
         return None
+    count = len(_MOJI_RE.findall(s))
+    if count == 0:
+        return s
     for _ in range(max_rounds):
         fixed = _roundtrip_once(s)
         if fixed == s:
-            return s
-        s = fixed
+            break
+        new_count = len(_MOJI_RE.findall(fixed))
+        if new_count >= count:
+            break
+        s, count = fixed, new_count
+        if count == 0:
+            break
     return s
 
 

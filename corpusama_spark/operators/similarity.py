@@ -356,7 +356,7 @@ def _assign_udf(cents: np.ndarray, nprobe: int):
         # one BLAS pass: argsort of squared distances via the identity
         # |x-c|^2 = |x|^2 - 2x.c + |c|^2 (|x|^2 constant per row)
         scores = -2.0 * (mat @ cents.T) + (cents**2).sum(axis=1)[None, :]
-        order = np.argsort(scores, axis=1)[:, :nprobe]
+        order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(int).tolist() for row in order])
 
     return assign

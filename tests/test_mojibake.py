@@ -73,6 +73,24 @@ def test_flag_catches_2byte_mojibake(s, codec):
         assert re.search(MOJIBAKE_PATTERN, broken), repr(broken)
 
 
+def test_mixed_legit_and_mojibake_repairs_per_region():
+    """ADVICE r3: a row mixing legitimate non-ASCII with damage (the fr/de
+    crawl common case) must still repair — the whole-string roundtrip fails
+    both codecs ('…' blocks latin-1, 'é…' bytes break UTF-8), so each
+    telltale run round-trips on its own and the clean text never re-encodes."""
+    assert repair_text("café … cafÃ©") == "café … café"
+    assert repair_text("naïve — donâ€™t") == "naïve — don’t"
+
+
+def test_gate_keeps_text_when_telltales_do_not_decrease():
+    """ADVICE r3: a successful roundtrip is NOT sufficient — here the
+    repaired form ('Ã…') still contains exactly one telltale match, so the
+    rewrite is evidence-free and the original must be kept verbatim (the
+    old unconditional accept iterated it into 'Å', destroying data)."""
+    s = "Ã…"
+    assert repair_text(s) == s
+
+
 def test_fix_mojibake_distributed_parity(spark):
     rows = [
         (1, "plain ascii stays put"),
@@ -81,6 +99,7 @@ def test_fix_mojibake_distributed_parity(spark):
         (4, None),
         (5, "legit café already clean"),
         (6, "cafÃƒÂ© double"),                # double mojibake
+        (7, "café … cafÃ©"),                   # mixed legit + damage
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.text for r in fix_mojibake(df).collect()}

@@ -515,6 +515,47 @@ def test_axis_lsh_recall_and_exactness(spark, emb_df):
             assert r.keys[t] == want
 
 
+def test_ivf_injected_onehot_centroids_engine_exact(spark, emb_df):
+    """ivf_recall's quantizer trick: with one-hot centroids scaled by 2.0
+    the assignment score is 4 - 4*x_j (every float op exact — powers of
+    two), so list membership reduces to comparing raw embedding components,
+    which any engine reproduces bit-exactly. Verifies the Spark candidate
+    set against a pure-python recomputation, and that argsort ties resolve
+    to the lowest index (kind='stable' — DuckDB list_position semantics)."""
+    import numpy as np
+
+    K, nprobe = 8, 3
+    cents = np.zeros((K, 64), dtype=np.float64)
+    cents[np.arange(K), np.arange(K)] = 2.0
+    corpus = emb_df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.where("vec_id < 6")
+    ivf = SIM.ivf_topk(
+        corpus, queries, k=5, n_centroids=K, nprobe=nprobe, centroids=cents
+    )
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in corpus.collect()
+    }
+
+    def probes(v, n):
+        return np.argsort(-v[:K], kind="stable")[:n].tolist()
+
+    lists = {i: probes(v, 1)[0] for i, v in emb.items()}
+    got = ivf.collect()
+    assert got
+    for r in got:
+        assert lists[r.cand_id] in probes(emb[r.query_id], nprobe)
+    # ties -> lowest list index, matching a first-occurrence argmax
+    tie = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [999], "embedding": [[0.5] * 64]})
+    )
+    assign = SIM._assign_udf(cents, nprobe)
+    probed = tie.select(assign(F.col("embedding")).alias("p")).collect()[0].p
+    assert probed == [0, 1, 2]
+
+
 def test_ivf_over_quantized_embeddings(spark, emb_df):
     """X9 + X11 composed: ANN search over the int8-quantized embedding
     table (the 4x-smaller storage form at 10^12 rows) — full-probe IVF over
