@@ -6,23 +6,27 @@ curated blocklist of 4.6M domains plus URL-substring scoring — all public.
 The operator the engine owes is the distributed shape:
 
 - ``url_host``: pure-JVM host extraction (one regexp — scheme-less,
-  port/path/query tolerant, casefolded). Deliberately NOT parse_url():
-  a plain anchored regexp is portable to the DuckDB oracle character for
-  character, and hosts in crawl data are dirty enough that the simple
-  rule is the defensible one.
+  port/path/query tolerant, casefolded, bracketed-IPv6 aware).
+  Deliberately NOT parse_url(): a plain anchored regexp is portable to
+  the DuckDB oracle character for character, and hosts in crawl data are
+  dirty enough that the simple rule is the defensible one.
 - ``registered_domain``: host → eTLD+1 by the last-two-labels rule with
-  a multi-part public-suffix override list (co.uk, com.au, …). The full
-  public-suffix list is a data file a deployment ships; the ENGINE
-  mechanism — split labels, check the tail against a broadcast set,
-  keep 2 or 3 labels — is what's built and tested here.
+  a multi-part public-suffix override list (co.uk, com.au, …). IP-literal
+  hosts (dotted-quad, IPv6) pass through whole — label slicing of an IP
+  produces garbage like "3.4" and breaks blocklist matching.
+- ``with_registered_domain``: the FULL public-suffix-list algorithm
+  (publicsuffix.org/list/) over a rules DataFrame/file — exact rules,
+  ``*.`` wildcard rules, ``!`` exceptions, unknown-TLD default. Rule
+  depth is bounded (≤5 labels in the published PSL), so matching is a
+  fixed chain of per-depth BROADCAST left joins: zero exchanges on the
+  corpus side at any size, no explode, no groupBy.
 - ``blocklist_filter``: registered-domain equi-join against a blocklist
   DataFrame. The blocklist (even RefinedWeb's 4.6M rows ≈ tens of MB)
   broadcasts; the corpus never shuffles. Subdomains are covered by
   construction because matching happens on the REGISTERED domain.
 
 Scale shape: host/domain extraction is scan-stage JVM string work; the
-only join is a broadcast semi/anti join — zero exchanges on the corpus
-side at any size.
+only joins are broadcast — zero exchanges on the corpus side at any size.
 """
 
 from __future__ import annotations
@@ -31,7 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # multi-part public suffixes where eTLD+1 is three labels, not two — the
-# mechanism-exercising subset; swap in the full PSL file in deployment.
+# mechanism-exercising subset for the Column-only API; deployments with
+# the full publicsuffix.org file should use ``with_registered_domain``.
 MULTIPART_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "com.au", "net.au", "org.au",
@@ -39,14 +44,35 @@ MULTIPART_SUFFIXES = (
     "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
 )
 
-_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)"
+# Bracketed IPv6 literal first (the generic class stops at ':' and would
+# truncate "[::1]" to "[" — ADVICE r3), then the generic host class.
+_HOST_RE = (
+    r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?"
+    r"(\[[^\]/]*\]|[^/:?#]+)"
+)
+
+_IPV4_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+
+# deepest rule in the published PSL is 5 labels; exact-matching beyond
+# that depth would always miss, so the join chain stops here.
+_MAX_RULE_DEPTH = 5
 
 
 def url_host(url_col: Column) -> Column:
     """Casefolded host of a URL (scheme and userinfo optional, port/path/
-    query/fragment stripped). NULL/empty URLs yield NULL."""
+    query/fragment stripped). Bracketed IPv6 literals yield the address
+    inside the brackets ("http://[::1]:8080/x" → "::1"). NULL/empty URLs
+    yield NULL."""
     host = F.lower(F.regexp_extract(url_col, _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^\[|\]$", "")
     return F.when(host == "", None).otherwise(host)
+
+
+def is_ip_host(host: Column) -> Column:
+    """True for hosts that are IP literals: dotted-quad IPv4 or anything
+    containing ':' (IPv6 — impossible in a registered name, whose labels
+    are [a-z0-9-])."""
+    return host.rlike(_IPV4_RE) | host.contains(":")
 
 
 def registered_domain(
@@ -55,7 +81,9 @@ def registered_domain(
 ) -> Column:
     """eTLD+1: last two host labels, or last three when the two-label tail
     is a known multi-part public suffix. Single-label hosts (localhost,
-    bare TLDs) pass through unchanged."""
+    bare TLDs) and IP-literal hosts pass through unchanged — slicing an
+    IP's "labels" yields nonsense ("1.2.3.4" → "3.4") and defeats
+    blocklist matching (ADVICE r3)."""
     host = url_host(url_col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -68,9 +96,149 @@ def registered_domain(
         F.element_at(labels, -2),
         F.element_at(labels, -1),
     )
-    return F.when(host.isNull() | (n <= 1), host).otherwise(
+    return F.when(host.isNull() | (n <= 1) | is_ip_host(host), host).otherwise(
         F.when((n >= 3) & last2.isin(*multipart), last3).otherwise(last2)
     )
+
+
+def parse_psl(lines: list[str]) -> list[tuple[str, bool, bool]]:
+    """publicsuffix.org file lines → (rule, is_wildcard, is_exception)
+    rows. Comments (//) and blanks drop; '*.' and '!' prefixes strip into
+    flags; rules casefold. The wildcard row stores the PARENT ('*.ck' →
+    'ck', wildcard=True): matching tests "some label + parent"."""
+    out = []
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0].lower()  # spec: ignore trailing text
+        is_exc = line.startswith("!")
+        if is_exc:
+            line = line[1:]
+        is_wc = line.startswith("*.")
+        if is_wc:
+            line = line[2:]
+        if line:
+            out.append((line, is_wc, is_exc))
+    return out
+
+
+def psl_rules_df(spark, source) -> DataFrame:
+    """Rules DataFrame from a PSL file path or an iterable of lines:
+    (rule string, wildcard boolean, exception boolean), one row per rule,
+    de-duplicated with OR-merged flags (a name can be both an exact rule
+    and a wildcard parent — e.g. 'kobe.jp' under '*.kobe.jp')."""
+    if isinstance(source, str):
+        with open(source, encoding="utf-8") as fh:
+            lines = fh.readlines()
+    else:
+        lines = list(source)
+    rows = parse_psl(lines)
+    df = spark.createDataFrame(rows, "rule string, wildcard boolean, exception boolean")
+    return df.groupBy("rule").agg(
+        F.max(~F.col("wildcard") & ~F.col("exception")).alias("exact"),
+        F.max("wildcard").alias("wildcard"),
+        F.max("exception").alias("exception"),
+    )
+
+
+def with_registered_domain(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain",
+) -> DataFrame:
+    """``df`` plus ``out_col`` = eTLD+1 under the FULL PSL algorithm
+    (publicsuffix.org/list/): the prevailing rule is the longest match,
+    exception rules win outright (their own name IS the registered
+    domain — '!city.kobe.jp'), wildcard rules make every child of the
+    parent a public suffix ('*.ck', 'github.io'-style private
+    registries are plain exact rules), and unknown TLDs fall back to the
+    implicit '*' rule (suffix = last label). A host that IS a public
+    suffix has no registered domain → NULL. IP-literal hosts pass
+    through whole.
+
+    Distributed shape: one broadcast LEFT join per rule depth (≤5 — the
+    deepest published rule), each on a scan-stage tail expression; the
+    corpus side never shuffles, nothing explodes, and the final pick is
+    a pure ``when`` cascade. Rules (~9k rows) broadcast trivially."""
+    host = url_host(F.col(url_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    def tail(d: int) -> Column:
+        return F.when(
+            n >= d,
+            F.concat_ws(
+                ".", *[F.element_at(labels, -(d - i)) for i in range(d)]
+            ),
+        )
+
+    out = df.withColumn("_psl_host", host).withColumn("_psl_n", n)
+    for d in range(1, _MAX_RULE_DEPTH + 1):
+        r = F.broadcast(
+            rules.select(
+                F.col("rule").alias(f"_r{d}"),
+                F.col("exact").alias(f"_x{d}"),
+                F.col("wildcard").alias(f"_w{d}"),
+                F.col("exception").alias(f"_e{d}"),
+            )
+        )
+        out = out.withColumn(f"_t{d}", tail(d)).join(
+            r, F.col(f"_t{d}") == F.col(f"_r{d}"), "left"
+        )
+
+    n = F.col("_psl_n")
+    host = F.col("_psl_host")
+
+    # exception rule: its own name is the registered domain (deepest wins,
+    # though the published list never nests exceptions)
+    exc = None
+    for d in range(_MAX_RULE_DEPTH, 0, -1):
+        hit = F.col(f"_e{d}") & F.col(f"_t{d}").isNotNull()
+        exc = F.when(hit, F.col(f"_t{d}")) if exc is None else exc.when(
+            hit, F.col(f"_t{d}")
+        )
+
+    # public-suffix depth: longest of exact matches (depth d) and wildcard
+    # matches (parent at depth d → suffix depth d+1); implicit '*' → 1.
+    # FLAT greatest() over per-depth candidates — a nested when-cascade
+    # doubles the expression tree per depth and blows the codegen 64KB
+    # method limit at depth 5.
+    candidates = [F.lit(1)]
+    for d in range(1, _MAX_RULE_DEPTH + 1):
+        exact_hit = F.coalesce(F.col(f"_x{d}"), F.lit(False))
+        candidates.append(F.when(exact_hit, F.lit(d)).otherwise(F.lit(1)))
+        wc_hit = F.coalesce(F.col(f"_w{d}"), F.lit(False))
+        candidates.append(
+            F.when(wc_hit & (n > d), F.lit(d + 1)).otherwise(F.lit(1))
+        )
+    ps_depth = F.greatest(*candidates)
+
+    reg_depth = ps_depth + 1
+    reg = None
+    for d in range(2, _MAX_RULE_DEPTH + 2):
+        pick = reg_depth == d
+        val = F.when(
+            n >= d,
+            F.concat_ws(
+                ".", *[F.element_at(F.split(host, r"\."), -(d - i)) for i in range(d)]
+            ),
+        )
+        reg = F.when(pick, val) if reg is None else reg.when(pick, val)
+
+    domain = (
+        F.when(host.isNull() | is_ip_host(host), host)
+        .when(exc.isNotNull(), exc)
+        .otherwise(reg)
+    )
+    out = out.withColumn(out_col, domain)
+    drop = ["_psl_host", "_psl_n"] + [
+        c
+        for d in range(1, _MAX_RULE_DEPTH + 1)
+        for c in (f"_t{d}", f"_r{d}", f"_x{d}", f"_w{d}", f"_e{d}")
+    ]
+    return out.drop(*drop)
 
 
 def blocklist_filter(
@@ -79,14 +247,19 @@ def blocklist_filter(
     url_col: str = "url",
     blocked_col: str = "domain",
     keep_blocked: bool = False,
+    psl_rules: DataFrame | None = None,
 ) -> DataFrame:
     """docs with a ``domain`` column, filtered by a broadcast
     (anti-)join against ``blocklist``: default drops blocked domains
     (left_anti); ``keep_blocked=True`` returns ONLY the blocked rows
-    (left_semi — the audit view)."""
-    with_dom = docs.withColumn(
-        "domain", registered_domain(F.col(url_col))
-    )
+    (left_semi — the audit view). With ``psl_rules`` the domain comes
+    from the full-PSL matcher instead of the built-in suffix subset."""
+    if psl_rules is not None:
+        with_dom = with_registered_domain(docs, psl_rules, url_col=url_col)
+    else:
+        with_dom = docs.withColumn(
+            "domain", registered_domain(F.col(url_col))
+        )
     bl = F.broadcast(
         blocklist.select(F.lower(F.col(blocked_col)).alias("domain")).distinct()
     )

@@ -108,6 +108,7 @@ def caption_image_agreement(
     text_col: str = "text",
     img_id: str = "vec_id",
     vec_col: str = "embedding",
+    ragged: str = "fail",
 ) -> DataFrame:
     """(doc_id, n2, align_score, keep): cosine between the hashed caption
     features and the image embedding joined on doc_id = img_id, kept when
@@ -116,12 +117,34 @@ def caption_image_agreement(
     The dot product folds the sorted sparse pairs against the dense image
     vector JVM-side (element_at by bucket) — O(nnz) per row, summation
     order fixed by the sort, bytes/text never in the join.
+
+    Embeddings shorter than ``dim`` would make element_at return NULL
+    (non-ANSI mode) and silently null the keep decision (ADVICE r3), so
+    ragged rows are surfaced explicitly: ``ragged="fail"`` (default)
+    raises at execution time, ``ragged="drop"`` filters them out.
     """
+    if ragged not in ("fail", "drop"):
+        raise ValueError(f"ragged must be 'fail' or 'drop', got {ragged!r}")
     dim = dim if dim is not None else infer_dim(images, vec_col)
     feats = caption_features(docs, dim, doc_id, text_col)
+    vec = F.col(vec_col).cast("array<double>")
+    if ragged == "drop":
+        images = images.where(F.size(vec_col) == dim)
+    else:
+        vec = F.when(F.size(vec_col) == dim, vec).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"ragged embedding: expected dim {dim}, got "),
+                    F.size(vec_col).cast("string"),
+                    F.lit(" (id="),
+                    F.col(img_id).cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
     img = images.select(
         F.col(img_id).alias("img_id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
+        vec.alias("vec"),
     )
     j = feats.join(img, feats["id"] == img["img_id"])
     dot = F.aggregate(

@@ -78,6 +78,31 @@ def test_caption_agreement_drops_empty_and_zero_norm(spark):
     assert [r.doc_id for r in got] == [1]
 
 
+def test_caption_agreement_surfaces_ragged_embeddings(spark):
+    """ADVICE r3: an embedding shorter than the inferred dim must not
+    silently NULL the keep decision — default mode raises, drop mode
+    excludes the ragged row and scores the rest normally."""
+    import pytest
+
+    from corpusama_spark.operators.alignment import caption_image_agreement
+
+    docs = spark.createDataFrame(
+        [(1, "real caption here"), (2, "another real caption")],
+        "doc_id long, text string",
+    )
+    images = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1.0, 0.0]), (2, [1.0, 0.5])],  # row 2 is ragged
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged embedding"):
+        caption_image_agreement(docs, images, dim=4).collect()
+    got = caption_image_agreement(docs, images, dim=4, ragged="drop").collect()
+    assert [r.doc_id for r in got] == [1]
+    assert all(r.keep is not None and r.align_score is not None for r in got)
+    with pytest.raises(ValueError):
+        caption_image_agreement(docs, images, dim=4, ragged="ignore")
+
+
 def _expected_ppl(corpus: dict[int, str], k: float = 0.5):
     words = {d: t.lower().split() for d, t in corpus.items()}
     bigrams = {d: list(zip(w, w[1:])) for d, w in words.items()}

@@ -84,3 +84,102 @@ def test_blocklist_filter_drops_subdomains_and_audits(spark):
     ]
     assert exchanges and all("domain" in ln for ln in exchanges)
     assert not any("doc_id" in ln or "url" in ln for ln in exchanges)
+
+def test_ip_literal_hosts_pass_through_whole(spark):
+    """ADVICE r3: label-slicing an IP host produced '3.4' / '['; IP
+    literals (dotted-quad, bracketed IPv6) must yield the full address as
+    both host and registered domain so blocklists can match them."""
+    got = _dom(
+        spark,
+        [
+            "http://1.2.3.4/x",
+            "https://10.0.0.1:8443/admin",
+            "http://[::1]/",
+            "https://[2001:db8::7]:8080/a?q=1",
+            "http://user@[2001:db8::7]/p",
+        ],
+    )
+    assert got["http://1.2.3.4/x"] == ("1.2.3.4", "1.2.3.4")
+    assert got["https://10.0.0.1:8443/admin"] == ("10.0.0.1", "10.0.0.1")
+    assert got["http://[::1]/"] == ("::1", "::1")
+    assert got["https://[2001:db8::7]:8080/a?q=1"] == (
+        "2001:db8::7", "2001:db8::7")
+    assert got["http://user@[2001:db8::7]/p"] == (
+        "2001:db8::7", "2001:db8::7")
+
+
+_PSL_LINES = [
+    "// ===BEGIN ICANN DOMAINS===",
+    "com",
+    "org",
+    "uk",
+    "co.uk",
+    "jp",
+    "*.kobe.jp",
+    "!city.kobe.jp",
+    "*.ck",
+    "!www.ck",
+    "// ===BEGIN PRIVATE DOMAINS===",
+    "github.io",
+    "s3.dualstack.ap-northeast-1.amazonaws.com",
+    "",
+]
+
+
+def test_full_psl_algorithm(spark):
+    """publicsuffix.org semantics over a real-list excerpt: exact rules,
+    private registries (github.io), '*.' wildcards, '!' exceptions, the
+    implicit '*' fallback for unknown TLDs, and host==suffix -> NULL."""
+    from corpusama_spark.functions.urls import (
+        psl_rules_df,
+        with_registered_domain,
+    )
+
+    rules = psl_rules_df(spark, _PSL_LINES)
+    cases = {
+        "https://news.bbc.co.uk/a": "bbc.co.uk",
+        "https://github.io/x": None,             # host IS the suffix
+        "https://octocat.github.io/x": "octocat.github.io",
+        "https://deep.octocat.github.io/x": "octocat.github.io",
+        "http://a.b.kobe.jp/": "a.b.kobe.jp",    # *.kobe.jp
+        "http://city.kobe.jp/": "city.kobe.jp",  # exception rule
+        "http://x.city.kobe.jp/": "city.kobe.jp",
+        "http://www.ck/": "www.ck",              # !www.ck
+        "http://foo.bar.ck/": "foo.bar.ck",      # *.ck
+        "http://example.nosuchtld/x": "example.nosuchtld",  # implicit *
+        "http://sub.example.nosuchtld/x": "example.nosuchtld",
+        "http://com/": None,                     # bare TLD
+        "http://1.2.3.4/x": "1.2.3.4",           # IP passthrough
+        "https://b.s3.dualstack.ap-northeast-1.amazonaws.com/o":
+            "b.s3.dualstack.ap-northeast-1.amazonaws.com",  # depth-5 rule
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = with_registered_domain(df, rules)
+    got = {r.url: r.domain for r in out.collect()}
+    assert got == cases
+    # corpus never shuffles: every join broadcast, no exchange carries url
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 5
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert not any("url" in ln for ln in exchanges)
+
+
+def test_blocklist_filter_with_psl_rules(spark):
+    from corpusama_spark.functions.urls import blocklist_filter, psl_rules_df
+
+    rules = psl_rules_df(spark, _PSL_LINES)
+    docs = spark.createDataFrame(
+        [
+            (1, "https://evil.github.io/x"),      # blocked private-registry
+            (2, "https://good.github.io/x"),
+            (3, "https://sub.evil.github.io/x"),  # subdomain of blocked
+            (4, "https://evil.co.uk/x"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("evil.github.io",)], "domain string")
+    kept = blocklist_filter(docs, bl, psl_rules=rules)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 4]
