@@ -1728,6 +1728,16 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"))
 
 
+def q_sessions_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe split-and-merge sessionization (tagging window over
+    (user, 6h bucket), boundary repair over per-bucket summaries) — must
+    emit byte-identical sessions to the single-window plan, so it shares
+    the `sessions` oracle verbatim."""
+    from corpusama_spark.operators.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), presplit_hours=6.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -1767,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         # -- new in round 4 --------------------------------------------------
         "ivf_recall": q_ivf_recall,
+        "sessions_presplit": q_sessions_presplit,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -2079,7 +2090,7 @@ def oracle_sql() -> dict[str, str]:
         f"h_{lg}" for lg in sorted(STOPWORDS)
     ) + ")"
 
-    return {
+    out = {
         "export_join": """
             SELECT o_orderkey, c_name, n_name AS nation_name, o_orderpriority
             FROM orders
@@ -3584,3 +3595,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY 1, 2, 3
         """,
     }
+    # the skew-safe split-and-merge plan must produce EXACTLY the sessions
+    # the single-window plan does — same oracle, different physical strategy
+    out["sessions_presplit"] = out["sessions"]
+    return out

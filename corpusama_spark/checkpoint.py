@@ -44,6 +44,25 @@ def completed_buckets(spark: SparkSession, manifest_path: str) -> set[int]:
     return {r.bucket for r in rows}
 
 
+def pending_buckets(
+    df: DataFrame, done: set[int], nbuckets: int, pre_bucketed: bool
+) -> list[int]:
+    """Buckets still owed. When the bucket column was DERIVED by
+    ``add_bucket`` the ids are range(nbuckets) by construction, so the
+    todo list is pure set arithmetic — NO corpus scan (the old
+    distinct().collect() read every row's phash on every restart, a full
+    table pass at 10^12 rows before the first wave ran — VERDICT r3).
+    Externally-bucketed inputs keep the distinct() scan: their ids are
+    data, not construction."""
+    if pre_bucketed:
+        return sorted(
+            r.bucket
+            for r in df.select("bucket").distinct().collect()
+            if r.bucket not in done
+        )
+    return sorted(set(range(nbuckets)) - done)
+
+
 def run_checkpointed(
     spark: SparkSession,
     captions: DataFrame,
@@ -60,11 +79,10 @@ def run_checkpointed(
     abort/restart contract, reliefweb.py:55-56).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pre_bucketed = "bucket" in captions.columns
     df = add_bucket(captions, config.nbuckets)
     done = completed_buckets(spark, manifest_path)
-    todo = sorted(
-        r.bucket for r in df.select("bucket").distinct().collect() if r.bucket not in done
-    )
+    todo = pending_buckets(df, done, config.nbuckets, pre_bucketed)
     if not todo:
         return 0
 
@@ -89,32 +107,49 @@ def run_checkpointed(
         # lineage re-aggregates the JUST-WRITTEN partitions (bucket-pruned,
         # two-column scan) instead of re-running the whole pipeline — at
         # 10^12 rows the old shape re-decoded every image a second time
-        written = spark.read.parquet(out_path).where(F.col("bucket").isin(wave))
-        lineage(written, run_id, config.nbuckets).write.mode("append").parquet(
-            manifest_path
-        )
+        if pathlib.Path(out_path).exists():
+            written = spark.read.parquet(out_path).where(
+                F.col("bucket").isin(wave)
+            )
+            lineage(written, run_id, config.nbuckets).write.mode(
+                "append"
+            ).parquet(manifest_path)
         # commit verification: the in-flight counts the write observed must
         # equal what the committed manifest says for this wave — a torn or
         # short write fails the job here, before the wave is marked done
         m = metrics_row(obs)
-        committed = (
-            spark.read.parquet(manifest_path)
-            .where(F.col("run_id") == run_id)
-            .where(F.col("bucket").isin(wave))
-            .agg(
-                F.sum("n_rows").alias("r"), F.sum("n_keep").alias("k")
+        committed_rows = (
+            (
+                spark.read.parquet(manifest_path)
+                .where(F.col("run_id") == run_id)
+                .where(F.col("bucket").isin(wave))
+                .groupBy("bucket")
+                .agg(F.sum("n_rows").alias("r"), F.sum("n_keep").alias("k"))
+                .collect()
             )
-            .collect()[0]
+            if pathlib.Path(manifest_path).exists()
+            else []
         )
-        if (int(committed.r or 0), int(committed.k or 0)) != (
-            m["n_rows"],
-            m["n_keep"],
-        ):
+        committed_r = sum(int(r.r or 0) for r in committed_rows)
+        committed_k = sum(int(r.k or 0) for r in committed_rows)
+        if (committed_r, committed_k) != (m["n_rows"], m["n_keep"]):
             raise RuntimeError(
                 f"commit verification failed for wave {wave}: observed "
                 f"({m['n_rows']}, {m['n_keep']}) vs committed "
-                f"({committed.r}, {committed.k})"
+                f"({committed_r}, {committed_k})"
             )
+        # EMPTY buckets write no output partitions, so lineage alone would
+        # never mark them done and every restart would re-enumerate them;
+        # stamp explicit zero rows so `done` converges to all of todo
+        empties = [b for b in wave if b not in {r.bucket for r in committed_rows}]
+        if empties:
+            spark.createDataFrame(
+                [(int(b), 0, 0, run_id) for b in empties],
+                "bucket int, n_rows long, n_keep long, run_id string",
+            ).withColumn(
+                "committed_at",
+                F.date_trunc("second", F.current_timestamp()),
+            ).write.mode("append").parquet(manifest_path)
         processed += len(wave)
         if fail_after_buckets is not None and processed >= fail_after_buckets:
             raise RuntimeError(f"injected failure after {processed} buckets")
