@@ -28,6 +28,33 @@ from corpusama_spark.pipeline import FilterConfig, run_pipeline  # noqa: E402
 from corpusama_spark.session import get_spark  # noqa: E402
 from corpusama_spark.sources.synth import captions_df  # noqa: E402
 
+def _spin(iters: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x += i * i
+    return iters / (time.perf_counter() - t0)
+
+
+def spin_probe(procs: int, iters: int = 6_000_000) -> float:
+    """Effective host parallelism RIGHT NOW: aggregate iteration rate of
+    ``procs`` concurrent pure-Python spin loops over the single-process
+    rate. The sandbox's noisy neighbors swing this 2-5x within minutes
+    (BENCH.md calibration history), so every bench emission carries its
+    own before/after probes — the reader can separate code regressions
+    from contention without re-adjudicating (VERDICT r3 cost a full
+    analysis pass on exactly this). Per-worker self-timing excludes pool
+    startup."""
+    import multiprocessing as mp
+
+    single = _spin(iters)
+    with mp.get_context("fork").Pool(procs) as pool:
+        rates = pool.map(_spin, [iters] * procs)
+    # normalize by the fastest rate seen anywhere: if the single-process
+    # baseline itself got descheduled, sum/single would exceed procs
+    return round(sum(rates) / max([single, *rates]), 1)
+
+
 BENCH_QUERIES = [
     "export_join",
     "semi_join",
@@ -75,6 +102,7 @@ def main() -> None:
     # the 3-run loop stays ~15 s at local[32]
     n_captions = int(os.environ.get("BENCH_CAPTIONS_N", "160000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spin_before = spin_probe(int(cpus))
     spark = get_spark(
         cores=cpus, extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
@@ -167,6 +195,7 @@ def main() -> None:
         timings[name] = round(min(trials), 3)
 
     total = round(sum(timings.values()), 3)
+    spin_after = spin_probe(int(cpus))
     print(
         json.dumps(
             {
@@ -179,6 +208,11 @@ def main() -> None:
                 "flagship_rows": n_captions,
                 "flagship_keep": int(n_out["k"]),
                 "cpus": cpus,
+                # host-contention context: effective parallelism of `cpus`
+                # spin procs at bench start/end (quiet host ~26-27 at 32;
+                # contended windows drop to 9-16 — see BENCH.md)
+                "spin_before": spin_before,
+                "spin_after": spin_after,
             }
         )
     )
