@@ -1650,6 +1650,68 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSL_RULES = [
+    "com",
+    "org",
+    "io",
+    "uk",
+    "co.uk",
+    "jp",
+    "*.kobe.jp",
+    "!city.kobe.jp",
+    "github.io",
+]
+
+
+def q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full publicsuffix.org registered-domain extraction, driver-verified:
+    deterministic URLs from (source, doc_id) cover multi-label ICANN
+    suffixes (co.uk), private registries (github.io), '*.' wildcards and
+    '!' exceptions (kobe.jp family), the implicit-star unknown-TLD rule,
+    IPv4 + bracketed-IPv6 literals (ADVICE r3), and host==suffix → NULL.
+    The oracle re-implements the PSL ALGORITHM independently in DuckDB
+    (same per-depth rule joins over a VALUES rules table), not literal
+    expected strings."""
+    from corpusama_spark.functions.urls import (
+        psl_rules_df,
+        url_host,
+        with_registered_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.pmod(F.col("doc_id"), F.lit(8))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://news."), F.col("source"), F.lit(".co.uk/a?id=1")))
+        .when(m == 1, F.concat(F.lit("http://"), F.col("source"), F.lit(".github.io/x")))
+        .when(m == 2, F.lit("https://a.b.kobe.jp/p"))
+        .when(m == 3, F.lit("http://x.city.kobe.jp/q#f"))
+        .when(m == 4, F.lit("http://1.2.3.4:8080/x"))
+        .when(m == 5, F.lit("https://user@[2001:db8::7]/a"))
+        .when(m == 6, F.concat(F.lit("http://"), F.col("source"), F.lit(".nosuchtld/x")))
+        .otherwise(F.lit("https://github.io/"))
+    )
+    d = docs.withColumn("url", url)
+    rules = psl_rules_df(spark, PSL_RULES)
+    return with_registered_domain(d, rules).select(
+        "doc_id", url_host(F.col("url")).alias("host"), "domain"
+    )
+
+
+BM25_TERMS = ["table", "hash", "window"]
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of the documents table against a fixed query
+    (X64, operators/ranking.py): scan-stage tokenize + broadcast term
+    semi-filter, tiny df/N/avgdl marginals broadcast back, one groupBy —
+    Lucene's ranker as a corpus operator. DuckDB twin recomputes the
+    identical chain (6-decimal score rounding, the topk_cosine float
+    precedent)."""
+    from corpusama_spark.operators.ranking import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), BM25_TERMS)
+
+
 def q_ppl_buckets_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet bucketing with the RELATIONAL LM (operators/lm.py): per-
     language head/middle/tail terciles over the trained-on-corpus bigram
@@ -1778,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 --------------------------------------------------
         "ivf_recall": q_ivf_recall,
         "sessions_presplit": q_sessions_presplit,
+        "psl_domains": q_psl_domains,
+        "bm25": q_bm25,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -3410,6 +3474,128 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, domain
             FROM dom
             WHERE domain NOT IN ('example.com', 'spam-mall.net')
+        """,
+        "psl_domains": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE doc_id % 8
+                           WHEN 0 THEN 'https://news.' || source
+                                       || '.co.uk/a?id=1'
+                           WHEN 1 THEN 'http://' || source || '.github.io/x'
+                           WHEN 2 THEN 'https://a.b.kobe.jp/p'
+                           WHEN 3 THEN 'http://x.city.kobe.jp/q#f'
+                           WHEN 4 THEN 'http://1.2.3.4:8080/x'
+                           WHEN 5 THEN 'https://user@[2001:db8::7]/a'
+                           WHEN 6 THEN 'http://' || source || '.nosuchtld/x'
+                           ELSE 'https://github.io/'
+                       END AS url
+                FROM documents),
+            rules(rule, x, w, e) AS (VALUES
+                ('com', true, false, false), ('org', true, false, false),
+                ('io', true, false, false), ('uk', true, false, false),
+                ('co.uk', true, false, false), ('jp', true, false, false),
+                ('github.io', true, false, false),
+                ('kobe.jp', false, true, false),
+                ('city.kobe.jp', false, false, true)),
+            h AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           lower(regexp_extract(url, '{URL_HOST_RE}', 1)),
+                           '^\\[|\\]$', '', 'g') AS host
+                FROM d),
+            l AS (
+                SELECT doc_id, host, string_split(host, '.') AS labs,
+                       len(string_split(host, '.')) AS n,
+                       (regexp_matches(host,
+                            '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+                        OR contains(host, ':')) AS is_ip
+                FROM h),
+            t AS (
+                SELECT *,
+                       array_to_string(labs[n:n], '.') AS t1,
+                       CASE WHEN n >= 2
+                            THEN array_to_string(labs[n-1:n], '.') END AS t2,
+                       CASE WHEN n >= 3
+                            THEN array_to_string(labs[n-2:n], '.') END AS t3,
+                       CASE WHEN n >= 4
+                            THEN array_to_string(labs[n-3:n], '.') END AS t4,
+                       CASE WHEN n >= 5
+                            THEN array_to_string(labs[n-4:n], '.') END AS t5
+                FROM l),
+            j AS (
+                SELECT t.*,
+                       r1.x AS x1, r1.w AS w1, r1.e AS e1,
+                       r2.x AS x2, r2.w AS w2, r2.e AS e2,
+                       r3.x AS x3, r3.w AS w3, r3.e AS e3,
+                       r4.x AS x4, r4.w AS w4, r4.e AS e4,
+                       r5.x AS x5, r5.w AS w5, r5.e AS e5
+                FROM t
+                LEFT JOIN rules r1 ON t.t1 = r1.rule
+                LEFT JOIN rules r2 ON t.t2 = r2.rule
+                LEFT JOIN rules r3 ON t.t3 = r3.rule
+                LEFT JOIN rules r4 ON t.t4 = r4.rule
+                LEFT JOIN rules r5 ON t.t5 = r5.rule),
+            c AS (
+                SELECT doc_id, host, labs, n, is_ip,
+                       greatest(1,
+                           CASE WHEN coalesce(x2, false) THEN 2 ELSE 1 END,
+                           CASE WHEN coalesce(x3, false) THEN 3 ELSE 1 END,
+                           CASE WHEN coalesce(x4, false) THEN 4 ELSE 1 END,
+                           CASE WHEN coalesce(x5, false) THEN 5 ELSE 1 END,
+                           CASE WHEN coalesce(w1, false) AND n > 1
+                                THEN 2 ELSE 1 END,
+                           CASE WHEN coalesce(w2, false) AND n > 2
+                                THEN 3 ELSE 1 END,
+                           CASE WHEN coalesce(w3, false) AND n > 3
+                                THEN 4 ELSE 1 END,
+                           CASE WHEN coalesce(w4, false) AND n > 4
+                                THEN 5 ELSE 1 END,
+                           CASE WHEN coalesce(w5, false) AND n > 5
+                                THEN 6 ELSE 1 END) AS ps,
+                       coalesce(
+                           CASE WHEN coalesce(e5, false) THEN t5 END,
+                           CASE WHEN coalesce(e4, false) THEN t4 END,
+                           CASE WHEN coalesce(e3, false) THEN t3 END,
+                           CASE WHEN coalesce(e2, false) THEN t2 END,
+                           CASE WHEN coalesce(e1, false) THEN t1 END) AS exc
+                FROM j)
+            SELECT doc_id, host,
+                   CASE WHEN host IS NULL OR is_ip THEN host
+                        WHEN exc IS NOT NULL THEN exc
+                        WHEN n >= ps + 1
+                             THEN array_to_string(labs[n-ps:n], '.')
+                        ELSE NULL END AS domain
+            FROM c
+        """,
+        "bm25": """
+            WITH base AS (
+                SELECT doc_id AS id,
+                       list_filter(string_split_regex(
+                           lower(trim(text)), '\\s+'),
+                           t -> len(t) > 0) AS toks
+                FROM documents
+                WHERE text IS NOT NULL),
+            nz AS (SELECT id, toks, len(toks) AS dl FROM base
+                   WHERE len(toks) > 0),
+            tf AS (
+                SELECT id, dl, term, count(*) AS tf
+                FROM (SELECT id, dl, unnest(toks) AS term FROM nz)
+                WHERE term IN ('table', 'hash', 'window')
+                GROUP BY 1, 2, 3),
+            stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM nz),
+            dft AS (
+                SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY 1),
+            part AS (
+                SELECT id,
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * (1.2 + 1))
+                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                           AS p
+                FROM tf JOIN dft USING (term) CROSS JOIN stats)
+            SELECT id AS doc_id, round(sum(p), 6) AS score,
+                   count(*) AS n_hit
+            FROM part GROUP BY 1
         """,
         "ppl_buckets_rel": r"""
             WITH w AS (

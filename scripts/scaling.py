@@ -79,6 +79,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "queries_low": lo["queries"],
         "queries_high": hi["queries"],
+        "spin_low": [lo.get("spin_before"), lo.get("spin_after")],
+        "spin_high": [hi.get("spin_before"), hi.get("spin_after")],
     }
     print(json.dumps(summary))
 
@@ -93,10 +95,15 @@ host contention varies by the hour, so each round re-runs a pure-Python
 spin calibration and picks the evidence pair on the linear part of that
 day's hardware curve (see the calibration table above this section):
 
-| config | images filtered/sec | flagship sec |
-|---|---|---|
-| local[{n_low}] | {thr_lo} | {lo['queries']['flagship_filter']} |
-| local[{n_high}] | {thr_hi} | {hi['queries']['flagship_filter']} |
+| config | images filtered/sec | flagship sec | spin before/after |
+|---|---|---|---|
+| local[{n_low}] | {thr_lo} | {lo['queries']['flagship_filter']} | {lo.get('spin_before')} / {lo.get('spin_after')} |
+| local[{n_high}] | {thr_hi} | {hi['queries']['flagship_filter']} | {hi.get('spin_before')} / {hi.get('spin_after')} |
+
+The spin columns are bench.py's own contention probes (effective host
+parallelism at that config's core count, taken at bench start/end inside
+the same taskset bound) — the run is self-calibrating, no separate probe
+session needed.
 
 Speedup {n_low}→{n_high} cores ({n_high // n_low}x): **{thr_hi / thr_lo:.2f}x**
 → scaling efficiency **{eff:.3f}** (gate: ≥ 0.8).
