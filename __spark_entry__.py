@@ -1697,6 +1697,16 @@ def q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over events.user_id (X68, operators/skew.py):
+    top-10 heaviest keys with share / skew-vs-mean / suggested salt factor
+    — the data-driven gate for salt_buckets= and presplit_hours= choices.
+    One groupBy + broadcast single-row totals + TakeOrderedAndProject."""
+    from corpusama_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
 BM25_TERMS = ["table", "hash", "window"]
 
 
@@ -1790,6 +1800,21 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"))
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD physical strategy for gap sessionization: Spark's native
+    session_window aggregation (the Structured Streaming state-store shape,
+    here applied in batch — streaming/sessions.py). Same 30-min gap
+    semantics as `sessions`/`sessions_presplit` except index columns (the
+    stream can't know a running per-user index); the oracle aggregates the
+    same DuckDB session CTE by (user, session)."""
+    from corpusama_spark.streaming.sessions import session_windows
+
+    return session_windows(_t(spark, sf_dir, "events")).select(
+        "user_id", "n_events", "started_us", "ended_us",
+        "duration_us", "total_value",
+    )
+
+
 def q_sessions_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-safe split-and-merge sessionization (tagging window over
     (user, 6h bucket), boundary repair over per-bucket summaries) — must
@@ -1842,6 +1867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_presplit": q_sessions_presplit,
         "psl_domains": q_psl_domains,
         "bm25": q_bm25,
+        "skew_report": q_skew_report,
+        "session_windows": q_session_windows,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -3567,6 +3594,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS domain
             FROM c
         """,
+        "skew_report": """
+            WITH c AS (
+                SELECT user_id AS key, count(*) AS n
+                FROM events GROUP BY 1),
+            t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+            SELECT key, n,
+                   round(n / total, 6) AS share,
+                   round(n * n_keys / total, 4) AS skew,
+                   CAST(ceil(n * n_keys / total) AS BIGINT) AS salt_factor
+            FROM c CROSS JOIN t
+            ORDER BY n DESC, key ASC
+            LIMIT 10
+        """,
         "bm25": """
             WITH base AS (
                 SELECT doc_id AS id,
@@ -3784,4 +3824,29 @@ def oracle_sql() -> dict[str, str]:
     # the skew-safe split-and-merge plan must produce EXACTLY the sessions
     # the single-window plan does — same oracle, different physical strategy
     out["sessions_presplit"] = out["sessions"]
+    out["session_windows"] = """
+        WITH g AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS starts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)),
+        s AS (
+            SELECT user_id, ts, value,
+                   sum(starts) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS session_idx
+            FROM g)
+        SELECT user_id, count(*) AS n_events,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS started_us,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS ended_us,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                   AS duration_us,
+               round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, session_idx
+    """
     return out
