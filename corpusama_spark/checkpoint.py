@@ -71,12 +71,17 @@ def run_checkpointed(
     config: FilterConfig = FilterConfig(),
     run_id: str = "run-0",
     fail_after_buckets: int | None = None,
+    snapshot_dir: str | None = None,
 ) -> int:
     """Run the filter job bucket-group-wise with mid-run restartability.
 
     Returns the number of buckets processed this invocation.
     ``fail_after_buckets`` injects a crash for restart tests (the reference's
-    abort/restart contract, reliefweb.py:55-56).
+    abort/restart contract, reliefweb.py:55-56). With ``snapshot_dir`` each
+    verified wave also commits an atomic snapshot (snapshots.py — the
+    Iceberg commit shape), enabling ``read_as_of`` time travel; restart
+    derives done-ness from the manifest exactly as before, the snapshot
+    chain is the externally-visible commit log.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pre_bucketed = "bucket" in captions.columns
@@ -150,6 +155,12 @@ def run_checkpointed(
                 "committed_at",
                 F.date_trunc("second", F.current_timestamp()),
             ).write.mode("append").parquet(manifest_path)
+        if snapshot_dir is not None:
+            from corpusama_spark.snapshots import commit_snapshot
+
+            commit_snapshot(
+                snapshot_dir, run_id, wave, m["n_rows"], m["n_keep"]
+            )
         processed += len(wave)
         if fail_after_buckets is not None and processed >= fail_after_buckets:
             raise RuntimeError(f"injected failure after {processed} buckets")
