@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--nbuckets", type=int, default=64)
     ap.add_argument("--stream", action="store_true", help="incremental drain")
+    ap.add_argument(
+        "--snapshots", default=None,
+        help="snapshot-log dir: one atomic commit per verified wave "
+        "(snapshots.read_as_of gives time travel)",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -63,7 +68,8 @@ def main() -> None:
     else:
         captions = spark.read.parquet(args.input)
         n = run_checkpointed(
-            spark, captions, args.output, args.manifest, config, run_id=run_id
+            spark, captions, args.output, args.manifest, config,
+            run_id=run_id, snapshot_dir=args.snapshots,
         )
         print(f"{run_id}: processed {n} buckets")
     spark.stop()
