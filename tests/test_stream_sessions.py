@@ -123,3 +123,13 @@ def test_skew_report_and_salt_suggestion(spark):
     assert all(r.skew < 1 for r in rep[1:])
     assert suggest_salt(df, "key", target_skew=2.0) == 3
     assert suggest_salt(df.where("key != 'hot'"), "key") == 1
+    # the top-N compiles to per-partition heaps (TakeOrderedAndProject),
+    # not a global sort, and the totals join is a single-row broadcast
+    plan = (
+        skew_report(df, "key", top_n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
