@@ -1101,15 +1101,10 @@ def q_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The simhash near-dup pipeline in its portable-hash configuration
-    (hash_family='md5', an effective 60-bit simhash): token hashes, the
-    sign-sum code, 4x16-bit band keys, flood guard, self-join and the
-    bit_count(xor) hamming verify are all reproduced exactly by the DuckDB
-    oracle — upgrading simhash evidence from rows-only to oracle-checked.
-    Same perturbation tiers as `simhash_groups`, guaranteed regime k=3."""
-    from corpusama_spark.operators.dedup import simhash_near_dups
-
+def _perturbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies (+100000) + first-word-perturbed copies
+    (+200000) of every 10th doc — the shared near-dup test corpus (same
+    derivation in the DuckDB twins)."""
     docs = (
         _t(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
@@ -1121,7 +1116,67 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.regexp_replace("text", r"^\S+", "xqzyv").alias("text"),
     )
-    src = docs.unionByName(copies).unionByName(perturbed)
+    return docs.unionByName(copies).unionByName(perturbed)
+
+
+def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
+    Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
+    index (never |corpus|²) with df-capping at 32 docs/shingle. The
+    DuckDB twin re-derives the identical index/threshold chain."""
+    from corpusama_spark.operators.dedup import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(
+        _perturbed_docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        threshold=0.5,
+        shingle_n=3,
+        max_df=32,
+    )
+
+
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality audit (X70): each exact-Jaccard-≥0.5 truth pair tagged
+    with whether the md5-family MinHash-LSH candidate generation found it
+    — the recall side of the banded-dedup quality story, oracle-checked
+    end to end (truth chain + the full minhash chain + the audit join)."""
+    from corpusama_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    src = _perturbed_docs(spark, sf_dir)
+    truth = exact_jaccard_pairs(
+        src, "text", "doc_id", threshold=0.5, shingle_n=3, max_df=32
+    )
+    cand = minhash_lsh_pairs(
+        src.where("length(trim(text)) > 0"),
+        "text",
+        "doc_id",
+        num_hashes=16,
+        bands=8,
+        max_bucket=1024,
+        hash_family="md5",
+    ).withColumn("_found", F.lit(1))
+    return truth.join(cand, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.col("_found").isNotNull().alias("found"),
+    )
+
+
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash near-dup pipeline in its portable-hash configuration
+    (hash_family='md5', an effective 60-bit simhash): token hashes, the
+    sign-sum code, 4x16-bit band keys, flood guard, self-join and the
+    bit_count(xor) hamming verify are all reproduced exactly by the DuckDB
+    oracle — upgrading simhash evidence from rows-only to oracle-checked.
+    Same perturbation tiers as `simhash_groups`, guaranteed regime k=3."""
+    from corpusama_spark.operators.dedup import simhash_near_dups
+
+    src = _perturbed_docs(spark, sf_dir)
     return simhash_near_dups(
         src,
         "text",
@@ -1869,6 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "skew_report": q_skew_report,
         "session_windows": q_session_windows,
+        "jaccard_exact": q_jaccard_exact,
+        "minhash_recall": q_minhash_recall,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -1959,6 +2016,7 @@ def _sql_minhash_md5(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 1024,
+    src: str = "documents",
 ) -> str:
     """DuckDB twin of minhash_lsh_pairs(hash_family='md5'): identical
     shingling, identical ('0x'||substr(md5,1,8))::BIGINT % p shingle hash,
@@ -1982,7 +2040,7 @@ def _sql_minhash_md5(
     band_idx = ", ".join(str(b) for b in range(bands))
     return f"""
         WITH g AS (
-            SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
+            SELECT doc_id AS id, lower(trim(text)) AS t FROM {src}
             WHERE text IS NOT NULL AND length(trim(text)) > 0),
         tok AS (SELECT id, string_split_regex(t, '\\s+') AS ws FROM g),
         sh AS (SELECT id, list_distinct(list_filter(
@@ -2002,6 +2060,52 @@ def _sql_minhash_md5(
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM b2 a JOIN b2 b
           ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    """
+
+
+_SQL_PERTURBED_SRC = """(
+    SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents
+    WHERE text IS NOT NULL AND doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000, regexp_replace(text, '^\\S+', 'xqzyv')
+    FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0)"""
+
+
+def _sql_jaccard_exact(
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int = 32,
+    src: str = _SQL_PERTURBED_SRC,
+) -> str:
+    """DuckDB twin of exact_jaccard_pairs: identical shingling (the
+    minhash-oracle fragment), inverted index, df-cap, intersection counts
+    and |A∪B| = |A|+|B|−|∩| arithmetic."""
+    k = shingle_n - 1
+    return f"""
+        WITH srcx AS (SELECT * FROM {src} s(doc_id, text)),
+        tok AS (SELECT doc_id AS id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM srcx),
+        sh AS (SELECT id, list_distinct(list_filter(
+                 list_transform(
+                     generate_series(1, greatest(len(ws) - {k}, 1)),
+                     i -> array_to_string(ws[i:i+{k}], ' ')),
+                 s -> len(s) > 0)) AS sg FROM tok),
+        nz AS (SELECT id, sg, len(sg) AS sz FROM sh WHERE len(sg) > 0),
+        inv AS (SELECT id, unnest(sg) AS g FROM nz),
+        okg AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= {max_df}),
+        inv2 AS (SELECT inv.id, inv.g FROM inv JOIN okg USING (g)),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                  FROM inv2 a JOIN inv2 b USING (g)
+                  WHERE a.id < b.id GROUP BY 1, 2),
+        jac AS (SELECT id_a, id_b,
+                       round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+                FROM inter
+                JOIN nz sa ON sa.id = inter.id_a
+                JOIN nz sb ON sb.id = inter.id_b)
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
     """
 
 
@@ -3824,6 +3928,15 @@ def oracle_sql() -> dict[str, str]:
     # the skew-safe split-and-merge plan must produce EXACTLY the sessions
     # the single-window plan does — same oracle, different physical strategy
     out["sessions_presplit"] = out["sessions"]
+    out["jaccard_exact"] = _sql_jaccard_exact()
+    out["minhash_recall"] = f"""
+        WITH truth AS ({_sql_jaccard_exact()}),
+        cand AS ({_sql_minhash_md5(src=_SQL_PERTURBED_SRC + " s(doc_id, text)")})
+        SELECT t.id_a, t.id_b, t.jaccard,
+               c.id_a IS NOT NULL AS found
+        FROM truth t
+        LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    """
     out["session_windows"] = """
         WITH g AS (
             SELECT user_id, event_id, ts, value,

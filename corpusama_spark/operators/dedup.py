@@ -360,6 +360,63 @@ def jaccard_pairs(
     )
 
 
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ALL pairs with word-shingle Jaccard ≥ threshold, EXACTLY, without an
+    all-pairs product: inverted shingle index → co-occurring id pairs →
+    intersection counts → |A∪B| = |A|+|B|−|∩|. The ground-truth side of
+    LSH quality audits, and the exact tier of near-dup dedup when the
+    corpus slice is small enough to afford it.
+
+    Scale shape: the candidate set is bounded by pairs SHARING a shingle
+    (the inverted-index join), never |corpus|². The quadratic hazard is
+    hot shingles; ``max_df`` drops shingles present in more than that many
+    docs — stop-shingles blow up the index while carrying no dedup signal
+    (standard df-capping). With a cap, a pair is found iff it shares at
+    least one sub-cap shingle; at dedup-grade thresholds near-dup pairs
+    always do. None = strictly exact (audit-scale inputs only).
+
+    Shingle arrays are distinct per doc, so count(*) over the index join
+    IS the intersection size. Output: (id_a, id_b, jaccard) rounded to 6.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        ok = inv.groupBy("g").count().where(F.col("count") <= max_df)
+        inv = inv.join(ok.select("g"), "g")
+    a = inv.select(F.col("id").alias("id_a"), "g")
+    b = inv.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_bits(text_col: str, bits: int = 64) -> F.Column:
     """SimHash over whitespace tokens as a '0'/'1' string (bit 0 first).
 

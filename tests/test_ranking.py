@@ -75,3 +75,54 @@ def test_bm25_plan_shape(spark):
 
     with pytest.raises(ValueError):
         bm25_scores(df, [])
+
+
+def _jac_expected(corpus, n=2, thr=0.5):
+    def sh(t):
+        ws = t.lower().strip().split()
+        out = set()
+        for i in range(max(len(ws) - n + 1, 1)):
+            s = " ".join(ws[i:i + n])
+            if s:
+                out.add(s)
+        return out
+
+    sets = {d: sh(t) for d, t in corpus.items() if t and sh(t)}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = round(inter / len(sets[a] | sets[b]), 6)
+                if j >= thr:
+                    out[(a, b)] = j
+    return out
+
+
+def test_exact_jaccard_pairs_matches_python(spark):
+    from corpusama_spark.operators.dedup import exact_jaccard_pairs
+
+    corpus = {
+        1: "the quick brown fox jumps over the dog",
+        2: "the quick brown fox jumps over the cat",   # near-dup of 1
+        3: "completely different text about spark engines",
+        4: "completely different text about spark engines",  # exact dup of 3
+        5: "unrelated words entirely here",
+        6: "   ",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in exact_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.5, shingle_n=2
+        ).collect()
+    }
+    assert got == _jac_expected(corpus, n=2, thr=0.5)
+    assert got[(3, 4)] == 1.0   # exact dup
+    assert (1, 2) in got        # near-dup survives the threshold
+    # df-capping: cap of 1 removes every shared shingle -> no pairs
+    none = exact_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.0, shingle_n=2, max_df=1
+    ).collect()
+    assert none == []
