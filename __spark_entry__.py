@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 import sys
+
+import pandas as pd
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1752,6 +1754,67 @@ def q_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only audio gate (X71): deterministic (rate, n_samples)
+    metadata derived from doc_id covers every reason tier (missing meta,
+    unsupported rate, empty, too short, too long, keep) — pure JVM
+    expressions, bytes never touched, DuckDB twin replicates the gate."""
+    from corpusama_spark.functions.audioops import audio_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m6 = F.pmod(F.col("doc_id"), F.lit(6))
+    rate = (
+        F.when(m6 == 0, 8000)
+        .when(m6 == 1, 16000)
+        .when(m6 == 2, 22050)
+        .when(m6 == 3, 44100)
+        .when(m6 == 4, 11025)  # unsupported
+        .otherwise(F.lit(None).cast("int"))
+    )
+    m7 = F.pmod(F.col("doc_id"), F.lit(7))
+    n = (
+        F.when(m7 == 0, F.lit(0))  # empty
+        .when(m7 == 1, F.lit(100))  # too short at any allowed rate
+        .when(m7 == 2, rate * 700)  # too long (>600 s)
+        .otherwise(rate * (F.pmod(F.col("doc_id"), F.lit(50)) + 1))
+    ).cast("long")
+    d = docs.withColumn("sample_rate", rate).withColumn("n_samples", n)
+    # the NULL-metadata tier stays NULL for the GATE; the emitted columns
+    # coalesce to -1 because DuckDB ships nullable ints as NaN floats and
+    # the driver's compare is dtype-sensitive
+    return audio_rules(d).select(
+        "doc_id",
+        F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+        F.coalesce("n_samples", F.lit(-1)).cast("long").alias("n_samples"),
+        "audio_drop_reason",
+        "audio_keep",
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode-verify + quality features (X71, rows-only: numpy
+    decode UDF): deterministic QAUD tones synthesized per doc_id, a
+    corrupt tier every 10th row — duration/RMS/silence/clipping computed
+    in the scan stage, bytes never shuffle."""
+    from corpusama_spark.functions.audioops import audio_features
+    from corpusama_spark.io.audiocodec import synth_audio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            b = synth_audio(int(i) % 101, sample_rate=8000, seconds=0.05)
+            out.append(b[:9] if int(i) % 10 == 0 else b)
+        return pd.Series(out, dtype=object)
+
+    d = docs.withColumn("audio", _gen(F.col("doc_id")))
+    return d.select("doc_id", audio_features(F.col("audio")).alias("f")).select(
+        "doc_id", "f.*"
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostics over events.user_id (X68, operators/skew.py):
     top-10 heaviest keys with share / skew-vs-mean / suggested salt factor
@@ -1926,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "jaccard_exact": q_jaccard_exact,
         "minhash_recall": q_minhash_recall,
+        "audio_rules": q_audio_rules,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -1995,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "image_near_dups": q_image_near_dups,
         "ppl_buckets": q_ppl_buckets,
+        "audio_features": q_audio_features,
     }
 
 
@@ -3929,6 +3994,44 @@ def oracle_sql() -> dict[str, str]:
     # the single-window plan does — same oracle, different physical strategy
     out["sessions_presplit"] = out["sessions"]
     out["jaccard_exact"] = _sql_jaccard_exact()
+    out["audio_rules"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE doc_id % 6
+                       WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                       WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                       WHEN 4 THEN 11025 ELSE NULL END AS sample_rate
+            FROM documents),
+        n AS (
+            SELECT doc_id, sample_rate,
+                   CAST(CASE doc_id % 7
+                       WHEN 0 THEN 0
+                       WHEN 1 THEN 100
+                       WHEN 2 THEN sample_rate * 700
+                       ELSE sample_rate * ((doc_id % 50) + 1)
+                   END AS BIGINT) AS n_samples
+            FROM d),
+        r AS (
+            SELECT doc_id, sample_rate, n_samples,
+                   CASE WHEN sample_rate IS NULL OR n_samples IS NULL
+                            THEN 'audio_meta_missing'
+                        WHEN sample_rate NOT IN
+                             (8000, 16000, 22050, 44100, 48000)
+                            THEN 'audio_rate_unsupported'
+                        WHEN n_samples <= 0 THEN 'audio_empty'
+                        WHEN n_samples / sample_rate < 0.1
+                            THEN 'audio_too_short'
+                        WHEN n_samples / sample_rate > 600.0
+                            THEN 'audio_too_long'
+                        ELSE NULL END AS audio_drop_reason
+            FROM n)
+        SELECT doc_id,
+               coalesce(sample_rate, -1) AS sample_rate,
+               coalesce(n_samples, -1) AS n_samples,
+               audio_drop_reason,
+               audio_drop_reason IS NULL AS audio_keep
+        FROM r
+    """
     out["minhash_recall"] = f"""
         WITH truth AS ({_sql_jaccard_exact()}),
         cand AS ({_sql_minhash_md5(src=_SQL_PERTURBED_SRC + " s(doc_id, text)")})
