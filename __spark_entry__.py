@@ -1888,6 +1888,20 @@ def q_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "a.*")
 
 
+def q_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen
+    & Goodman 1999 §3) — the smoothing KenLM ships as its default, i.e.
+    the literal "KenLM-style perplexity" the north_star names — trained on
+    the corpus and self-scored in ONE lazy plan. Every KN statistic
+    (continuation counts N1+, type total, counts-of-counts discount
+    D = n1/(n1+2·n2)) derives from the single bigram-count table, so
+    training explodes the corpus exactly once; scoring is broadcast
+    joins. Fully relational → DuckDB-value-exact end to end."""
+    from corpusama_spark.operators.lm import corpus_kneser_ney
+
+    return corpus_kneser_ney(_t(spark, sf_dir, "documents"))
+
+
 def q_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff trigram scoring (Brants et al. 2007 — the canonical
     distributed n-gram LM): trigram/bigram/unigram count tables trained on
@@ -1990,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_exact": q_jaccard_exact,
         "minhash_recall": q_minhash_recall,
         "audio_rules": q_audio_rules,
+        "kn_ppl": q_kn_ppl,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -3890,6 +3905,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS scrubbed,
                    n_email, n_url, n_ip, n_phone, n_id, n_tox
             FROM s5
+        """,
+        "kn_ppl": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> len(t) > 0) AS ws
+                FROM documents),
+            bg AS (
+                SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, greatest(len(ws) - 1, 0)),
+                               i -> [ws[i], ws[i + 1]])) AS pair
+                    FROM w)),
+            bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+            cx AS (SELECT w1, sum(c) AS ctx, count(*) AS fwd
+                   FROM bc GROUP BY 1),
+            co AS (SELECT w2, count(*) AS rev FROM bc GROUP BY 1),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS t,
+                          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                               AS DOUBLE) AS n1,
+                          CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                               AS DOUBLE) AS n2
+                   FROM bc),
+            dd AS (SELECT CASE WHEN n1 + 2.0 * n2 > 0
+                               THEN n1 / (n1 + 2.0 * n2)
+                               ELSE 0.5 END AS d
+                   FROM st),
+            s AS (
+                SELECT b.doc_id,
+                       ln((greatest(CAST(bc.c AS DOUBLE) - dd.d, 0.0)
+                           + dd.d * CAST(cx.fwd AS DOUBLE)
+                                  * (CAST(co.rev AS DOUBLE) / st.t))
+                          / CAST(cx.ctx AS DOUBLE)) AS lp
+                FROM bg b
+                JOIN bc USING (w1, w2)
+                JOIN cx USING (w1)
+                JOIN co USING (w2)
+                CROSS JOIN st
+                CROSS JOIN dd)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(exp(-sum(lp) / count(*)), 6) AS kn_ppl
+            FROM s GROUP BY doc_id
         """,
         "stupid_backoff": r"""
             WITH w AS (

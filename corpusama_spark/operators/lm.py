@@ -307,3 +307,129 @@ def corpus_stupid_backoff(
         alpha=alpha, id_col=id_col, text_col=text_col,
         broadcast_model=broadcast_model,
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999 §3 —
+# the smoothing KenLM actually ships as its default, which is what the
+# north_star's "KenLM-style perplexity scoring" names). Bigram form:
+#
+#   P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1,.)
+#            + D * N1+(w1,.) / c(w1,.) * Pcont(w2)
+#   Pcont(w2) = N1+(.,w2) / N1+(.,.)
+#
+# with the discount estimated from counts-of-counts the way KenLM's
+# lmplz does (Chen & Goodman eq. 26): D = n1 / (n1 + 2 * n2), where n_k
+# is the number of bigram TYPES seen exactly k times.
+#
+# The key property making this cheap at 10^12 rows: every statistic —
+# continuation counts N1+, the type total, the counts-of-counts n1/n2 —
+# is derivable from the ONE bigram-count table (each of its rows IS a
+# distinct type), so training explodes the corpus exactly once and then
+# re-aggregates a vocabulary²-bounded table three ways. Scoring is the
+# same broadcast-join shape as the add-k scorer above.
+# ---------------------------------------------------------------------------
+
+
+def train_kneser_ney(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(bigram_counts, ctx, cont, stats) for interpolated-KN scoring.
+
+    bigram_counts: (w1, w2, c); ctx: (w1, ctx, fwd) with ctx = c(w1,.)
+    and fwd = N1+(w1,.) (distinct continuations — count(*) over the type
+    table); cont: (w2, rev) with rev = N1+(.,w2); stats: ONE row
+    (t, n1, n2) = total bigram types + counts-of-counts, composed lazily
+    (no driver collect). All four derive from one corpus explode."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = bigram_counts.groupBy("w1").agg(
+        F.sum("c").alias("ctx"), F.count("*").alias("fwd")
+    )
+    cont = bigram_counts.groupBy("w2").agg(F.count("*").alias("rev"))
+    stats = bigram_counts.agg(
+        F.count("*").cast("double").alias("t"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+    )
+    return bigram_counts, ctx, cont, stats
+
+
+def score_kneser_ney(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    stats: DataFrame,
+    discount: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(id, n_bigrams, kn_ppl): per-document interpolated-KN perplexity
+    exp(-mean ln P). ``discount=None`` (default) estimates D from the
+    counts-of-counts in ``stats`` (KenLM's lmplz behavior); pass a float
+    to pin it. Documents with <2 tokens have no bigram → no row.
+
+    Held-out semantics: an unseen context (c(w1,.)=0) backs off entirely
+    to the continuation distribution Pcont(w2); a word unseen even as a
+    continuation gets the 1/t floor so ln() stays finite. The self-score
+    composition (corpus_kneser_ney) never leaves the first branch."""
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    bg = _doc_bigrams(docs, id_col, text_col)
+    j = (
+        bg.join(hint(bigram_counts), ["w1", "w2"], "left")
+        .join(hint(ctx), ["w1"], "left")
+        .join(hint(cont), ["w2"], "left")
+        .crossJoin(hint(stats))
+    )
+    if discount is None:
+        d = F.when(
+            F.col("n1") + F.lit(2.0) * F.col("n2") > 0,
+            F.col("n1") / (F.col("n1") + F.lit(2.0) * F.col("n2")),
+        ).otherwise(F.lit(0.5))
+    else:
+        d = F.lit(float(discount))
+    c = F.coalesce(F.col("c"), F.lit(0)).cast("double")
+    ctxv = F.coalesce(F.col("ctx"), F.lit(0)).cast("double")
+    fwd = F.coalesce(F.col("fwd"), F.lit(0)).cast("double")
+    rev = F.coalesce(F.col("rev"), F.lit(0)).cast("double")
+    pcont = rev / F.col("t")
+    p = F.when(
+        ctxv > 0,
+        (F.greatest(c - d, F.lit(0.0)) + d * fwd * pcont) / ctxv,
+    ).otherwise(F.when(pcont > 0, pcont).otherwise(F.lit(1.0) / F.col("t")))
+    return (
+        j.groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.exp(-F.sum(F.log(p)) / F.count("*")), 6).alias(
+                "kn_ppl"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "kn_ppl")
+    )
+
+
+def corpus_kneser_ney(
+    docs: DataFrame,
+    discount: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Train interpolated KN on the corpus, score the corpus — one lazy
+    plan (the CCNet self-score composition, now under the smoothing the
+    north_star actually names)."""
+    bigram_counts, ctx, cont, stats = train_kneser_ney(
+        docs, id_col, text_col
+    )
+    return score_kneser_ney(
+        docs, bigram_counts, ctx, cont, stats,
+        discount=discount, id_col=id_col, text_col=text_col,
+        broadcast_model=broadcast_model,
+    )

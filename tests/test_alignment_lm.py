@@ -301,3 +301,107 @@ def test_stupid_backoff_held_out_exercises_backoff_tiers(spark):
     assert got == exp
     # tiers strictly ordered: exact > bigram backoff > unigram backoff
     assert got[9][1] > got[10][1] > got[11][1]
+
+
+def _kn_expected(
+    train_corpus: dict[int, str],
+    test_corpus: dict[int, str],
+    discount: float | None = None,
+) -> dict[int, tuple[int, float]]:
+    """Python recomputation of interpolated-KN perplexity, mirroring
+    score_kneser_ney's arithmetic (incl. held-out OOV branches)."""
+    bc: dict[tuple[str, str], int] = {}
+    for t in train_corpus.values():
+        ws = t.lower().split()
+        for g in zip(ws, ws[1:]):
+            bc[g] = bc.get(g, 0) + 1
+    ctx: dict[str, int] = {}
+    fwd: dict[str, int] = {}
+    rev: dict[str, int] = {}
+    for (w1, w2), c in bc.items():
+        ctx[w1] = ctx.get(w1, 0) + c
+        fwd[w1] = fwd.get(w1, 0) + 1
+        rev[w2] = rev.get(w2, 0) + 1
+    t_types = float(len(bc))
+    n1 = float(sum(1 for c in bc.values() if c == 1))
+    n2 = float(sum(1 for c in bc.values() if c == 2))
+    if discount is None:
+        d = n1 / (n1 + 2.0 * n2) if n1 + 2.0 * n2 > 0 else 0.5
+    else:
+        d = discount
+    out = {}
+    for did, t in test_corpus.items():
+        ws = t.lower().split()
+        grams = list(zip(ws, ws[1:]))
+        if not grams:
+            continue
+        lp = 0.0
+        for w1, w2 in grams:
+            cv = float(bc.get((w1, w2), 0))
+            cx = float(ctx.get(w1, 0))
+            pcont = rev.get(w2, 0) / t_types
+            if cx > 0:
+                p = (max(cv - d, 0.0) + d * fwd[w1] * pcont) / cx
+            elif pcont > 0:
+                p = pcont
+            else:
+                p = 1.0 / t_types
+            lp += math.log(p)
+        out[did] = (len(grams), round(math.exp(-lp / len(grams)), 6))
+    return out
+
+
+def test_kneser_ney_self_score_matches_python(spark):
+    """Self-score parity (the oracled composition): estimated discount
+    D = n1/(n1+2*n2), every bigram seen -> only the interpolated branch."""
+    from corpusama_spark.operators.lm import corpus_kneser_ney
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat sat quietly",
+        3: "a dog sat on a rug",
+        4: "the dog ate the mat",
+        5: "one",                      # no bigram -> no row
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.kn_ppl)
+        for r in corpus_kneser_ney(docs).collect()
+    }
+    assert got == _kn_expected(corpus, corpus)
+    assert 5 not in got
+    # frequent contexts ("the cat") make doc 1/2 more predictable than 3
+    assert got[1][1] < got[3][1]
+
+
+def test_kneser_ney_held_out_branches_and_fixed_discount(spark):
+    """Held-out scoring exercises the unseen-context (pure continuation)
+    and fully-OOV (1/t floor) branches; fixed discount pins D."""
+    from corpusama_spark.operators.lm import (
+        score_kneser_ney,
+        train_kneser_ney,
+    )
+
+    train_corpus = {
+        1: "the cat sat on the mat",
+        2: "the cat ran off",
+    }
+    test_corpus = {
+        9: "the cat sat",    # both bigrams seen: interpolated branch
+        10: "zz cat ran",    # "zz cat": unseen context -> Pcont(cat)
+        11: "zz qq",         # qq never a continuation -> 1/t floor
+    }
+    train = spark.createDataFrame(
+        list(train_corpus.items()), "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        list(test_corpus.items()), "doc_id long, text string"
+    )
+    model = train_kneser_ney(train)
+    got = {
+        r.doc_id: (r.n_bigrams, r.kn_ppl)
+        for r in score_kneser_ney(test, *model, discount=0.75).collect()
+    }
+    assert got == _kn_expected(train_corpus, test_corpus, discount=0.75)
+    # the OOV doc must be strictly less predictable than the seen one
+    assert got[11][1] > got[9][1]
