@@ -1888,6 +1888,53 @@ def q_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "a.*")
 
 
+def q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) attribution join — the temporal operator
+    Spark lacks natively: every purchase matched to the SAME USER's most
+    recent click at-or-before it (LEFT semantics; unmatched → NULL).
+    Implementation is the one-shuffle union-scan sweep (operators/asof.py)
+    — O(n_l + n_r) through ONE key exchange, no pair blowup; the oracle
+    is DuckDB's NATIVE ``ASOF LEFT JOIN``, i.e. a fully independent
+    implementation of the semantics."""
+    from corpusama_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    j = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        right_payload=["click_id", "click_value"],
+    )
+    # unmatched rows surface as matched=false with -1 sentinels rather
+    # than NULLs: the hash compare collects Spark None vs pandas NaN
+    # differently for nullable bigints, so NULL-bearing numeric outputs
+    # are not hash-stable across the two runtimes
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_us"),
+        F.col("value").alias("purchase_value"),
+        F.col("r_click_id").isNotNull().alias("matched"),
+        F.coalesce(F.col("r_click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.unix_micros(F.col("r_ts").cast("timestamp")), F.lit(-1)
+        ).alias("click_us"),
+        F.coalesce(F.col("r_click_value"), F.lit(-1.0)).alias("click_value"),
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("r_ts").cast("timestamp")),
+            F.lit(-1),
+        ).alias("lag_us"),
+    )
+
+
 def q_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen
     & Goodman 1999 §3) — the smoothing KenLM ships as its default, i.e.
@@ -2005,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": q_minhash_recall,
         "audio_rules": q_audio_rules,
         "kn_ppl": q_kn_ppl,
+        "asof_attrib": q_asof_attrib,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -3905,6 +3953,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS scrubbed,
                    n_email, n_url, n_ip, n_phone, n_id, n_tox
             FROM s5
+        """,
+        "asof_attrib": r"""
+            WITH p AS (SELECT event_id, ts, user_id, value
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, ts, user_id, value
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id AS purchase_id,
+                   p.user_id,
+                   epoch_us(p.ts) AS purchase_us,
+                   p.value AS purchase_value,
+                   c.event_id IS NOT NULL AS matched,
+                   coalesce(c.event_id, -1) AS click_id,
+                   coalesce(epoch_us(c.ts), -1) AS click_us,
+                   coalesce(c.value, -1.0) AS click_value,
+                   coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS lag_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "kn_ppl": r"""
             WITH w AS (
