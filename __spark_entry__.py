@@ -1935,6 +1935,29 @@ def q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: for every error event, count + value-sum of
+    ALL clicks (any user) within ±60 s. No equi-key exists, so Catalyst
+    would nested-loop it; operators/rangejoin.py quantizes time into
+    span-wide buckets, replicates each left row into the ≤2 buckets its
+    window touches, and equi-joins — linear shuffle volume, pairs meet
+    in exactly one bucket (no dedup pass). Zero-match errors keep their
+    row (n=0). Oracle: DuckDB's native range-join planner on BETWEEN."""
+    from corpusama_spark.operators.rangejoin import range_count
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("cts"), "value"
+    )
+    return range_count(
+        errors, clicks, left_id="error_id", left_ts="ts", right_ts="cts",
+        lower_us=-60_000_000, upper_us=60_000_000, value_col="value",
+    )
+
+
 def q_kn_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; Chen
     & Goodman 1999 §3) — the smoothing KenLM ships as its default, i.e.
@@ -2053,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_rules": q_audio_rules,
         "kn_ppl": q_kn_ppl,
         "asof_attrib": q_asof_attrib,
+        "range_count": q_range_count,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -3953,6 +3977,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS scrubbed,
                    n_email, n_url, n_ip, n_phone, n_id, n_tox
             FROM s5
+        """,
+        "range_count": r"""
+            WITH e AS (SELECT event_id AS error_id, ts
+                       FROM events WHERE event_type = 'error'),
+                 c AS (SELECT ts AS cts, value
+                       FROM events WHERE event_type = 'click')
+            SELECT e.error_id,
+                   CAST(count(c.cts) AS BIGINT) AS n_matches,
+                   round(coalesce(sum(c.value), 0.0), 6) AS value_sum
+            FROM e LEFT JOIN c
+              ON c.cts >= e.ts - INTERVAL 60 SECOND
+             AND c.cts <= e.ts + INTERVAL 60 SECOND
+            GROUP BY e.error_id
         """,
         "asof_attrib": r"""
             WITH p AS (SELECT event_id, ts, user_id, value
