@@ -1935,6 +1935,62 @@ def q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) — line-level retention
+    (terminal punctuation, >=5 words, no 'javascript') + page gates
+    (lorem ipsum, brace, bad words, >=3 sentences on the KEPT lines) —
+    run over multi-line pages DERIVED deterministically from the corpus
+    (10 docs -> 1 page; doc_id-keyed punctuation + telltale injections),
+    since the synthetic documents are single-line and punctuation-free.
+    Same injected-variation pattern as ivf_recall. All rules are
+    scan-stage Catalyst expressions (functions/c4.py)."""
+    from corpusama_spark.functions.c4 import c4_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    nw = (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(14))).cast("int")
+    mod = lambda m, s: F.when(  # noqa: E731
+        F.pmod(F.col("doc_id"), F.lit(m)) == 0, F.lit(s)
+    ).otherwise(F.lit(""))
+    line = F.concat(
+        F.array_join(F.slice(words, 1, nw), " "),
+        mod(17, " javascript required"),
+        mod(29, " lorem ipsum"),
+        mod(23, " {"),
+        F.when(F.pmod(F.col("doc_id"), 3) == 1, F.lit(".")).otherwise(
+            F.lit("")
+        ),
+        mod(31, " badword1"),
+    )
+    lined = docs.select(
+        (F.col("doc_id") / 10).cast("long").alias("page_id"),
+        F.col("doc_id"),
+        line.alias("line"),
+    )
+    pages = lined.groupBy("page_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("page_text")
+    )
+    out = c4_filter(pages, text_col="page_text")
+    return out.select(
+        "page_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "cleaned",
+        "drop_reason",
+        "keep",
+    )
+
+
 def q_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join: for every error event, count + value-sum of
     ALL clicks (any user) within ±60 s. No equi-key exists, so Catalyst
@@ -2077,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_ppl": q_kn_ppl,
         "asof_attrib": q_asof_attrib,
         "range_count": q_range_count,
+        "c4_rules": q_c4_rules,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -3977,6 +4034,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS scrubbed,
                    n_email, n_url, n_ip, n_phone, n_id, n_tox
             FROM s5
+        """,
+        "c4_rules": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> len(t) > 0) AS ws
+                FROM documents),
+            l AS (
+                SELECT doc_id // 10 AS page_id, doc_id,
+                       array_to_string(ws[1 : CAST(2 + doc_id % 14 AS INT)], ' ')
+                       || CASE WHEN doc_id % 17 = 0
+                               THEN ' javascript required' ELSE '' END
+                       || CASE WHEN doc_id % 29 = 0
+                               THEN ' lorem ipsum' ELSE '' END
+                       || CASE WHEN doc_id % 23 = 0 THEN ' {' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 1 THEN '.' ELSE '' END
+                       || CASE WHEN doc_id % 31 = 0
+                               THEN ' badword1' ELSE '' END
+                       AS line
+                FROM w),
+            p AS (SELECT page_id,
+                         string_agg(line, chr(10) ORDER BY doc_id)
+                             AS page_text
+                  FROM l GROUP BY 1),
+            c AS (
+                SELECT page_id, page_text,
+                       string_split(page_text, chr(10)) AS lines,
+                       list_filter(string_split(page_text, chr(10)),
+                           x -> regexp_matches(rtrim(x), '[.!?"]$')
+                                AND len(list_filter(
+                                        string_split_regex(trim(x), '\s+'),
+                                        t -> len(t) > 0)) >= 5
+                                AND NOT contains(lower(x), 'javascript'))
+                           AS kept
+                FROM p),
+            r AS (
+                SELECT page_id, page_text,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                       array_to_string(kept, chr(10)) AS cleaned,
+                       CAST(len(regexp_extract_all(
+                           array_to_string(kept, chr(10)), '[.!?]'))
+                           AS BIGINT) AS n_sentences
+                FROM c),
+            v AS (
+                SELECT page_id, n_lines, n_lines_kept, n_sentences, cleaned,
+                       CASE WHEN contains(lower(page_text), 'lorem ipsum')
+                                THEN 'lorem_ipsum'
+                            WHEN contains(page_text, '{') THEN 'brace'
+                            WHEN list_has_any(
+                                     list_filter(string_split_regex(
+                                         lower(page_text), '\s+'),
+                                         t -> len(t) > 0),
+                                     ['badword1', 'badword2'])
+                                THEN 'bad_word'
+                            WHEN n_sentences < 3 THEN 'too_few_sentences'
+                            ELSE 'kept' END AS drop_reason
+                FROM r)
+            SELECT page_id, n_lines, n_lines_kept, n_sentences, cleaned,
+                   drop_reason, drop_reason = 'kept' AS keep
+            FROM v
         """,
         "range_count": r"""
             WITH e AS (SELECT event_id AS error_id, ts
