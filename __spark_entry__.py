@@ -1935,6 +1935,42 @@ def q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_checksum_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-VERIFIED PII scrub (functions/checksum.py): regex
+    candidates gated by Luhn (credit cards) / ISO 7064 mod-97 (IBANs),
+    fold-replace of verified candidates only — the high-precision DLP
+    upgrade over the regex-only chain. Candidates injected
+    deterministically (doc_id mod 6 → 2 valid cards, 1 Luhn-invalid, 2
+    valid IBANs incl. one whose digit tail is a CC candidate, 1
+    mod-97-invalid), so both acceptance AND rejection paths fire. Pure
+    JVM higher-order functions; oracle re-implements both checksums in
+    DuckDB lambdas (1-based index mirrored)."""
+    from corpusama_spark.functions.checksum import scrub_checksum
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = [
+        "4111111111111111",
+        "4111 1111 1111 1111",
+        "4111111111111112",
+        "DE89370400440532013000",
+        "GB82WEST12345698765432",
+        "DE89370400440532013001",
+    ]
+    tok = F.element_at(
+        F.array(*[F.lit(t) for t in tokens]),
+        (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int"),
+    )
+    cap = F.concat(
+        F.lit("ref "), tok, F.lit(" :: "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return (
+        docs.select("doc_id", cap.alias("caption"))
+        .select("doc_id", scrub_checksum("caption").alias("s"))
+        .select("doc_id", "s.scrubbed", "s.n_iban", "s.n_cc")
+    )
+
+
 def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (Raffel et al. 2020 §2.2) — line-level retention
     (terminal punctuation, >=5 words, no 'javascript') + page gates
@@ -2134,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attrib": q_asof_attrib,
         "range_count": q_range_count,
         "c4_rules": q_c4_rules,
+        "checksum_scrub": q_checksum_scrub,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -4034,6 +4071,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS scrubbed,
                    n_email, n_url, n_ip, n_phone, n_id, n_tox
             FROM s5
+        """,
+        "checksum_scrub": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       'ref ' || list_extract(
+                           ['4111111111111111',
+                            '4111 1111 1111 1111',
+                            '4111111111111112',
+                            'DE89370400440532013000',
+                            'GB82WEST12345698765432',
+                            'DE89370400440532013001'],
+                           CAST(doc_id % 6 + 1 AS INT))
+                       || ' :: ' || coalesce(text, '') AS caption
+                FROM documents),
+            ib AS (
+                SELECT doc_id, caption,
+                    list_filter(regexp_extract_all(caption,
+                        '\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b'),
+                      c -> list_reduce(
+                             list_prepend('0', regexp_extract_all(
+                                 substr(c, 5) || substr(c, 1, 4),
+                                 '[A-Z0-9]')),
+                             (a, ch) -> CAST(CASE WHEN ch >= 'A'
+                                  THEN (CAST(a AS INT) * 100
+                                        + ascii(ch) - 55) % 97
+                                  ELSE (CAST(a AS INT) * 10
+                                        + CAST(ch AS INT)) % 97 END
+                                  AS VARCHAR)) = '1') AS iban_ok
+                FROM base),
+            s1 AS (
+                SELECT doc_id, iban_ok,
+                       list_reduce(list_prepend(caption, iban_ok),
+                           (a, x) -> replace(a, x, '<IBAN>')) AS after_iban
+                FROM ib),
+            cc AS (
+                SELECT doc_id, iban_ok, after_iban,
+                    list_filter(regexp_extract_all(after_iban,
+                        '\b(?:\d[ -]?){12,18}\d\b'),
+                      c -> len(regexp_replace(c, '[ -]', '', 'g'))
+                               BETWEEN 13 AND 19
+                           AND list_sum(list_transform(
+                                 list_reverse(regexp_extract_all(
+                                     regexp_replace(c, '[ -]', '', 'g'),
+                                     '[0-9]')),
+                                 (d, i) -> CASE WHEN i % 2 = 0
+                                      THEN CASE WHEN CAST(d AS INT) < 5
+                                           THEN CAST(d AS INT) * 2
+                                           ELSE CAST(d AS INT) * 2 - 9 END
+                                      ELSE CAST(d AS INT) END)) % 10 = 0)
+                        AS cc_ok
+                FROM s1)
+            SELECT doc_id,
+                   list_reduce(list_prepend(after_iban, cc_ok),
+                       (a, x) -> replace(a, x, '<CC>')) AS scrubbed,
+                   CAST(len(iban_ok) AS BIGINT) AS n_iban,
+                   CAST(len(cc_ok) AS BIGINT) AS n_cc
+            FROM cc
         """,
         "c4_rules": r"""
             WITH w AS (
