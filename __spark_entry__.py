@@ -1935,6 +1935,20 @@ def q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (type-1 inverse CDF) by selection at
+    rank ceil(q*n): ONE window exchange computes rank + group count,
+    each row tests scan-stage which requested q its rank hits. The
+    exact counterpart to percentile_approx for contract gates that must
+    reproduce bit-for-bit. Oracle: DuckDB's native quantile_disc."""
+    from corpusama_spark.operators.quantiles import group_quantiles_exact
+
+    ev = _t(spark, sf_dir, "events")
+    return group_quantiles_exact(
+        ev, key="event_type", val="value", qs=[0.25, 0.5, 0.75, 0.99]
+    )
+
+
 def q_checksum_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-VERIFIED PII scrub (functions/checksum.py): regex
     candidates gated by Luhn (credit cards) / ISO 7064 mod-97 (IBANs),
@@ -2171,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_count": q_range_count,
         "c4_rules": q_c4_rules,
         "checksum_scrub": q_checksum_scrub,
+        "group_quantiles": q_group_quantiles,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -4071,6 +4086,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS scrubbed,
                    n_email, n_url, n_ip, n_phone, n_id, n_tox
             FROM s5
+        """,
+        "group_quantiles": r"""
+            WITH g AS (
+                SELECT event_type,
+                       quantile_disc(value, [0.25, 0.5, 0.75, 0.99]) AS vs
+                FROM events WHERE value IS NOT NULL GROUP BY event_type)
+            SELECT event_type,
+                   list_extract([0.25, 0.5, 0.75, 0.99], i) AS q,
+                   list_extract(vs, i) AS value
+            FROM g, (VALUES (1), (2), (3), (4)) AS t(i)
         """,
         "checksum_scrub": r"""
             WITH base AS (

@@ -1,0 +1,68 @@
+"""Exact distributed per-group quantiles (type-1 / inverse-CDF).
+
+Spark ships approximate quantiles (`percentile_approx`, the
+Greenwald-Khanna sketch) — right for dashboards, wrong for contract
+gates (CCNet-style perplexity tercile cuts, token-budget planning)
+where two runs must agree bit-for-bit. The exact lane is selection by
+rank: the q-quantile of a group of n values is the value of rank
+``max(1, ceil(q*n))`` in sort order (the inverse empirical CDF —
+"type 1" in the Hyndman-Fan taxonomy, what DuckDB's ``quantile_disc``
+and Hive's ``percentile`` compute for discrete inputs).
+
+Implementation: ONE window exchange computes both ``row_number`` (rank
+in value order) and the partition count; each row then tests, scan-
+stage, which requested quantiles its rank hits (an array filter over
+the q list) and explodes the hits. No join, no second pass, no
+collect; the only shuffle is the per-key sort any exact method needs.
+
+Scale shape (10^12 rows):
+- one hash exchange + per-partition sort — the irreducible cost of
+  exact selection; AQE skew-split does not apply to windows, so a
+  pathologically hot group serializes one task (same caveat and same
+  remedies as sessionization: pre-filter, or run per-key two-level
+  pre-aggregation ``groupBy(key, val).count()`` first when the value
+  domain is small — that variant cuts the sorted volume to distinct
+  values and is exactly equivalent);
+- emission is O(|qs|) rows per group, a projection.
+
+Tie semantics: equal values fill adjacent ranks, so the value AT a
+rank is deterministic regardless of tie order. Float caveat: rank
+targets are computed as ``ceil(q * n)`` in double arithmetic — prefer
+dyadic q (0.25, 0.5, 0.75) or q·n products away from integers so the
+float ceil agrees with exact rational arithmetic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_quantiles_exact(
+    df: DataFrame,
+    key: str,
+    val: str,
+    qs: list[float],
+) -> DataFrame:
+    """(key, q, value): the exact type-1 q-quantile of ``val`` per
+    ``key`` group for every q in ``qs``. NULL values are excluded (as
+    every SQL aggregate does); empty groups emit nothing."""
+    base = df.where(F.col(val).isNotNull()).select(key, val)
+    part = Window.partitionBy(key)
+    ranked = base.select(
+        key,
+        val,
+        F.row_number().over(part.orderBy(F.col(val))).alias("_rn"),
+        F.count(val).over(part).alias("_n"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    hits = F.filter(
+        qarr,
+        lambda q: F.greatest(F.ceil(q * F.col("_n")), F.lit(1))
+        == F.col("_rn"),
+    )
+    return ranked.select(
+        F.col(key),
+        F.explode(hits).alias("q"),
+        F.col(val).alias("value"),
+    )
