@@ -1935,6 +1935,36 @@ def q_asof_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE near-dup dedup reduction, oracle-checked end to end:
+    perturbed corpus (real near-dups: exact copies + first-word edits) →
+    md5-MinHash-LSH candidate pairs (X38) → connected components (X5) →
+    per-document keep flag. This is the table a 10^12-row corpus build
+    anti-joins before training; every stage (shingle hash, permutations,
+    band keys, flood guard, closure, min-id canonical) is reproduced by
+    the DuckDB twin (recursive CTE over the SQL minhash pipeline)."""
+    from corpusama_spark.operators.components import connected_components
+    from corpusama_spark.operators.dedup import minhash_lsh_pairs
+
+    src = _perturbed_docs(spark, sf_dir).where("length(trim(text)) > 0")
+    pairs = minhash_lsh_pairs(
+        src, "text", "doc_id",
+        num_hashes=16, bands=8, max_bucket=1024, hash_family="md5",
+    )
+    comp = connected_components(pairs, fixed_iters=12)
+    return (
+        src.select("doc_id")
+        .join(comp, src.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            (
+                F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+            ).alias("keep"),
+        )
+    )
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (type-1 inverse CDF) by selection at
     rank ceil(q*n): ONE window exchange computes rank + group count,
@@ -2186,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "checksum_scrub": q_checksum_scrub,
         "group_quantiles": q_group_quantiles,
+        "minhash_keeplist": q_minhash_keeplist,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -4393,6 +4424,21 @@ def oracle_sql() -> dict[str, str]:
     # the single-window plan does — same oracle, different physical strategy
     out["sessions_presplit"] = out["sessions"]
     out["jaccard_exact"] = _sql_jaccard_exact()
+    out["minhash_keeplist"] = f"""
+        WITH RECURSIVE
+        cand AS ({_sql_minhash_md5(src=_SQL_PERTURBED_SRC + " s(doc_id, text)")}),
+        e AS (SELECT id_a AS s, id_b AS d FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+        r AS (SELECT s AS id, s AS comp FROM e
+              UNION SELECT r.id, e.d FROM r JOIN e ON e.s = r.comp),
+        c AS (SELECT id, min(comp) AS component FROM r GROUP BY id),
+        src AS (SELECT doc_id FROM {_SQL_PERTURBED_SRC} s2(doc_id, text)
+                WHERE length(trim(text)) > 0)
+        SELECT doc_id,
+               coalesce(component, doc_id) AS component,
+               coalesce(component, doc_id) = doc_id AS keep
+        FROM src LEFT JOIN c ON c.id = doc_id
+    """
     out["audio_rules"] = """
         WITH d AS (
             SELECT doc_id,
