@@ -2163,6 +2163,129 @@ def q_sessions_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"), presplit_hours=6.0)
 
 
+def _phash_population(docs: DataFrame) -> DataFrame:
+    """Deterministic (id, code) phash population with injected near-dups:
+    a 60-bit md5-derived code per doc (portable conv/substr arithmetic —
+    the same idiom as hash_family='md5' minhash), plus a twin row per
+    doc_id%10==0 whose code differs in 1-3 bit positions chosen by the id.
+    Hamming(base, twin) <= 3 < 4 bands, so banded LSH is pigeonhole-
+    complete and a brute-force O(n²) oracle checks the exact same pair set."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ph-"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("code"),
+    )
+    flips = (
+        F.expr("shiftleft(1L, cast(id % 60 as int))")
+        .bitwiseOR(
+            F.when(
+                F.col("id") % 3 >= 1,
+                F.expr("shiftleft(1L, cast((id * 7) % 60 as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .bitwiseOR(
+            F.when(
+                F.col("id") % 3 == 2,
+                F.expr("shiftleft(1L, cast((id * 13) % 60 as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    )
+    twins = base.where(F.col("id") % 10 == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.col("code").bitwiseXOR(flips).alias("code"),
+    )
+    return base.unionByName(twins)
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED banded phash-hamming image dedup (the flagship's 10^12-image
+    near-dup stage with the decode UDF swapped for a portable md5-derived
+    code, so DuckDB can brute-force the exact pair set): 4×16-bit band keys
+    via shiftrightunsigned+mask, band equi-join, bit_count(xor) verify —
+    candidate pairs never touch payload bytes. The UDF-phash twin is
+    `image_near_dups` (rows-only); this query upgrades the KERNEL's
+    evidence (hamming_band_pairs, operators/dedup.py:536) to oracle-exact."""
+    from corpusama_spark.operators.dedup import hamming_band_pairs
+
+    pop = _phash_population(_t(spark, sf_dir, "documents"))
+    return hamming_band_pairs(pop, "id", "code", bands=4, hamming_k=3)
+
+
+def q_phash_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE dedup decision: banded phash pairs → hash-min
+    connected components → keep = component representative (min id) —
+    the image-side analogue of minhash_keeplist, oracled through a
+    recursive-CTE transitive closure in DuckDB."""
+    from corpusama_spark.operators.components import connected_components
+    from corpusama_spark.operators.dedup import hamming_band_pairs
+
+    pop = _phash_population(_t(spark, sf_dir, "documents"))
+    pairs = hamming_band_pairs(pop, "id", "code", bands=4, hamming_k=3)
+    comp = connected_components(pairs)
+    return pop.select("id").join(comp, "id", "left").select(
+        F.col("id"),
+        F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        (F.coalesce(F.col("component"), F.col("id")) == F.col("id")).alias(
+            "keep"
+        ),
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law OLS fit per language shard (slope/intercept/r² of ln freq
+    on ln rank + vocab/token mass) — corpus-health drift monitoring as one
+    explode + vocabulary-width agg + regr_* aggregates, all JVM."""
+    from corpusama_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text", "lang")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-likelihood ratio of the lang='en' target distribution vs the raw
+    corpus, per document — the learned data-selection gate. One corpus
+    exchange (word-count shape), bucket stats broadcast back; portable md5
+    bucket hash makes the whole pipeline oracle-exact."""
+    from corpusama_spark.operators.dsir import dsir_logratio
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    return dsir_logratio(docs, "text", "doc_id", "is_target", k_buckets=256)
+
+
+def q_script_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition gate (wrong-alphabet detector): per-doc
+    Latin/Cyrillic/Han/Arabic character counts, dominant script, and Latin
+    share — scan-stage regex folds. Non-Latin content is injected
+    deterministically (string literals, doc_id-keyed) because the testdata
+    corpus is pure ASCII; Java \\p{IsXxx} and RE2 \\p{Xxx} agree on these
+    script classes, which is what makes the oracle possible."""
+    from corpusama_spark.operators.textstats import script_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    snip = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" привет мир"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" 你好世界"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" مرحبا بالعالم"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" Κόσμε здравствуй 世界"))
+        .otherwise(F.lit(""))
+    )
+    txt = F.concat(F.coalesce(F.col("text"), F.lit("")), snip)
+    return docs.select(
+        "doc_id", script_counts(txt).alias("s")
+    ).select("doc_id", "s.*")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -2217,6 +2340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checksum_scrub": q_checksum_scrub,
         "group_quantiles": q_group_quantiles,
         "minhash_keeplist": q_minhash_keeplist,
+        "phash_near_dup": q_phash_near_dup,
+        "phash_keeplist": q_phash_keeplist,
+        "zipf_fit": q_zipf_fit,
+        "dsir_weights": q_dsir_weights,
+        "script_shares": q_script_shares,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -2353,6 +2481,30 @@ def _sql_minhash_md5(
         FROM b2 a JOIN b2 b
           ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
     """
+
+
+# DuckDB twin of _phash_population: 60-bit md5-derived code per doc plus a
+# 1-3-bit-flipped twin per doc_id%10==0 (flip positions keyed by id)
+_SQL_PHASH_POP = """
+    SELECT id, code FROM (
+        SELECT doc_id AS id,
+               ('0x' || substr(md5('ph-' || doc_id), 1, 15))::BIGINT AS code
+        FROM documents) base
+    UNION ALL
+    SELECT id + 1000000 AS id,
+           xor(code,
+               (CAST(1 AS BIGINT) << (id % 60))
+               | CASE WHEN id % 3 >= 1
+                      THEN (CAST(1 AS BIGINT) << ((id * 7) % 60))
+                      ELSE 0 END
+               | CASE WHEN id % 3 = 2
+                      THEN (CAST(1 AS BIGINT) << ((id * 13) % 60))
+                      ELSE 0 END) AS code
+    FROM (
+        SELECT doc_id AS id,
+               ('0x' || substr(md5('ph-' || doc_id), 1, 15))::BIGINT AS code
+        FROM documents) b2
+    WHERE id % 10 = 0"""
 
 
 _SQL_PERTURBED_SRC = """(
@@ -4509,5 +4661,118 @@ def oracle_sql() -> dict[str, str]:
                    AS duration_us,
                round(sum(value), 6) AS total_value
         FROM s GROUP BY user_id, session_idx
+    """
+    out["phash_near_dup"] = f"""
+        WITH pop AS ({_SQL_PHASH_POP})
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS hamming
+        FROM pop a JOIN pop b ON a.id < b.id
+        WHERE bit_count(xor(a.code, b.code)) <= 3
+    """
+    out["phash_keeplist"] = f"""
+        WITH RECURSIVE
+        pop AS ({_SQL_PHASH_POP}),
+        cand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM pop a JOIN pop b ON a.id < b.id
+            WHERE bit_count(xor(a.code, b.code)) <= 3),
+        e AS (SELECT id_a AS s, id_b AS d FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+        r AS (SELECT s AS id, s AS comp FROM e
+              UNION SELECT r.id, e.d FROM r JOIN e ON e.s = r.comp),
+        c AS (SELECT id, min(comp) AS component FROM r GROUP BY id)
+        SELECT pop.id,
+               coalesce(component, pop.id) AS component,
+               coalesce(component, pop.id) = pop.id AS keep
+        FROM pop LEFT JOIN c ON c.id = pop.id
+    """
+    out["zipf_fit"] = """
+        WITH toks AS (
+            SELECT lang AS grp,
+                   unnest(string_split(lower(coalesce(text, '')), ' '))
+                       AS token
+            FROM documents),
+        f AS (SELECT grp, token, count(*) AS freq
+              FROM toks WHERE len(token) > 0 GROUP BY 1, 2),
+        r AS (SELECT grp, freq,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY freq DESC, token ASC)
+                         AS rank
+              FROM f)
+        SELECT grp AS lang,
+               round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+               round(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept,
+               round(regr_r2(ln(freq), ln(rank)), 6) AS zipf_r2,
+               count(*) AS vocab,
+               CAST(sum(freq) AS BIGINT) AS tokens
+        FROM r GROUP BY grp
+    """
+    out["dsir_weights"] = """
+        WITH toks AS (
+            SELECT doc_id, lang = 'en' AS is_tgt,
+                   unnest(string_split(lower(coalesce(text, '')), ' '))
+                       AS token
+            FROM documents),
+        tb AS (SELECT doc_id, is_tgt,
+                      ('0x' || substr(md5(token), 1, 6))::BIGINT % 256
+                          AS bucket
+               FROM toks WHERE len(token) > 0),
+        db AS (SELECT doc_id, is_tgt, bucket, count(*) AS n
+               FROM tb GROUP BY 1, 2, 3),
+        bs AS (SELECT bucket, sum(n) AS raw_c,
+                      sum(CASE WHEN is_tgt THEN n ELSE 0 END) AS tgt_c
+               FROM db GROUP BY 1),
+        tt AS (SELECT sum(raw_c) AS raw_t, sum(tgt_c) AS tgt_t FROM bs),
+        rt AS (SELECT bucket,
+                      ln((tgt_c + 1.0) / (tgt_t + 256.0))
+                      - ln((raw_c + 1.0) / (raw_t + 256.0)) AS logratio
+               FROM bs, tt),
+        sc AS (SELECT doc_id, sum(n) AS n_tokens, sum(n * logratio) AS w
+               FROM db JOIN rt USING (bucket) GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+               round(coalesce(w, 0.0), 6) AS dsir_weight
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """
+    out["script_shares"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   coalesce(text, '') ||
+                   CASE doc_id % 5
+                       WHEN 0 THEN ' привет мир'
+                       WHEN 1 THEN ' 你好世界'
+                       WHEN 2 THEN ' مرحبا بالعالم'
+                       WHEN 3 THEN ' Κόσμε здравствуй 世界'
+                       ELSE '' END AS txt
+            FROM documents),
+        c AS (
+            SELECT doc_id,
+                   length(regexp_replace(txt, '[^\\p{Latin}]', '', 'g'))
+                       AS n_latin,
+                   length(regexp_replace(txt, '[^\\p{Cyrillic}]', '', 'g'))
+                       AS n_cyrillic,
+                   length(regexp_replace(txt, '[^\\p{Han}]', '', 'g'))
+                       AS n_han,
+                   length(regexp_replace(txt, '[^\\p{Arabic}]', '', 'g'))
+                       AS n_arabic
+            FROM t)
+        SELECT doc_id,
+               CAST(n_latin AS INTEGER) AS n_latin,
+               CAST(n_cyrillic AS INTEGER) AS n_cyrillic,
+               CAST(n_han AS INTEGER) AS n_han,
+               CAST(n_arabic AS INTEGER) AS n_arabic,
+               CASE WHEN n_latin + n_cyrillic + n_han + n_arabic = 0
+                        THEN 'none'
+                    WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+                         AND n_latin >= n_arabic THEN 'latin'
+                    WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic
+                        THEN 'cyrillic'
+                    WHEN n_han >= n_arabic THEN 'han'
+                    ELSE 'arabic' END AS dominant_script,
+               CASE WHEN n_latin + n_cyrillic + n_han + n_arabic > 0
+                    THEN round(n_latin /
+                               (n_latin + n_cyrillic + n_han + n_arabic), 4)
+                    ELSE 0.0 END AS latin_share
+        FROM c
     """
     return out

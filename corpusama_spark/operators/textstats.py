@@ -341,3 +341,89 @@ def repetition_stats(
         F.round(top3, 4).alias("top3gram_share"),
         keep.alias("repetition_keep"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    sep: str = " ",
+) -> DataFrame:
+    """Zipf-law fit per group: OLS slope/intercept/r² of ln(freq) on
+    ln(rank) over the group's token-frequency table, plus vocabulary size
+    and token mass — the corpus-health diagnostic a vocabulary-truncation
+    or quality-drift monitor runs per language shard (Zipf 1949; the
+    reference's wordlist surface is corpusama's vertical pipeline freqs).
+
+    Pure relational: one explode → one (group, token) agg → one rank window
+    per group → regr_* aggregates (JVM, whole-stage codegen). The explode
+    shuffle is the only corpus-sized exchange; ranks and the regression
+    reduce per group. At 10^12 rows the token agg is the classic word-count
+    — map-side partial agg keeps the shuffle at vocabulary (not corpus)
+    width, and groups are language shards so skew is bounded by the biggest
+    language (salt the explode with a composite (group, hash(token) % s)
+    pre-agg if one language dominates).
+
+    Ranks tie-break lexicographically on token so the fit is deterministic
+    (row_number, not rank — ties would otherwise make ln(rank) depend on
+    engine sort stability).
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), sep)).alias(
+            "token"
+        ),
+    ).where(F.length("token") > 0)
+    freqs = toks.groupBy("grp", "token").agg(F.count("*").alias("freq"))
+    ranked = freqs.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.desc("freq"), F.asc("token"))
+        ),
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return (
+        ranked.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("zipf_r2"),
+            F.count("*").alias("vocab"),
+            F.sum("freq").alias("tokens"),
+        )
+    )
+
+
+def script_counts(text_col: Column) -> Column:
+    """Per-script character counts + dominant script — the confusable-script
+    / wrong-alphabet gate a multilingual crawl filter runs before langid
+    (cheap scan-stage regexes; a Cyrillic page labeled 'en' is a classic
+    crawl mislabel). Java's \\p{IsXxx} script classes and RE2's \\p{Xxx}
+    agree on these four scripts, which keeps the operator oracle-checkable.
+
+    Dominance ties break in fixed order latin > cyrillic > han > arabic so
+    the label is engine-deterministic.
+    """
+    t = F.coalesce(text_col, F.lit(""))
+    lat = F.length(F.regexp_replace(t, r"[^\p{IsLatin}]", ""))
+    cyr = F.length(F.regexp_replace(t, r"[^\p{IsCyrillic}]", ""))
+    han = F.length(F.regexp_replace(t, r"[^\p{IsHan}]", ""))
+    ara = F.length(F.regexp_replace(t, r"[^\p{IsArabic}]", ""))
+    total = lat + cyr + han + ara
+    dominant = (
+        F.when(total == 0, F.lit("none"))
+        .when((lat >= cyr) & (lat >= han) & (lat >= ara), F.lit("latin"))
+        .when((cyr >= han) & (cyr >= ara), F.lit("cyrillic"))
+        .when(han >= ara, F.lit("han"))
+        .otherwise(F.lit("arabic"))
+    )
+    share = F.when(total > 0, F.round(lat / total, 4)).otherwise(F.lit(0.0))
+    return F.struct(
+        lat.alias("n_latin"),
+        cyr.alias("n_cyrillic"),
+        han.alias("n_han"),
+        ara.alias("n_arabic"),
+        dominant.alias("dominant_script"),
+        share.alias("latin_share"),
+    )
