@@ -2286,6 +2286,63 @@ def q_script_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "s.*")
 
 
+def q_magic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-bytes format gate on a REAL binary column, fully relational:
+    declared fmt vs the container signature sniffed from the first 8-12
+    bytes (hex+substring JVM folds — no decode, no Python). The binary
+    population is constructed via unhex in BOTH engines (PNG signature,
+    QIMG stand-in containers, real-JPEG magic, garbage, NULL), so DuckDB
+    verifies the sniffer's exact decisions; the same `sniffed_format`
+    column over the synth captions table is pytest-driven."""
+    from corpusama_spark.functions.images import sniffed_format
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    payload = F.hex(F.coalesce(F.col("text"), F.lit("x")))
+    prefix = (
+        F.when(m == 0, F.lit("89504E470D0A1A0A"))  # PNG signature
+        .when(m == 1, F.lit("51494D476A706567"))  # QIMG+'jpeg'
+        .when(m == 2, F.lit("51494D4777656270"))  # QIMG+'webp'
+        .when(m == 3, F.lit("FFD8FFE0"))  # real JPEG SOI
+        .otherwise(F.lit(""))  # raw text bytes (garbage)
+    )
+    byts = F.when(m == 5, F.lit(None).cast("binary")).otherwise(
+        F.unhex(F.concat(prefix, payload))
+    )
+    declared = (
+        F.when(m.isin(1, 2, 3), F.lit("jpeg"))
+        .when(m == 5, F.lit("webp"))
+        .otherwise(F.lit("png"))
+    )
+    return docs.select(
+        "doc_id",
+        declared.alias("fmt"),
+        sniffed_format(byts).alias("fmt_sniffed"),
+        (sniffed_format(byts) == declared).alias("magic_ok"),
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution Shannon entropy + type-token ratio — the
+    lexical-diversity quality signal (boilerplate/keyword-stuffing shows as
+    low entropy). One corpus explode, word-count agg, per-doc reduce."""
+    from corpusama_spark.operators.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang vs stopword-vote guess,
+    with per-cell counts — the audit table a crawl curation run reads to
+    decide whether the cheap LI gate is trustworthy per language."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", langid_sql(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -2345,6 +2402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "dsir_weights": q_dsir_weights,
         "script_shares": q_script_shares,
+        "magic_gate": q_magic_gate,
+        "token_entropy": q_token_entropy,
+        "lang_confusion": q_lang_confusion,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -4774,5 +4834,72 @@ def oracle_sql() -> dict[str, str]:
                                (n_latin + n_cyrillic + n_han + n_arabic), 4)
                     ELSE 0.0 END AS latin_share
         FROM c
+    """
+    out["magic_gate"] = """
+        WITH pop AS (
+            SELECT doc_id,
+                   doc_id % 6 AS m,
+                   CASE doc_id % 6
+                       WHEN 0 THEN '89504E470D0A1A0A'
+                       WHEN 1 THEN '51494D476A706567'
+                       WHEN 2 THEN '51494D4777656270'
+                       WHEN 3 THEN 'FFD8FFE0'
+                       ELSE '' END
+                   || upper(hex(coalesce(text, 'x'))) AS full_hex
+            FROM documents),
+        s AS (
+            SELECT doc_id, m,
+                   CASE WHEN m = 5 THEN 'missing'
+                        WHEN substr(full_hex, 1, 16) = '89504E470D0A1A0A'
+                            THEN 'png'
+                        WHEN substr(full_hex, 1, 6) = 'FFD8FF' THEN 'jpeg'
+                        WHEN substr(full_hex, 1, 8) = '51494D47'
+                             AND substr(full_hex, 9, 8) = '6A706567'
+                            THEN 'jpeg'
+                        WHEN substr(full_hex, 1, 8) = '51494D47'
+                             AND substr(full_hex, 9, 8) = '77656270'
+                            THEN 'webp'
+                        WHEN substr(full_hex, 1, 8) = '52494646'
+                             AND substr(full_hex, 17, 8) = '57454250'
+                            THEN 'webp'
+                        ELSE 'unknown' END AS fmt_sniffed,
+                   CASE WHEN m IN (1, 2, 3) THEN 'jpeg'
+                        WHEN m = 5 THEN 'webp'
+                        ELSE 'png' END AS fmt
+            FROM pop)
+        SELECT doc_id, fmt, fmt_sniffed,
+               fmt_sniffed = fmt AS magic_ok
+        FROM s
+    """
+    out["token_entropy"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(coalesce(text, '')), ' '))
+                       AS token
+            FROM documents),
+        c AS (SELECT doc_id, token, count(*) AS n
+              FROM toks WHERE len(token) > 0 GROUP BY 1, 2),
+        p AS (SELECT doc_id,
+                     sum(n) AS n_tokens,
+                     count(*) AS vocab,
+                     sum(n * ln(n)) AS nlogn
+              FROM c GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(vocab, 0) AS BIGINT) AS vocab,
+               round(coalesce(ln(n_tokens) - nlogn / n_tokens, 0.0), 6)
+                   AS entropy,
+               round(coalesce(vocab / CAST(n_tokens AS DOUBLE), 0.0), 6)
+                   AS ttr
+        FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+    """
+    out["lang_confusion"] = f"""
+        SELECT lang, lang_guess, count(*) AS n FROM (
+            SELECT lang, {langid_case} AS lang_guess
+            FROM (
+                SELECT doc_id, lang, h_de, h_en, h_es, h_fr,
+                       {greatest_hits} AS best
+                FROM (SELECT doc_id, lang, {hits_cols} FROM documents)))
+        GROUP BY lang, lang_guess
     """
     return out

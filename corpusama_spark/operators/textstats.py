@@ -427,3 +427,53 @@ def script_counts(text_col: Column) -> Column:
         dominant.alias("dominant_script"),
         share.alias("latin_share"),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus
+    type-token ratio — the cheap lexical-diversity quality signals
+    (low-entropy docs are boilerplate/keyword-stuffing; the Gopher rules'
+    statistical cousin). H = ln N − (Σ n·ln n)/N computed from per-(doc,
+    token) counts: one corpus explode + word-count-shaped agg + one per-doc
+    reduce, all JVM. Empty docs surface with entropy 0 and ttr 0."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), sep)
+        ).alias("token"),
+    ).where(F.length("token") > 0)
+    counts = toks.groupBy("id", "token").agg(F.count("*").alias("n"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum(F.col("n") * F.log(F.col("n").cast("double"))).alias("nlogn"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("vocab"), F.lit(0)).alias("vocab"),
+            F.round(
+                F.coalesce(
+                    F.log(F.col("n_tokens").cast("double"))
+                    - F.col("nlogn") / F.col("n_tokens"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("entropy"),
+            F.round(
+                F.coalesce(
+                    F.col("vocab") / F.col("n_tokens").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("ttr"),
+        )
+    )
