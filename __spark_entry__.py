@@ -2343,6 +2343,90 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ablation table over the heuristic quality chain: n_fail,
+    n_sole (docs ONLY this rule rejects — its marginal cost), fail_rate.
+    One scan + one explode-unpivot + one constant-width agg."""
+    from corpusama_spark.functions.textrules import (
+        caps_ratio_col,
+        digit_ratio_col,
+    )
+    from corpusama_spark.operators.ablation import rule_ablation
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    rules = {
+        "short": F.length(t) < 50,
+        "caps": caps_ratio_col(t) > 0.5,
+        "alpha": alpha_ratio_col(t) < 0.6,
+        "digit": digit_ratio_col(t) > 0.2,
+        "nanlike": is_nanlike(F.col("text")),
+    }
+    return rule_ablation(docs, rules, "doc_id")
+
+
+def q_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language length gate: exact p12.5/p87.5 of n_chars per
+    lang (type-1 rank selection — one window exchange), thresholds
+    broadcast back onto the corpus, keep = within band. The two-pass
+    'learn thresholds, then gate' shape every percentile-calibrated
+    filter uses at scale; dyadic quantiles keep ceil(q·n) float-exact
+    across engines (see operators/quantiles.py docstring)."""
+    from corpusama_spark.operators.quantiles import group_quantiles_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    th = group_quantiles_exact(docs, "lang", "n_chars", [0.125, 0.875])
+    thp = th.groupBy("lang").agg(
+        F.max(F.when(F.col("q") == 0.125, F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("q") == 0.875, F.col("value"))).alias("hi"),
+    )
+    return docs.join(F.broadcast(thp), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "lo",
+        "hi",
+        ((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))).alias(
+            "keep"
+        ),
+    )
+
+
+def q_dedup_xmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup agreement audit: the text-side MinHash keeplist
+    joined with the image-side phash keeplist on the base corpus ids —
+    the table a curation run reads to find caption-duplicated-but-
+    image-unique rows (and vice versa) before deciding the drop policy.
+    Composes two already-oracled keeplists; one broadcast-size join."""
+    from corpusama_spark.operators.components import connected_components
+    from corpusama_spark.operators.dedup import hamming_band_pairs
+
+    text_keep = q_minhash_keeplist(spark, sf_dir).where(
+        F.col("doc_id") < 100000
+    ).select(F.col("doc_id").alias("id"), F.col("keep").alias("text_keep"))
+
+    pop = _phash_population(_t(spark, sf_dir, "documents"))
+    pairs = hamming_band_pairs(pop, "id", "code", bands=4, hamming_k=3)
+    comp = connected_components(pairs)
+    img_keep = (
+        pop.where(F.col("id") < 1000000)
+        .select("id")
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            (F.coalesce(F.col("component"), F.col("id")) == F.col("id")).alias(
+                "image_keep"
+            ),
+        )
+    )
+    return text_keep.join(img_keep, "id", "inner").select(
+        F.col("id").alias("doc_id"),
+        "text_keep",
+        "image_keep",
+        (F.col("text_keep") == F.col("image_keep")).alias("agree"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -2405,6 +2489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "magic_gate": q_magic_gate,
         "token_entropy": q_token_entropy,
         "lang_confusion": q_lang_confusion,
+        # -- oracled, added after the 50-slot window filled (selfcheck-green;
+        #    rotate into the driver window next round) -----------------------
+        "rule_ablation": q_rule_ablation,
+        "adaptive_gate": q_adaptive_gate,
+        "dedup_xmodal": q_dedup_xmodal,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -4901,5 +4990,96 @@ def oracle_sql() -> dict[str, str]:
                        {greatest_hits} AS best
                 FROM (SELECT doc_id, lang, {hits_cols} FROM documents)))
         GROUP BY lang, lang_guess
+    """
+    out["rule_ablation"] = r"""
+        WITH fl AS (
+            SELECT doc_id,
+                   CASE WHEN length(coalesce(text, '')) < 50
+                        THEN 1 ELSE 0 END AS r_short,
+                   CASE WHEN length(regexp_replace(coalesce(text, ''),
+                                                   '[^\p{L}]', '', 'g')) > 0
+                             AND length(regexp_replace(coalesce(text, ''),
+                                                       '[^\p{Lu}]', '', 'g'))
+                                 / CAST(length(regexp_replace(
+                                       coalesce(text, ''), '[^\p{L}]', '',
+                                       'g')) AS DOUBLE) > 0.5
+                        THEN 1 ELSE 0 END AS r_caps,
+                   CASE WHEN length(coalesce(text, '')) = 0
+                             OR length(regexp_replace(coalesce(text, ''),
+                                                      '[^\p{L}]', '', 'g'))
+                                / CAST(length(coalesce(text, '')) AS DOUBLE)
+                                < 0.6
+                        THEN 1 ELSE 0 END AS r_alpha,
+                   CASE WHEN length(coalesce(text, '')) > 0
+                             AND length(regexp_replace(coalesce(text, ''),
+                                                       '[^0-9]', '', 'g'))
+                                 / CAST(length(coalesce(text, '')) AS DOUBLE)
+                                 > 0.2
+                        THEN 1 ELSE 0 END AS r_digit,
+                   CASE WHEN text IS NULL OR regexp_matches(text,
+                            '(?i)^[\s\x0b]*(none|null|nan)?[\s\x0b]*$')
+                        THEN 1 ELSE 0 END AS r_nanlike
+            FROM documents),
+        t AS (SELECT fl.*,
+                     r_short + r_caps + r_alpha + r_digit + r_nanlike
+                         AS nfail
+              FROM fl),
+        u AS (
+            SELECT 'short' AS rule, r_short AS fail, nfail FROM t
+            UNION ALL SELECT 'caps', r_caps, nfail FROM t
+            UNION ALL SELECT 'alpha', r_alpha, nfail FROM t
+            UNION ALL SELECT 'digit', r_digit, nfail FROM t
+            UNION ALL SELECT 'nanlike', r_nanlike, nfail FROM t)
+        SELECT rule,
+               CAST(sum(fail) AS BIGINT) AS n_fail,
+               CAST(sum(CASE WHEN fail = 1 AND nfail = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sole,
+               count(*) AS n_docs,
+               round(sum(fail) / CAST(count(*) AS DOUBLE), 6) AS fail_rate
+        FROM u GROUP BY rule
+    """
+    out["adaptive_gate"] = """
+        WITH th AS (
+            SELECT lang,
+                   quantile_disc(n_chars, 0.125) AS lo,
+                   quantile_disc(n_chars, 0.875) AS hi
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+        SELECT doc_id, d.lang, n_chars, lo, hi,
+               n_chars >= lo AND n_chars <= hi AS keep
+        FROM documents d JOIN th ON th.lang = d.lang
+    """
+    out["dedup_xmodal"] = f"""
+        WITH RECURSIVE
+        tcand AS ({_sql_minhash_md5(src=_SQL_PERTURBED_SRC + " s(doc_id, text)")}),
+        te AS (SELECT id_a AS s, id_b AS d FROM tcand
+               UNION SELECT id_b, id_a FROM tcand),
+        tr AS (SELECT s AS id, s AS comp FROM te
+               UNION SELECT tr.id, te.d FROM tr JOIN te ON te.s = tr.comp),
+        tc AS (SELECT id, min(comp) AS component FROM tr GROUP BY id),
+        tsrc AS (SELECT doc_id FROM {_SQL_PERTURBED_SRC} s2(doc_id, text)
+                 WHERE length(trim(text)) > 0),
+        tkeep AS (
+            SELECT doc_id AS id,
+                   coalesce(component, doc_id) = doc_id AS text_keep
+            FROM tsrc LEFT JOIN tc ON tc.id = doc_id
+            WHERE doc_id < 100000),
+        pop AS ({_SQL_PHASH_POP}),
+        icand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM pop a JOIN pop b ON a.id < b.id
+            WHERE bit_count(xor(a.code, b.code)) <= 3),
+        ie AS (SELECT id_a AS s, id_b AS d FROM icand
+               UNION SELECT id_b, id_a FROM icand),
+        ir AS (SELECT s AS id, s AS comp FROM ie
+               UNION SELECT ir.id, ie.d FROM ir JOIN ie ON ie.s = ir.comp),
+        ic AS (SELECT id, min(comp) AS component FROM ir GROUP BY id),
+        ikeep AS (
+            SELECT pop.id,
+                   coalesce(component, pop.id) = pop.id AS image_keep
+            FROM pop LEFT JOIN ic ON ic.id = pop.id
+            WHERE pop.id < 1000000)
+        SELECT t.id AS doc_id, text_keep, image_keep,
+               text_keep = image_keep AS agree
+        FROM tkeep t JOIN ikeep i ON i.id = t.id
     """
     return out

@@ -1,0 +1,79 @@
+"""Quality-rule ablation: per-rule marginal statistics for threshold tuning.
+
+A heuristic filter chain (the reference's drop_all/langid gates,
+corpusama/util/langid.py:73-111; Gopher/C4-style rules) is tuned by asking,
+per rule: how many documents does it reject (``n_fail``), how many does it
+ALONE reject (``n_sole`` — removing the rule admits exactly these), and what
+share of the corpus that is. This operator computes that table in one pass:
+
+- every rule evaluates as a scan-stage int flag (no UDFs — callers pass
+  Column predicates built from pyspark.sql.functions);
+- one projection computes the per-row fail count, one explode unpivots the
+  flags to (rule, fail) rows, one vocabulary-width groupBy aggregates —
+  the only corpus-sized exchange is the explode's |rules|-fold row
+  amplification feeding a partial-agg, which map-side combine collapses
+  to |rules| rows per task before the shuffle;
+- the corpus count rides the same aggregate (count(*) per rule group ==
+  n_docs), so no second pass and no driver-side action.
+
+At 10^12 rows this is the same shape as the word-count: linear scan,
+constant-width shuffle. Rules stay tunable without re-reading data by
+persisting the flags projection once per sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rule_ablation(
+    df: DataFrame,
+    rules: dict[str, Column],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(rule, n_fail, n_sole, n_docs, fail_rate) for every rule.
+
+    ``n_sole`` counts rows where this rule is the ONLY failing one —
+    the marginal cost of keeping it. fail_rate is n_fail / n_docs
+    rounded to 6 decimals.
+    """
+    if not rules:
+        raise ValueError("rule_ablation needs at least one rule")
+    names = list(rules)
+    flags = df.select(
+        F.col(id_col),
+        *[rules[n].cast("int").alias(n) for n in names],
+    )
+    nfail = sum((F.col(n) for n in names[1:]), F.col(names[0]))
+    unpivoted = flags.withColumn("_nfail", nfail).select(
+        "_nfail",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("rule"), F.col(n).alias("fail")
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("r"),
+    )
+    return (
+        unpivoted.groupBy(F.col("r.rule").alias("rule"))
+        .agg(
+            F.sum("r.fail").alias("n_fail"),
+            F.sum(
+                F.when((F.col("r.fail") == 1) & (F.col("_nfail") == 1), 1)
+                .otherwise(0)
+            ).alias("n_sole"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "rule",
+            "n_fail",
+            "n_sole",
+            "n_docs",
+            F.round(F.col("n_fail") / F.col("n_docs"), 6).alias("fail_rate"),
+        )
+    )
