@@ -2427,6 +2427,101 @@ def q_dedup_xmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only VIDEO gate (the third modality lane, completing
+    image/audio/video parity): deterministic (fps, n_frames, w, h) tiers
+    derived from doc_id cover every reason — missing meta, unsupported
+    fps, empty, tiny resolution, too short, too long, keep. Pure JVM;
+    container bytes never touched; DuckDB twin replicates the gate."""
+    from corpusama_spark.functions.imageops import video_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m6 = F.pmod(F.col("doc_id"), F.lit(6))
+    fps = (
+        F.when(m6 == 0, 15)
+        .when(m6 == 1, 24)
+        .when(m6 == 2, 30)
+        .when(m6 == 3, 60)
+        .when(m6 == 4, 12)  # unsupported
+        .otherwise(F.lit(None).cast("int"))
+    )
+    m7 = F.pmod(F.col("doc_id"), F.lit(7))
+    n_frames = (
+        F.when(m7 == 0, F.lit(0))  # empty
+        .when(m7 == 1, F.lit(5))  # too short at any allowed fps
+        .when(m7 == 2, fps * 4000)  # too long (>3600 s)
+        .otherwise(fps * (F.pmod(F.col("doc_id"), F.lit(50)) + 1))
+    ).cast("long")
+    w = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, 32).otherwise(640)
+    d = (
+        docs.withColumn("fps", fps)
+        .withColumn("n_frames", n_frames)
+        .withColumn("w", w.cast("int"))
+        .withColumn("h", F.lit(480).cast("int"))
+    )
+    return video_rules(d).select(
+        "doc_id",
+        F.coalesce("fps", F.lit(-1)).alias("fps"),
+        F.coalesce("n_frames", F.lit(-1)).alias("n_frames"),
+        "w",
+        "h",
+        "video_drop_reason",
+        "video_keep",
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling lane (rows-only: container decode UDF):
+    deterministic QVID containers synthesized per doc_id (3-6 frames,
+    every 10th container truncated), every-2nd-frame explode via
+    mapInPandas in the scan stage — corrupt containers contribute zero
+    rows instead of failing the task — then per-frame perceptual hash.
+    Frames materialize only inside the Arrow batch; bytes never shuffle."""
+    from corpusama_spark.functions.imageops import (
+        encode_qvid,
+        image_features,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for i in ids:
+            i = int(i)
+            nfr = 3 + i % 4
+            base = np.add.outer(
+                np.arange(16, dtype=np.uint16), np.arange(16, dtype=np.uint16)
+            )
+            frames = [
+                np.stack(
+                    [((base * (k + 1) + i + f * 17) % 256) for k in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                for f in range(nfr)
+            ]
+            b = encode_qvid(frames, "jpeg")
+            out.append(b[:7] if i % 10 == 0 else b)
+        return pd.Series(out, dtype=object)
+
+    vids = docs.select(
+        F.col("doc_id").alias("video_id"), _gen(F.col("doc_id")).alias("bytes")
+    )
+    fr = sample_frames(vids, "video_id", "bytes", every_k=2)
+    return fr.select(
+        "video_id",
+        "frame_no",
+        "fmt",
+        F.length("frame").alias("n_bytes"),
+        image_features(F.col("frame"), F.col("fmt"))
+        .getField("phash64")
+        .alias("phash64"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -2494,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_ablation": q_rule_ablation,
         "adaptive_gate": q_adaptive_gate,
         "dedup_xmodal": q_dedup_xmodal,
+        "video_rules": q_video_rules,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -2564,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dups": q_image_near_dups,
         "ppl_buckets": q_ppl_buckets,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
     }
 
 
@@ -5081,5 +5178,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.id AS doc_id, text_keep, image_keep,
                text_keep = image_keep AS agree
         FROM tkeep t JOIN ikeep i ON i.id = t.id
+    """
+    out["video_rules"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE doc_id % 6
+                       WHEN 0 THEN 15 WHEN 1 THEN 24
+                       WHEN 2 THEN 30 WHEN 3 THEN 60
+                       WHEN 4 THEN 12 ELSE NULL END AS fps
+            FROM documents),
+        n AS (
+            SELECT doc_id, fps,
+                   CAST(CASE doc_id % 7
+                       WHEN 0 THEN 0
+                       WHEN 1 THEN 5
+                       WHEN 2 THEN fps * 4000
+                       ELSE fps * ((doc_id % 50) + 1)
+                   END AS BIGINT) AS n_frames,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 32 ELSE 640 END
+                        AS INTEGER) AS w,
+                   CAST(480 AS INTEGER) AS h
+            FROM d),
+        r AS (
+            SELECT doc_id, fps, n_frames, w, h,
+                   CASE WHEN fps IS NULL OR n_frames IS NULL
+                             OR w IS NULL OR h IS NULL
+                            THEN 'video_meta_missing'
+                        WHEN fps NOT IN (15, 24, 25, 30, 60)
+                            THEN 'video_fps_unsupported'
+                        WHEN n_frames <= 0 THEN 'video_empty'
+                        WHEN w < 64 OR h < 64 THEN 'video_tiny_resolution'
+                        WHEN n_frames / fps < 0.5 THEN 'video_too_short'
+                        WHEN n_frames / fps > 3600.0 THEN 'video_too_long'
+                        ELSE NULL END AS video_drop_reason
+            FROM n)
+        SELECT doc_id,
+               coalesce(fps, -1) AS fps,
+               coalesce(n_frames, -1) AS n_frames,
+               w, h,
+               video_drop_reason,
+               video_drop_reason IS NULL AS video_keep
+        FROM r
     """
     return out

@@ -297,12 +297,21 @@ def _iter_frames(data: bytes):
         except av.error.FFmpegError as exc:
             raise ValueError(f"undecodable video: {exc}") from None
         return
-    fmt = data[4:8].decode().strip()
-    (n,) = struct.unpack(">I", data[8:12])
+    # truncated headers/payloads must surface as ValueError (the tolerated-
+    # failure contract: corrupt containers yield zero rows, not task errors)
+    try:
+        fmt = data[4:8].decode().strip()
+        (n,) = struct.unpack(">I", data[8:12])
+    except (struct.error, UnicodeDecodeError) as exc:
+        raise ValueError(f"truncated QVID header: {exc}") from None
     off = 12
     for i in range(n):
+        if off + 4 > len(data):
+            raise ValueError("truncated QVID frame table")
         (ln,) = struct.unpack(">I", data[off : off + 4])
         off += 4
+        if off + ln > len(data):
+            raise ValueError("truncated QVID frame payload")
         yield i, data[off : off + ln], fmt
         off += ln
 
@@ -335,13 +344,59 @@ def sample_frames(
                 if data is None:
                     continue
                 try:
-                    for i, frame, fmt in _iter_frames(bytes(data)):
-                        if i % every_k == 0:
-                            rows.append((vid, i, fmt, frame))
+                    # buffer per video: a mid-payload truncation must yield
+                    # ZERO rows for the video, never a partial frame list
+                    vid_rows = [
+                        (vid, i, fmt, frame)
+                        for i, frame, fmt in _iter_frames(bytes(data))
+                        if i % every_k == 0
+                    ]
                 except ValueError:
                     continue
+                rows.extend(vid_rows)
             yield pd.DataFrame(
                 rows, columns=[id_col, "frame_no", "fmt", "frame"]
             )
 
     return df.select(id_col, bytes_col).mapInPandas(gen, schema=schema)
+
+
+def video_rules(
+    df: DataFrame,
+    fps_col: str = "fps",
+    frames_col: str = "n_frames",
+    w_col: str = "w",
+    h_col: str = "h",
+    min_seconds: float = 0.5,
+    max_seconds: float = 3600.0,
+    min_dim: int = 64,
+    allowed_fps: tuple[int, ...] = (15, 24, 25, 30, 60),
+) -> DataFrame:
+    """Metadata-only VIDEO gate: keep/drop + first-failing reason from the
+    declared (fps, frame count, resolution) — pure JVM expressions, the
+    container bytes are never touched, so frame decode (`sample_frames`)
+    only ever runs on survivors. Same staged-gate pattern as image_rules /
+    audio_rules (both oracled); reasons are ordered most-fundamental-first
+    so the first failure wins deterministically."""
+    duration = F.col(frames_col) / F.col(fps_col)
+    reason = (
+        F.when(
+            F.col(fps_col).isNull()
+            | F.col(frames_col).isNull()
+            | F.col(w_col).isNull()
+            | F.col(h_col).isNull(),
+            "video_meta_missing",
+        )
+        .when(~F.col(fps_col).isin(*allowed_fps), "video_fps_unsupported")
+        .when(F.col(frames_col) <= 0, "video_empty")
+        .when(
+            (F.col(w_col) < min_dim) | (F.col(h_col) < min_dim),
+            "video_tiny_resolution",
+        )
+        .when(duration < min_seconds, "video_too_short")
+        .when(duration > max_seconds, "video_too_long")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.withColumn("video_drop_reason", reason).withColumn(
+        "video_keep", F.col("video_drop_reason").isNull()
+    )

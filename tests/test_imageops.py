@@ -189,3 +189,59 @@ def test_image_quality_rules_prune_bytes(tmp_path, spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     scan_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan_schema and all("bytes" not in ln for ln in scan_schema)
+
+
+def test_sample_frames_truncated_containers_yield_zero_rows(spark):
+    """Corrupt QVID containers (header- OR payload-truncated) contribute
+    zero rows — never a task error, never a partial frame list."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from corpusama_spark.functions.imageops import encode_qvid, sample_frames
+
+    frame = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = encode_qvid([frame, frame, frame], "jpeg")
+    df = spark.createDataFrame(
+        [
+            Row(video_id="ok", bytes=good),
+            Row(video_id="hdr", bytes=good[:7]),      # header-truncated
+            Row(video_id="tbl", bytes=good[:13]),     # frame-table cut
+            Row(video_id="pay", bytes=good[:-3]),     # payload cut mid-frame
+            Row(video_id="nul", bytes=None),
+        ]
+    )
+    out = sample_frames(df, every_k=1).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append(r["frame_no"])
+    assert by_vid == {"ok": [0, 1, 2]}
+
+
+def test_video_rules_reason_tiers(spark):
+    from pyspark.sql import Row
+
+    from corpusama_spark.functions.imageops import video_rules
+
+    df = spark.createDataFrame(
+        [
+            Row(i=0, fps=30, n_frames=300, w=640, h=480),    # keep
+            Row(i=1, fps=None, n_frames=300, w=640, h=480),  # meta missing
+            Row(i=2, fps=13, n_frames=300, w=640, h=480),    # fps unsupported
+            Row(i=3, fps=30, n_frames=0, w=640, h=480),      # empty
+            Row(i=4, fps=30, n_frames=300, w=32, h=480),     # tiny
+            Row(i=5, fps=30, n_frames=5, w=640, h=480),      # too short
+            Row(i=6, fps=30, n_frames=30 * 4000, w=640, h=480),  # too long
+        ]
+    )
+    got = {
+        r["i"]: (r["video_drop_reason"], r["video_keep"])
+        for r in video_rules(df).collect()
+    }
+    assert got[0] == (None, True)
+    assert got[1][0] == "video_meta_missing"
+    assert got[2][0] == "video_fps_unsupported"
+    assert got[3][0] == "video_empty"
+    assert got[4][0] == "video_tiny_resolution"
+    assert got[5][0] == "video_too_short"
+    assert got[6][0] == "video_too_long"
+    assert all(not k for r, k in [got[i] for i in range(1, 7)])
