@@ -2522,6 +2522,47 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (the CommonCrawl/C4 pre-step):
+    deliberately messy URLs derived from (source, doc_id) — uppercase
+    schemes/hosts, default ports, fragments, utm/fbclid tracking params,
+    trailing slashes — canonicalized by pure scan-stage regexp folds, then
+    grouped to (canonical_url, n_variants). The gate a recrawl dedups on."""
+    from corpusama_spark.functions.urls import canonical_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    base = F.concat(F.lit("example-"), F.col("source"), F.lit(".com"))
+    path = F.concat(F.lit("/a/"), (F.col("doc_id") % 40).cast("string"))
+    url = (
+        F.when(m == 0, F.concat(F.lit("http://"), base, path))
+        .when(m == 1, F.concat(F.lit("HTTP://"), F.upper(base), F.lit(":80"), path, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("http://"), base, path, F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(m == 3, F.concat(F.lit("http://"), base, path, F.lit("#section-2")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit(":443"), path, F.lit("?id=9&fbclid=XYZ")))
+    )
+    return (
+        docs.select(canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"))
+    )
+
+
+def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against an existing corpus (the S2
+    checkpoint-scan companion): fingerprints of the indexed half (doc_id <
+    250) anti-join the incoming half — only genuinely-new content survives.
+    The anti-join broadcasts when the index fits, otherwise hash-shuffles
+    on the fingerprint; either way bytes never move, only 32-hex keys."""
+    from corpusama_spark.operators.textstats import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    history = fps.where(F.col("doc_id") < 250).select("fp")
+    incoming = fps.where(F.col("doc_id") >= 250)
+    return incoming.join(history, "fp", "left_anti").select("doc_id", "fp")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -2590,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_gate": q_adaptive_gate,
         "dedup_xmodal": q_dedup_xmodal,
         "video_rules": q_video_rules,
+        "url_canon": q_url_canon,
+        "incr_dedup": q_incr_dedup,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -5219,5 +5262,49 @@ def oracle_sql() -> dict[str, str]:
                video_drop_reason,
                video_drop_reason IS NULL AS video_keep
         FROM r
+    """
+    out["url_canon"] = r"""
+        WITH u AS (
+            SELECT CASE doc_id % 5
+                WHEN 0 THEN 'http://example-' || source || '.com/a/'
+                            || (doc_id % 40)
+                WHEN 1 THEN 'HTTP://' || upper('example-' || source || '.com')
+                            || ':80/a/' || (doc_id % 40) || '/'
+                WHEN 2 THEN 'http://example-' || source || '.com/a/'
+                            || (doc_id % 40) || '?utm_source=feed&utm_medium=rss'
+                WHEN 3 THEN 'http://example-' || source || '.com/a/'
+                            || (doc_id % 40) || '#section-2'
+                ELSE 'https://example-' || source || '.com:443/a/'
+                     || (doc_id % 40) || '?id=9&fbclid=XYZ' END AS url
+            FROM documents),
+        c AS (
+            SELECT regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                       lower(regexp_extract(trim(url),
+                           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                       || regexp_replace(trim(url),
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                   '^(http://[^/?#:]+):80(/|\?|$)', '\1\2'),
+                   '^(https://[^/?#:]+):443(/|\?|$)', '\1\2'),
+                   '#.*$', ''),
+                   '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
+                   '', 'g'),
+                   '^([^?]*)&', '\1?'),
+                   '[?&]$', ''),
+                   '^(.+?)/+$', '\1') AS canonical_url
+            FROM u)
+        SELECT canonical_url, count(*) AS n_variants
+        FROM c GROUP BY canonical_url
+    """
+    out["incr_dedup"] = r"""
+        WITH fps AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp
+            FROM documents)
+        SELECT doc_id, fp FROM fps
+        WHERE doc_id >= 250
+          AND fp NOT IN (SELECT fp FROM fps WHERE doc_id < 250)
     """
     return out

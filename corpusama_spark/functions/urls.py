@@ -265,3 +265,37 @@ def blocklist_filter(
     )
     how = "left_semi" if keep_blocked else "left_anti"
     return with_dom.join(bl, ["domain"], how)
+
+
+def canonical_url(url_col: Column) -> Column:
+    """RFC-3986-flavored URL canonicalization for crawl dedup — the
+    normalization CommonCrawl/C4-style pipelines apply before URL-level
+    dedup so `HTTP://Ex.COM:80/a?utm_source=x#f` and `http://ex.com/a`
+    collapse to one key. Pure scan-stage regexp folds (RE2-compatible, so
+    the op is oracle-checkable):
+
+    - scheme + host lowercased (path/query case preserved)
+    - default ports stripped (:80 for http, :443 for https)
+    - fragment dropped
+    - tracking params removed (utm_*, fbclid, gclid, msclkid, mc_eid),
+      with separator repair and trailing ?/& cleanup
+    - trailing slashes trimmed (a bare host and host+'/' collapse together)
+    """
+    u = F.trim(url_col)
+    # lowercase scheme://host[:port] prefix only
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""),
+    )
+    u = F.regexp_replace(u, r"^(http://[^/?#:]+):80(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]+):443(/|\?|$)", r"$1$2")
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    # tracking params (leading separator captured; repair below)
+    u = F.regexp_replace(
+        u, r"[?&](utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*", ""
+    )
+    # if the first surviving param lost its '?', promote the '&'
+    u = F.regexp_replace(u, r"^([^?]*)&", r"$1?")
+    u = F.regexp_replace(u, r"[?&]$", "")  # dangling separator
+    u = F.regexp_replace(u, r"^(.+?)/+$", r"$1")  # trailing slashes, keep root
+    return u

@@ -183,3 +183,29 @@ def test_blocklist_filter_with_psl_rules(spark):
     bl = spark.createDataFrame([("evil.github.io",)], "domain string")
     kept = blocklist_filter(docs, bl, psl_rules=rules)
     assert sorted(r.doc_id for r in kept.collect()) == [2, 4]
+
+
+def test_canonical_url_cases(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from corpusama_spark.functions.urls import canonical_url
+
+    cases = [
+        ("HTTP://Ex.COM:80/a?utm_source=x#f", "http://ex.com/a"),
+        ("https://ex.com:443/a/", "https://ex.com/a"),
+        ("http://ex.com/a?utm_source=x&id=2", "http://ex.com/a?id=2"),
+        ("http://ex.com/a?id=2&fbclid=zz", "http://ex.com/a?id=2"),
+        ("http://ex.com/a?utm_a=1&utm_b=2", "http://ex.com/a"),
+        ("http://ex.com/", "http://ex.com"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),  # non-default port kept
+        ("ex.com/path/", "ex.com/path"),                   # schemeless passes through
+        ("http://ex.com/A/B", "http://ex.com/A/B"),        # path case preserved
+    ]
+    df = spark.createDataFrame([Row(i=i, u=u) for i, (u, _) in enumerate(cases)])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
