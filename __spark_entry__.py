@@ -2563,6 +2563,29 @@ def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incoming.join(history, "fp", "left_anti").select("doc_id", "fp")
 
 
+def q_caption_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phash-bucket skew report (the north rule's partitioning story,
+    measured): row counts per pmod(phash, 32) bucket with share /
+    skew-vs-mean / suggested salt factor — the table that justifies (or
+    clears) explicit salting before the bucketed image-dedup shuffle.
+    Reuses the generic skew_report kernel (X68) over the oracled phash
+    population."""
+    from corpusama_spark.operators.skew import skew_report
+
+    pop = _phash_population(_t(spark, sf_dir, "documents"))
+    buckets = pop.select(F.pmod(F.col("code"), F.lit(32)).alias("bucket"))
+    return skew_report(buckets, "bucket", top_n=32)
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N)=K·N^β via the
+    first-occurrence trick (see operators/textstats.py:heaps_fit) —
+    sub-Heaps growth is the corpus-level duplication alarm."""
+    from corpusama_spark.operators.textstats import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -2633,6 +2656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_rules": q_video_rules,
         "url_canon": q_url_canon,
         "incr_dedup": q_incr_dedup,
+        "caption_skew": q_caption_skew,
+        "heaps_fit": q_heaps_fit,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -5306,5 +5331,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, fp FROM fps
         WHERE doc_id >= 250
           AND fp NOT IN (SELECT fp FROM fps WHERE doc_id < 250)
+    """
+    out["caption_skew"] = f"""
+        WITH pop AS ({_SQL_PHASH_POP}),
+        c AS (SELECT code % 32 AS key, count(*) AS n FROM pop GROUP BY 1),
+        t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+        SELECT key, n,
+               round(n / total, 6) AS share,
+               round(n * n_keys / total, 4) AS skew,
+               CAST(ceil(n * n_keys / total) AS BIGINT) AS salt_factor
+        FROM c CROSS JOIN t
+        ORDER BY n DESC, key ASC
+        LIMIT 32
+    """
+    out["heaps_fit"] = """
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(string_split(lower(coalesce(text, '')), ' '))
+                       AS token
+            FROM documents),
+        tk AS (SELECT id, token FROM toks WHERE len(token) > 0),
+        per_doc AS (SELECT id, count(*) AS n_toks FROM tk GROUP BY 1),
+        new_types AS (
+            SELECT first_doc, count(*) AS n_new FROM (
+                SELECT token, min(id) AS first_doc FROM tk GROUP BY 1)
+            GROUP BY 1),
+        j AS (SELECT p.id, p.n_toks, coalesce(n.n_new, 0) AS n_new
+              FROM per_doc p LEFT JOIN new_types n ON n.first_doc = p.id),
+        cum AS (
+            SELECT ln(CAST(sum(n_toks) OVER w AS DOUBLE)) AS ln_n,
+                   ln(CAST(sum(n_new) OVER w AS DOUBLE)) AS ln_v
+            FROM j
+            WINDOW w AS (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+        SELECT round(regr_slope(ln_v, ln_n), 6) AS beta,
+               round(regr_intercept(ln_v, ln_n), 6) AS ln_k,
+               round(regr_r2(ln_v, ln_n), 6) AS r2,
+               count(*) AS n_checkpoints
+        FROM cum
     """
     return out

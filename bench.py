@@ -86,6 +86,19 @@ BENCH_QUERIES = [
     "nb_quality",
     "collocations",
     "kwic",
+    # round-4 additions (X79-X93)
+    "phash_near_dup",
+    "phash_keeplist",
+    "zipf_fit",
+    "dsir_weights",
+    "script_shares",
+    "magic_gate",
+    "token_entropy",
+    "rule_ablation",
+    "adaptive_gate",
+    "video_rules",
+    "url_canon",
+    "incr_dedup",
     # dedup_clusters is deliberately absent: its 12 fixed label-propagation
     # rounds over the tiny sf edge set measure the per-round scheduling
     # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale

@@ -477,3 +477,52 @@ def token_entropy(
             ).alias("ttr"),
         )
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Heaps'-law fit V(N) = K·N^β over the corpus: OLS of ln(cumulative
+    vocabulary) on ln(cumulative tokens) across per-document checkpoints —
+    the growth curve vocabulary-budget and dedup-health monitoring read
+    (sub-Heaps growth flags duplication; β drift flags domain shift).
+
+    Exactly relational via the first-occurrence trick: a token's first
+    containing doc (min id) is where it increments the vocabulary, so
+    cumulative vocab at doc d = count of tokens with first_doc <= d — one
+    corpus explode, one vocabulary-width min-agg, then DOC-width windows.
+    The cumulative windows are unpartitioned but run over doc-level
+    aggregate rows (one per non-empty doc), not the corpus; at 10^12 rows
+    swap them for a range-partitioned two-phase prefix sum (the
+    pack_shards pattern). Checkpoint docs order by id for determinism.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), sep)
+        ).alias("token"),
+    ).where(F.length("token") > 0)
+    per_doc = toks.groupBy("id").agg(F.count("*").alias("n_toks"))
+    new_types = (
+        toks.groupBy("token")
+        .agg(F.min("id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").alias("n_new"))
+    )
+    joined = per_doc.join(
+        new_types, per_doc["id"] == new_types["first_doc"], "left"
+    ).select("id", "n_toks", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = joined.select(
+        F.log(F.sum("n_toks").over(w).cast("double")).alias("ln_n"),
+        F.log(F.sum("n_new").over(w).cast("double")).alias("ln_v"),
+    )
+    return cum.agg(
+        F.round(F.regr_slope(F.col("ln_v"), F.col("ln_n")), 6).alias("beta"),
+        F.round(F.regr_intercept(F.col("ln_v"), F.col("ln_n")), 6).alias("ln_k"),
+        F.round(F.regr_r2(F.col("ln_v"), F.col("ln_n")), 6).alias("r2"),
+        F.count("*").alias("n_checkpoints"),
+    )

@@ -212,3 +212,46 @@ def test_curation_plan_shapes(spark, tmp_path):
     rep2 = audit.report(dl)
     rep2.assert_no_row_python()
     assert rep2.n_broadcasts >= 1  # hot-line set broadcast for the anti-join
+
+
+def test_round4_operator_plan_shapes(spark):
+    """Round-4 operators keep their intended physical shapes.
+
+    Scan-stage gates are ZERO-shuffle; aggregating analytics pay exactly
+    their documented exchanges; joins that must broadcast do broadcast."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        "magic_gate": 0,      # hex/substring folds in the scan stage
+        "script_shares": 0,   # regex folds in the scan stage
+        "video_rules": 0,     # metadata CASE folds in the scan stage
+        "url_canon": 1,       # regexp folds narrow; only the groupBy shuffles
+        "token_entropy": 2,   # (doc,token) agg + per-doc agg (join to all
+                              # docs broadcasts — no third exchange)
+        "rule_ablation": 1,   # explode-unpivot is narrow; ONE constant-width agg
+        "zipf_fit": 3,        # token agg + per-group rank window + regr agg
+    }
+    qs = E.queries()
+    for name, budget in budgets.items():
+        rep = audit.report(qs[name](spark, sf))
+        rep.assert_no_row_python().assert_max_shuffles(budget)
+
+
+def test_round4_broadcast_joins(spark):
+    """incr_dedup's anti-join and adaptive_gate's threshold join must
+    broadcast their small side — a shuffled exchange on the corpus side
+    for a <= few-hundred-row build table is the classic scale bug."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("incr_dedup", "adaptive_gate"):
+        df = E.queries()[name](spark, sf)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan, (name, plan[:2000])

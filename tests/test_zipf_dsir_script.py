@@ -192,3 +192,27 @@ def test_phash_banded_pairs_equal_bruteforce(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     release(pairs)
     assert got == brute and len(brute) >= 6
+
+
+# ------------------------------------------------------------------ heaps_fit
+
+
+def test_heaps_fit_matches_numpy(spark):
+    from corpusama_spark.operators.textstats import heaps_fit
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, lang="en", text="a b"),
+            Row(doc_id=1, lang="en", text="a c"),
+            Row(doc_id=2, lang="en", text="b c d"),
+        ]
+    )
+    row = heaps_fit(docs).collect()[0]
+    # checkpoints: (N, V) = (2,2), (4,3), (7,4)
+    x = np.log([2.0, 4.0, 7.0])
+    y = np.log([2.0, 3.0, 4.0])
+    beta, ln_k = np.polyfit(x, y, 1)
+    assert row["n_checkpoints"] == 3
+    assert row["beta"] == pytest.approx(beta, abs=2e-6)
+    assert row["ln_k"] == pytest.approx(ln_k, abs=2e-6)
+    assert 0 < row["beta"] < 1  # Heaps regime
