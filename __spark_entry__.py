@@ -2586,6 +2586,136 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_fit(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def _image_dims(docs: DataFrame) -> DataFrame:
+    """Deterministic (doc_id, w, h) image-dimension population: integer
+    arithmetic on doc_id (portable verbatim to the DuckDB twin), spanning
+    ~0.2-3:1 aspect ratios, with every 97th row given h=0 to exercise the
+    bad-dims NULL-bucket path."""
+    return docs.select(
+        "doc_id",
+        (F.lit(256) + (F.col("doc_id") * 37) % 1280).cast("int").alias("w"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit(0))
+        .otherwise(F.lit(256) + (F.col("doc_id") * 53) % 1280)
+        .cast("int")
+        .alias("h"),
+    )
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-ratio bucketing summary: every image assigned to
+    the log-nearest bucket of a fixed ladder by a pure in-row array_min
+    (zero joins/shuffles for the assignment), then the per-bucket packing
+    table (n, share, mean crop waste, mean megapixels). Dims synthesized
+    deterministically from doc_id; h=0 rows land in the NULL bucket row."""
+    from corpusama_spark.operators.buckets import aspect_bucket_summary
+
+    dims = _image_dims(_t(spark, sf_dir, "documents"))
+    summ = aspect_bucket_summary(dims, "w", "h")
+    # contract layer: sentinel-fill the NULL (bad-dims) bucket row so the
+    # compare never rides on None-vs-NaN representation differences
+    return summ.select(
+        F.coalesce("bucket_id", F.lit(-1)).alias("bucket_id"),
+        F.coalesce("bucket_w", F.lit(-1)).alias("bucket_w"),
+        F.coalesce("bucket_h", F.lit(-1)).alias("bucket_h"),
+        "n",
+        F.coalesce("mean_waste", F.lit(-1.0)).alias("mean_waste"),
+        "mean_mpix",
+        "share",
+    ).orderBy("bucket_id")
+
+
+def q_phash_dist_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance histogram of phash candidate pairs at d<=7 — the
+    threshold-tuning table image dedup reads before picking its cutoff.
+    8 bands of 8 bits make the banded join pigeonhole-complete for k=7
+    (7 < 8 bands), so the brute-force DuckDB twin checks the exact
+    distance distribution, not a sample of it."""
+    from corpusama_spark.operators.dedup import hamming_band_pairs
+
+    pop = _phash_population(_t(spark, sf_dir, "documents"))
+    pairs = hamming_band_pairs(pop, "id", "code", bands=8, hamming_k=7)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val split audit: deterministic hash_split
+    (90/10) over the image population, then count near-dup pairs (d<=3)
+    by the UNORDERED split pair they straddle — the train->val leakage
+    table an eval-contamination review reads. Pair labels normalize with
+    least/greatest so (train,val) and (val,train) are one row."""
+    from corpusama_spark.operators.curation import hash_split
+    from corpusama_spark.operators.dedup import hamming_band_pairs
+
+    pop = _phash_population(_t(spark, sf_dir, "documents"))
+    pairs = hamming_band_pairs(pop, "id", "code", bands=4, hamming_k=3)
+    # the split is a pure hash of the id, so re-derive it on both pair
+    # endpoints inline — zero joins ride on the pair table
+    weights = {"train": 0.9, "val": 0.1}
+    labeled = pairs.select(
+        hash_split(F.col("id_a"), weights).alias("split_a"),
+        hash_split(F.col("id_b"), weights).alias("split_b"),
+    )
+    return (
+        labeled.select(
+            F.least("split_a", "split_b").alias("s_lo"),
+            F.greatest("split_a", "split_b").alias("s_hi"),
+        )
+        .groupBy("s_lo", "s_hi")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("s_lo", "s_hi")
+    )
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (the C4 cap-pages-per-domain rule): at
+    most 5 docs kept per synthetic registered domain, chosen by
+    deterministic md5 rank — one group-keyed exchange, retry-safe, stable
+    under repartition. Returns the kept (doc_id, domain) rows."""
+    from corpusama_spark.operators.curation import quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("example-"), F.col("source"), F.lit(".com")).alias(
+            "domain"
+        ),
+    )
+    return quota_sample(docs, "domain", "doc_id", quota=5).orderBy(
+        "domain", "doc_id"
+    )
+
+
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over the image phash components:
+    (cluster_size, n_clusters, n_rows) — the dedup-aggressiveness report
+    (a fat tail of giant clusters means the threshold is too loose; all
+    singletons means dedup is a no-op). Two constant-width aggs ride on
+    the keeplist's component ids."""
+    from corpusama_spark.operators.components import connected_components
+    from corpusama_spark.operators.dedup import hamming_band_pairs
+
+    pop = _phash_population(_t(spark, sf_dir, "documents"))
+    pairs = hamming_band_pairs(pop, "id", "code", bands=4, hamming_k=3)
+    comp = connected_components(pairs)
+    members = pop.select("id").join(comp, "id", "left").select(
+        F.coalesce(F.col("component"), F.col("id")).alias("component")
+    )
+    sizes = members.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            (F.count("*") * F.col("cluster_size")).alias("n_rows"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -2658,6 +2788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dedup": q_incr_dedup,
         "caption_skew": q_caption_skew,
         "heaps_fit": q_heaps_fit,
+        "aspect_buckets": q_aspect_buckets,
+        "phash_dist_hist": q_phash_dist_hist,
+        "split_leakage": q_split_leakage,
+        "domain_quota": q_domain_quota,
+        "cluster_sizes": q_cluster_sizes,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -5369,5 +5504,123 @@ def oracle_sql() -> dict[str, str]:
                round(regr_r2(ln_v, ln_n), 6) AS r2,
                count(*) AS n_checkpoints
         FROM cum
+    """
+    # ladder must mirror operators/buckets.py:DEFAULT_BUCKETS
+    out["aspect_buckets"] = """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(256 + (doc_id * 37) % 1280 AS INTEGER) AS w,
+                   CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                             ELSE 256 + (doc_id * 53) % 1280 END
+                        AS INTEGER) AS h
+            FROM documents),
+        ladder(bucket_id, bucket_w, bucket_h) AS (VALUES
+            (0, 512, 2048), (1, 640, 1536), (2, 768, 1344), (3, 896, 1152),
+            (4, 1024, 1024), (5, 1152, 896), (6, 1344, 768), (7, 1536, 640),
+            (8, 2048, 512)),
+        valid AS (SELECT * FROM dims WHERE w > 0 AND h > 0),
+        ranked AS (
+            SELECT d.doc_id, d.w, d.h, l.bucket_id, l.bucket_w, l.bucket_h,
+                   row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY abs(ln(CAST(d.w AS DOUBLE) / d.h)
+                                    - ln(CAST(l.bucket_w AS DOUBLE)
+                                         / l.bucket_h)) ASC,
+                                l.bucket_id ASC) AS rk
+            FROM valid d CROSS JOIN ladder l),
+        assigned AS (
+            SELECT doc_id, w, h, bucket_id, bucket_w, bucket_h,
+                   round(1.0 - least(CAST(w AS DOUBLE) / h,
+                                     CAST(bucket_w AS DOUBLE) / bucket_h)
+                             / greatest(CAST(w AS DOUBLE) / h,
+                                        CAST(bucket_w AS DOUBLE) / bucket_h),
+                         6) AS crop_waste
+            FROM ranked WHERE rk = 1
+            UNION ALL
+            SELECT doc_id, w, h, NULL, NULL, NULL, NULL
+            FROM dims WHERE NOT (w > 0 AND h > 0)),
+        agg AS (
+            SELECT bucket_id,
+                   CAST(max(bucket_w) AS INTEGER) AS bucket_w,
+                   CAST(max(bucket_h) AS INTEGER) AS bucket_h,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(crop_waste), 6) AS mean_waste,
+                   round(avg(CAST(w AS DOUBLE) * h / 1e6), 6) AS mean_mpix
+            FROM assigned GROUP BY bucket_id)
+        SELECT CAST(coalesce(bucket_id, -1) AS INTEGER) AS bucket_id,
+               CAST(coalesce(bucket_w, -1) AS INTEGER) AS bucket_w,
+               CAST(coalesce(bucket_h, -1) AS INTEGER) AS bucket_h,
+               n,
+               coalesce(mean_waste, -1.0) AS mean_waste,
+               mean_mpix,
+               round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
+        FROM agg
+        ORDER BY 1
+    """
+    out["phash_dist_hist"] = f"""
+        WITH pop AS ({_SQL_PHASH_POP})
+        SELECT CAST(bit_count(xor(a.code, b.code)) AS INTEGER) AS hamming,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pop a JOIN pop b ON a.id < b.id
+        WHERE bit_count(xor(a.code, b.code)) <= 7
+        GROUP BY 1 ORDER BY 1
+    """
+    out["split_leakage"] = f"""
+        WITH pop AS ({_SQL_PHASH_POP}),
+        splits AS (
+            SELECT id,
+                   CASE WHEN ('0x' || substr(md5('split:' || id), 1, 8))
+                             ::BIGINT / 4294967296.0 < 0.9
+                        THEN 'train' ELSE 'val' END AS split
+            FROM pop),
+        cand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM pop a JOIN pop b ON a.id < b.id
+            WHERE bit_count(xor(a.code, b.code)) <= 3)
+        SELECT least(sa.split, sb.split) AS s_lo,
+               greatest(sa.split, sb.split) AS s_hi,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM cand
+        JOIN splits sa ON sa.id = cand.id_a
+        JOIN splits sb ON sb.id = cand.id_b
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    out["domain_quota"] = """
+        WITH docs AS (
+            SELECT doc_id, 'example-' || source || '.com' AS domain
+            FROM documents),
+        ranked AS (
+            SELECT doc_id, domain,
+                   row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY ('0x' || substr(md5('quota:' || doc_id), 1, 8))
+                                ::BIGINT / 4294967296.0 ASC,
+                                doc_id ASC) AS rk
+            FROM docs)
+        SELECT doc_id, domain FROM ranked
+        WHERE rk <= 5 ORDER BY domain, doc_id
+    """
+    out["cluster_sizes"] = f"""
+        WITH RECURSIVE
+        pop AS ({_SQL_PHASH_POP}),
+        cand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM pop a JOIN pop b ON a.id < b.id
+            WHERE bit_count(xor(a.code, b.code)) <= 3),
+        e AS (SELECT id_a AS s, id_b AS d FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+        r AS (SELECT s AS id, s AS comp FROM e
+              UNION SELECT r.id, e.d FROM r JOIN e ON e.s = r.comp),
+        c AS (SELECT id, min(comp) AS component FROM r GROUP BY id),
+        members AS (
+            SELECT coalesce(component, pop.id) AS component
+            FROM pop LEFT JOIN c ON c.id = pop.id),
+        sizes AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM members GROUP BY 1)
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) * cluster_size AS BIGINT) AS n_rows
+        FROM sizes GROUP BY 1 ORDER BY 1
     """
     return out

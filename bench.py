@@ -99,6 +99,13 @@ BENCH_QUERIES = [
     "video_rules",
     "url_canon",
     "incr_dedup",
+    "caption_skew",
+    "heaps_fit",
+    "aspect_buckets",
+    "phash_dist_hist",
+    "split_leakage",
+    "domain_quota",
+    "cluster_sizes",
     # dedup_clusters is deliberately absent: its 12 fixed label-propagation
     # rounds over the tiny sf edge set measure the per-round scheduling
     # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale

@@ -33,7 +33,7 @@ DuckDB-oracle-portable contract twin in `__spark_entry__.py`:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from corpusama_spark.operators.dedup import shingles
@@ -443,3 +443,56 @@ def axis_keys(vec: Column, nbits: int, ntables: int) -> Column:
     from corpusama_spark.operators.similarity import axis_sign_buckets
 
     return axis_sign_buckets(vec, nbits, ntables)
+
+
+def hash_split(
+    key: Column, weights: dict[str, float], seed: str = "split"
+) -> Column:
+    """Deterministic train/val/test assignment from a key: one
+    hash_uniform draw cut by cumulative weight thresholds. Retry-safe
+    (no rand()), engine-portable (same md5 idiom as hash_uniform), and
+    stable under repartition/backfill — the split a 10^12-row corpus can
+    recompute from scratch and get byte-identical membership. Weights
+    need not sum to 1.0; the remainder maps to NULL (excluded), which
+    doubles as a global down-sampling knob. NULL keys yield NULL."""
+    u = hash_uniform(key, seed)
+    names = sorted(weights)
+    expr: Column | None = None
+    cum = 0.0
+    for name in names:
+        cum += float(weights[name])
+        branch = u < F.lit(cum)
+        expr = F.when(branch, F.lit(name)) if expr is None else expr.when(
+            branch, F.lit(name)
+        )
+    return expr if expr is not None else F.lit(None).cast("string")
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+    seed: str = "quota",
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, chosen by md5 rank — the
+    per-domain cap every crawl-curation pipeline applies so one megasite
+    cannot dominate the corpus (C4 caps pages per domain the same way).
+
+    Rank = row_number over (group, ORDER BY hash_uniform(key), key):
+    deterministic, retry-safe, and uniformly random-in-expectation per
+    group. ONE group-keyed exchange; the window state is a counter, not
+    a buffer. A hot group (one domain = 10% of the crawl) serializes its
+    single partition — at that skew, pre-filter with an approximate
+    per-group count and sample the hot groups by threshold instead
+    (hash_uniform < quota/n ± a slack band, then exact-rank only the
+    slack); the default path here is the exact one.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= int(quota))
+        .drop("_rk")
+    )
