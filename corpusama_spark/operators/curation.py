@@ -483,10 +483,8 @@ def quota_sample(
     deterministic, retry-safe, and uniformly random-in-expectation per
     group. ONE group-keyed exchange; the window state is a counter, not
     a buffer. A hot group (one domain = 10% of the crawl) serializes its
-    single partition — at that skew, pre-filter with an approximate
-    per-group count and sample the hot groups by threshold instead
-    (hash_uniform < quota/n ± a slack band, then exact-rank only the
-    slack); the default path here is the exact one.
+    single partition — at that skew use quota_sample_skewsafe, which is
+    value-identical (test-pinned) but never windows the full hot group.
     """
     w = Window.partitionBy(group_col).orderBy(
         hash_uniform(F.col(key_col), seed).asc(), F.col(key_col).asc()
@@ -496,3 +494,76 @@ def quota_sample(
         .where(F.col("_rk") <= int(quota))
         .drop("_rk")
     )
+
+
+def quota_sample_skewsafe(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+    seed: str = "quota",
+    slack: float = 4.0,
+) -> DataFrame:
+    """EXACTLY quota_sample's output, without ever funneling a hot group
+    through one window partition — the path for a crawl where one domain
+    is 10% of the table.
+
+    Three stages, all skew-immune:
+    1. Per-group counts (map-side-combinable agg) broadcast back, so the
+       corpus side never shuffles for the join.
+    2. Threshold prefilter IN THE SCAN STAGE: a row survives when its
+       hash_uniform u < slack·quota/n (groups with n ≤ slack·quota keep
+       everything). Survivors per group concentrate near E[slack·quota]
+       regardless of n, so the exact rank that follows windows a BOUNDED
+       set — the hot group contributes ~slack·quota rows, not 10^11.
+    3. Exactness repair: a group whose survivor count came up short of
+       min(quota, n) (possible, Chernoff-rare, when its quota-th
+       smallest u exceeds the threshold) is re-ranked over its FULL rows
+       via a broadcast semi-join of the deficit group list. Deficit
+       groups are rare and usually small (large n makes a shortfall
+       astronomically unlikely), so the fallback window is cheap.
+
+    The union of stage-2 ranked survivors (deficit groups excluded) and
+    stage-3 re-ranked deficit groups is byte-identical to quota_sample —
+    pinned by the hot-group equivalence test.
+    """
+    q = int(quota)
+    u = hash_uniform(F.col(key_col), seed)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    thresh = F.least(
+        F.lit(1.0), F.lit(float(slack) * q) / F.col("_n").cast("double")
+    )
+    survivors = (
+        df.join(F.broadcast(counts), group_col)
+        .where(u < thresh)
+        .drop("_n")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        u.asc(), F.col(key_col).asc()
+    )
+    ranked = survivors.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.where(F.col("_rk") <= q)
+    # groups that produced fewer survivors than min(quota, n) must be
+    # re-ranked over their full rows; count(*)<n distinguishes "group is
+    # genuinely smaller than quota" (fine) from "threshold cut too deep"
+    surv_counts = ranked.groupBy(group_col).agg(F.count("*").alias("_s"))
+    deficits = (
+        counts.join(surv_counts, group_col, "left")
+        .where(
+            F.coalesce(F.col("_s"), F.lit(0))
+            < F.least(F.lit(q), F.col("_n"))
+        )
+        .select(group_col)
+    )
+    clean = kept.join(F.broadcast(deficits), group_col, "left_anti").drop(
+        "_rk"
+    )
+    repaired = quota_sample(
+        df.join(F.broadcast(deficits), group_col, "left_semi"),
+        group_col,
+        key_col,
+        q,
+        seed,
+    )
+    # the counts join moved group_col first; restore the input order
+    return clean.unionByName(repaired).select(*df.columns)

@@ -150,3 +150,44 @@ def test_dist_hist_banded_equals_bruteforce(spark):
         if d <= 7:
             brute[d] = brute.get(d, 0) + 1
     assert hist == brute and len(brute) >= 2
+
+
+def test_quota_skewsafe_identical_on_hot_group(spark):
+    """One group holding 80% of rows: the skew-safe two-phase path must
+    return byte-identical rows to the single-window exact path."""
+    from corpusama_spark.operators.curation import (
+        quota_sample,
+        quota_sample_skewsafe,
+    )
+
+    rows = [Row(doc_id=i, domain="hot") for i in range(800)] + [
+        Row(doc_id=1000 + i, domain=f"d{i % 9}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows).repartition(8)
+    a = sorted(map(tuple, quota_sample(df, "domain", "doc_id", 7).collect()))
+    b = sorted(
+        map(tuple, quota_sample_skewsafe(df, "domain", "doc_id", 7).collect())
+    )
+    assert a == b and len(a) == 7 + 9 * 7
+
+
+def test_quota_skewsafe_deficit_repair_path(spark):
+    """slack < 1 guarantees the threshold cuts below the quota for large
+    groups, forcing the deficit re-rank — output must STILL be exact."""
+    from corpusama_spark.operators.curation import (
+        quota_sample,
+        quota_sample_skewsafe,
+    )
+
+    rows = [Row(doc_id=i, domain=f"g{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, quota_sample(df, "domain", "doc_id", 10).collect()))
+    b = sorted(
+        map(
+            tuple,
+            quota_sample_skewsafe(
+                df, "domain", "doc_id", 10, slack=0.2
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 40
