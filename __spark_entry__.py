@@ -2716,6 +2716,71 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson PPS subsample of documents (p = n_chars/1024, capped at 1)
+    with Horvitz-Thompson inverse-inclusion weights: the budgeted
+    quality-audit sample where long docs are proportionally likelier but
+    weighted back down so weighted sums stay unbiased. rate = 1/2^10
+    keeps the keep decision IEEE-exact and therefore bit-portable to the
+    DuckDB twin."""
+    from corpusama_spark.operators.curation import pps_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pps_sample(docs, "doc_id", "n_chars", 1.0 / 1024.0).orderBy(
+        "doc_id"
+    )
+
+
+def q_neighbor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop quality smoothing over the phash near-dup graph: for every
+    image with near-duplicates (hamming <= 3 via banded LSH), its own
+    length score, the neighborhood mean, and the divergence — the
+    degraded-mirror / spam-mutation signal. Scores are integers
+    (n_chars), so the neighborhood mean is an exact int/int divide and
+    bit-identical across engines and partitionings."""
+    from corpusama_spark.operators.curation import neighbor_score_stats
+    from corpusama_spark.operators.dedup import hamming_band_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pop = _phash_population(docs)
+    pairs = hamming_band_pairs(pop, "id", "code", bands=4, hamming_k=3)
+    # twin rows (id + 1_000_000) inherit their base doc's length score
+    scores = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("n_chars").alias("score"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + F.lit(1000000)).cast("long").alias("id"),
+            F.col("n_chars").alias("score"),
+        )
+    )
+    return neighbor_score_stats(pairs, scores).orderBy("id")
+
+
+def q_boiler_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate share over the dup-lines decorated corpus:
+    the metric-only twin of dup_lines — count/share of corpus-duplicated
+    lines per doc, never rebuilding text. Same decoration as dup_lines
+    (corpus-wide, per doc_id%5, per doc_id%300 multiplicities) so both
+    sides of the threshold are exercised at every scale factor."""
+    from corpusama_spark.operators.curation import boilerplate_share
+
+    docs = _t(spark, sf_dir, "documents")
+    mt = F.concat_ws(
+        "\n",
+        F.lit(DUP_TOP),
+        F.concat(
+            F.lit("Sec "), (F.col("doc_id") % 5).cast("string"), F.lit(": intro")
+        ),
+        F.col("text"),
+        F.concat(F.lit("ref "), (F.col("doc_id") % 300).cast("string")),
+        F.lit(DUP_BOT),
+    )
+    return boilerplate_share(
+        docs.select("doc_id", mt.alias("text")), threshold=3
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -2793,6 +2858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "domain_quota": q_domain_quota,
         "cluster_sizes": q_cluster_sizes,
+        "pps_sample": q_pps_sample,
+        "neighbor_quality": q_neighbor_quality,
+        "boiler_share": q_boiler_share,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -5622,5 +5690,66 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_clusters,
                CAST(count(*) * cluster_size AS BIGINT) AS n_rows
         FROM sizes GROUP BY 1 ORDER BY 1
+    """
+    out["pps_sample"] = """
+        SELECT doc_id, n_chars,
+               round(1.0 / least(1.0, n_chars / 1024.0), 6) AS ht_weight
+        FROM documents
+        WHERE ('0x' || substr(md5('pps:' || doc_id), 1, 8))::BIGINT
+                  / 4294967296.0
+              < least(1.0, n_chars / 1024.0)
+        ORDER BY doc_id
+    """
+    out["neighbor_quality"] = f"""
+        WITH pop AS ({_SQL_PHASH_POP}),
+        cand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM pop a JOIN pop b ON a.id < b.id
+            WHERE bit_count(xor(a.code, b.code)) <= 3),
+        edges AS (
+            SELECT id_a AS id, id_b AS nb FROM cand
+            UNION ALL SELECT id_b, id_a FROM cand),
+        scores AS (
+            SELECT doc_id AS id, n_chars AS s FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, n_chars FROM documents),
+        agg AS (
+            SELECT e.id, avg(s.s) AS nb_mean,
+                   CAST(count(*) AS BIGINT) AS n_nb
+            FROM edges e JOIN scores s ON s.id = e.nb
+            GROUP BY e.id)
+        SELECT a.id, CAST(o.s AS BIGINT) AS own_score,
+               round(a.nb_mean, 6) AS nb_mean, a.n_nb,
+               round(o.s - a.nb_mean, 6) AS divergence
+        FROM agg a JOIN scores o ON o.id = a.id
+        ORDER BY a.id
+    """
+    out["boiler_share"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   '{DUP_TOP}' || chr(10) ||
+                   'Sec ' || CAST(doc_id % 5 AS VARCHAR) || ': intro' ||
+                   chr(10) || text || chr(10) ||
+                   'ref ' || CAST(doc_id % 300 AS VARCHAR) || chr(10) ||
+                   '{DUP_BOT}' AS mt
+            FROM documents),
+        l AS (
+            SELECT doc_id,
+                   unnest(string_split(mt, chr(10))) AS line
+            FROM d),
+        hot AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3),
+        boiler AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+            FROM l WHERE line IN (SELECT line FROM hot)
+            GROUP BY doc_id),
+        tot AS (
+            SELECT doc_id,
+                   CAST(len(string_split(mt, chr(10))) AS BIGINT) AS n_lines
+            FROM d)
+        SELECT t.doc_id, t.n_lines,
+               CAST(coalesce(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+               round(coalesce(b.n_boiler, 0) / t.n_lines, 6) AS boiler_share
+        FROM tot t LEFT JOIN boiler b USING (doc_id)
+        ORDER BY t.doc_id
     """
     return out

@@ -46,6 +46,12 @@ __all__ = [
     "temperature_fractions",
     "semantic_dedup",
     "pack_shards",
+    "hash_split",
+    "quota_sample",
+    "quota_sample_skewsafe",
+    "pps_sample",
+    "neighbor_score_stats",
+    "boilerplate_share",
 ]
 
 
@@ -567,3 +573,136 @@ def quota_sample_skewsafe(
     )
     # the counts join moved group_col first; restore the input order
     return clean.unionByName(repaired).select(*df.columns)
+
+
+def pps_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    rate: float,
+    seed: str = "pps",
+) -> DataFrame:
+    """Poisson sampling with inclusion probability proportional to size
+    (PPS): keep each row with p = min(1, weight * rate), decided by
+    md5(seed:key), and attach `ht_weight` = 1/p — the Horvitz-Thompson
+    inverse-inclusion weight that makes downstream sums/counts unbiased
+    estimates of the full-corpus values. This is the budgeted-subsample
+    primitive (sample long docs proportionally more, weight them back
+    down) the quality-audit and eval-set-construction paths need.
+
+    Pure scan-stage predicate: ZERO shuffle, retry/speculation-safe
+    (a re-executed task re-derives the same md5 decision — `df.sample`
+    cannot promise that). Pick `rate` = 1 / 2^k where possible: then
+    weight*rate is IEEE-exact and the keep decision is bit-portable to
+    any engine with md5 (the DuckDB twin divides by the same power of
+    two), so the sample is auditable outside Spark.
+    """
+    p = F.least(
+        F.lit(1.0), F.col(weight_col).cast("double") * F.lit(float(rate))
+    )
+    return df.where(hash_uniform(F.col(key_col), seed) < p).withColumn(
+        "ht_weight", F.round(F.lit(1.0) / p, 6)
+    )
+
+
+def neighbor_score_stats(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """1-hop score smoothing over a near-dup pair graph: for every row
+    that HAS near-duplicates, the mean score of its neighbors and the
+    divergence own - neighborhood mean. A doc much worse than its
+    near-dup cluster is a mutation of good content (spam injection,
+    truncated mirror); a doc much better sits in a farm of degraded
+    copies — either way the divergence, not the raw score, is the
+    curation signal (label-propagation step 1 of SemDeDup-style
+    cluster-quality audits).
+
+    `pairs` is any (id_a, id_b) candidate table (phash bands, MinHash
+    buckets — already flood-guarded upstream, so edges << corpus).
+    Shape at scale: edges symmetrize with a union (no shuffle), ONE
+    shuffle joins neighbor scores in, one bounded groupBy averages
+    them, and the own-score join is the only corpus-sized exchange.
+    Scores stay integer-summable where possible (doc length, token
+    count): an integer sum is order-independent, so the mean is
+    bit-identical on any engine regardless of partitioning.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"))
+    )
+    nb_scores = scores.select(
+        F.col(id_col).alias("nb"), F.col(score_col).alias("nb_score")
+    )
+    agg = (
+        edges.join(nb_scores, "nb")
+        .groupBy("id")
+        .agg(
+            F.avg("nb_score").alias("nb_mean"),
+            F.count("*").alias("n_nb"),
+        )
+    )
+    own = scores.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("own_score")
+    )
+    return own.join(agg, "id").select(
+        "id",
+        "own_score",
+        F.round(F.col("nb_mean"), 6).alias("nb_mean"),
+        F.col("n_nb").cast("long").alias("n_nb"),
+        F.round(F.col("own_score") - F.col("nb_mean"), 6).alias(
+            "divergence"
+        ),
+    )
+
+
+def boilerplate_share(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 2,
+) -> DataFrame:
+    """Metric-only twin of drop_duplicated_lines: per-doc count and
+    share of lines whose exact text repeats >= threshold times across
+    the corpus. The SCORE feeds a keep/drop gate or a quality model
+    feature without ever rebuilding text — so unlike the removal path,
+    full line text never shuffles: lines reduce to md5 keys for the
+    corpus count, the hot set broadcasts back, and the per-doc tally
+    groups 16-byte hashes. share = boiler/lines is an int/int divide —
+    bit-portable across engines.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(txt, "\n")).alias("line"),
+    ).select("id", F.md5(F.col("line")).alias("lh"))
+    hot = (
+        lines.groupBy("lh")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= int(threshold))
+        .select("lh")
+    )
+    boiler = (
+        lines.join(F.broadcast(hot), "lh", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(txt, "\n")).cast("long").alias("n_lines"),
+    )
+    return totals.join(boiler, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("n_lines"),
+        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias(
+            "n_boiler"
+        ),
+        F.round(
+            F.coalesce(F.col("n_boiler"), F.lit(0))
+            / F.col("n_lines"),
+            6,
+        ).alias("boiler_share"),
+    )

@@ -317,3 +317,79 @@ def test_semantic_dedup_releases_component_caches(spark):
     assert handles, "semantic_dedup must expose its persisted handles"
     release(out)
     assert getattr(out, "_owned_caches") == []
+
+
+def test_pps_sample_weights_and_determinism(spark):
+    from corpusama_spark.operators.curation import pps_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate([64, 256, 1024, 4096, 9000])],
+        "doc_id long, n_chars long",
+    )
+    out = pps_sample(df, "doc_id", "n_chars", 1.0 / 1024.0)
+    rows = {r.doc_id: r for r in out.collect()}
+    # weight >= 1/rate => p capped at 1 => always kept, ht_weight == 1
+    for i, w in [(2, 1024), (3, 4096), (4, 9000)]:
+        assert i in rows and rows[i].ht_weight == 1.0
+    # kept sub-certainty rows carry 1/p
+    for i, w in [(0, 64), (1, 256)]:
+        if i in rows:
+            assert rows[i].ht_weight == round(1024.0 / w, 6)
+    # decision is hash-deterministic: re-running yields identical rows
+    again = {r.doc_id for r in pps_sample(
+        df, "doc_id", "n_chars", 1.0 / 1024.0).collect()}
+    assert set(rows) == again
+
+
+def test_pps_sample_ht_estimator_unbiased_at_cap(spark):
+    from corpusama_spark.operators.curation import pps_sample
+
+    # all rows at/above the cap: the HT-weighted count equals the corpus
+    df = spark.createDataFrame(
+        [(i, 2048) for i in range(50)], "doc_id long, n_chars long"
+    )
+    out = pps_sample(df, "doc_id", "n_chars", 1.0 / 1024.0)
+    got = out.agg(F.sum("ht_weight")).collect()[0][0]
+    assert got == 50.0
+
+
+def test_neighbor_score_stats_means_and_divergence(spark):
+    from corpusama_spark.operators.curation import neighbor_score_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 40), (3, 100), (4, 7)], "id long, score long"
+    )
+    out = {r.id: r for r in neighbor_score_stats(pairs, scores).collect()}
+    # node 4 has no edges -> absent (inner join on agg)
+    assert 4 not in out
+    assert out[1].nb_mean == 70.0 and out[1].n_nb == 2
+    assert out[1].divergence == -60.0
+    assert out[2].nb_mean == 55.0  # (10+100)/2
+    assert out[3].nb_mean == 25.0  # (10+40)/2
+
+
+def test_boilerplate_share_counts_hot_lines(spark):
+    from corpusama_spark.operators.curation import boilerplate_share
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha\nCOOKIE BANNER"),
+            (2, "COOKIE BANNER\nunique beta"),
+            (3, "unique gamma\nunique delta"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           boilerplate_share(docs, threshold=2).collect()}
+    # "COOKIE BANNER" appears 3x corpus-wide (>=2) -> hot
+    assert out[1].n_boiler == 2 and out[1].n_lines == 3
+    assert out[1].boiler_share == round(2 / 3, 6)
+    assert out[2].n_boiler == 1 and out[2].boiler_share == 0.5
+    assert out[3].n_boiler == 0 and out[3].boiler_share == 0.0
+    # null text coalesces to one empty line, not hot at threshold 2...
+    # unless another doc also has an empty line; here it's unique
+    assert out[4].n_lines == 1 and out[4].n_boiler == 0
