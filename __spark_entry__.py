@@ -2781,6 +2781,75 @@ def q_boiler_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_best_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup reduction: the dedup_keeplist cluster graph
+    (chains + links edges -> connected components) but the canonical is
+    the LONGEST member per cluster (n_chars desc, id asc) instead of
+    min-id — keep the least-degraded mirror, the policy a production
+    corpus build actually wants. Docs outside any edge keep themselves.
+    Oracle: recursive-CTE closure + row_number over (n_chars DESC, id)."""
+    from corpusama_spark.operators.components import (
+        canonical_by_score,
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chains = docs.where(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    links = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 7).alias("id_b")
+    )
+    comp = connected_components(chains.unionByName(links), fixed_iters=12)
+    scores = docs.select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("score")
+    )
+    best = canonical_by_score(comp, scores)
+    return (
+        docs.select("doc_id")
+        .join(best, docs.doc_id == best.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_domain_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes domain quality ranking: per synthetic registered
+    domain (derived from `source`, 20 domains), the raw mean doc length
+    and the mean shrunk toward the corpus mean with prior strength k=20
+    — the host-level gate that stops a 3-page domain with one lucky
+    long doc from outranking a large consistently-good one. Integer
+    sums keep both engines bit-identical through the float shrinkage."""
+    from corpusama_spark.operators.curation import eb_shrunk_means
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("example-"), F.col("source"), F.lit(".com")).alias(
+            "domain"
+        ),
+        "n_chars",
+    )
+    return eb_shrunk_means(docs, "domain", "n_chars", 20.0).orderBy("domain")
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch hard-negative mining over the embeddings table: within
+    each deterministic batch (vec_id % 8), every anchor's 3 most-
+    cosine-similar different-label rows — the contrastive-training
+    negative sampler. Batch equi-join keeps the quadratic local
+    (rows * batch_size total work, never all-pairs); ranking on the
+    6-dp-rounded cosine with an id tie-break is engine-portable."""
+    from corpusama_spark.operators.similarity import in_batch_hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return in_batch_hard_negatives(
+        emb, "vec_id", "embedding", "label", n_batches=8, k=3
+    ).orderBy("anchor_id", "rnk")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -2861,6 +2930,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_sample": q_pps_sample,
         "neighbor_quality": q_neighbor_quality,
         "boiler_share": q_boiler_share,
+        "best_keeplist": q_best_keeplist,
+        "domain_shrinkage": q_domain_shrinkage,
+        "hard_negatives": q_hard_negatives,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -5751,5 +5823,69 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(b.n_boiler, 0) / t.n_lines, 6) AS boiler_share
         FROM tot t LEFT JOIN boiler b USING (doc_id)
         ORDER BY t.doc_id
+    """
+    out["best_keeplist"] = """
+        WITH RECURSIVE
+        p AS (
+            SELECT doc_id AS id_a, doc_id + 1 AS id_b
+            FROM documents WHERE doc_id % 5 != 4
+            UNION ALL
+            SELECT doc_id, doc_id + 7
+            FROM documents WHERE doc_id % 50 = 0),
+        e AS (
+            SELECT id_a AS s, id_b AS d FROM p
+            UNION
+            SELECT id_b, id_a FROM p),
+        r AS (
+            SELECT s AS id, s AS comp FROM e
+            UNION
+            SELECT r.id, e.d FROM r JOIN e ON e.s = r.comp),
+        c AS (
+            SELECT id, min(comp) AS component FROM r GROUP BY id),
+        b AS (
+            SELECT c.id, c.component,
+                   row_number() OVER (PARTITION BY c.component
+                                      ORDER BY d.n_chars DESC, c.id) = 1
+                       AS keep
+            FROM c JOIN documents d ON d.doc_id = c.id)
+        SELECT doc_id,
+               coalesce(b.component, doc_id) AS component,
+               coalesce(b.keep, TRUE) AS keep
+        FROM documents LEFT JOIN b ON b.id = doc_id
+        ORDER BY doc_id
+    """
+    out["domain_shrinkage"] = """
+        WITH g AS (
+            SELECT 'example-' || source || '.com' AS domain,
+                   CAST(sum(n_chars) AS BIGINT) AS s,
+                   CAST(count(n_chars) AS BIGINT) AS n
+            FROM documents GROUP BY 1),
+        t AS (
+            SELECT CAST(sum(s) AS BIGINT) AS ts,
+                   CAST(sum(n) AS BIGINT) AS tn
+            FROM g)
+        SELECT domain, n AS n_docs,
+               round(s / n, 6) AS raw_mean,
+               round((s + 20.0 * (ts / tn)) / (n + 20.0), 6)
+                   AS shrunk_mean
+        FROM g, t
+        ORDER BY domain
+    """
+    out["hard_negatives"] = """
+        SELECT anchor_id, neg_id, cos_sim, rnk FROM (
+            SELECT anchor_id, neg_id, cos_sim,
+                   row_number() OVER (PARTITION BY anchor_id
+                                      ORDER BY cos_sim DESC, neg_id)
+                       AS rnk
+            FROM (
+                SELECT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+                FROM embeddings a JOIN embeddings c
+                  ON a.vec_id % 8 = c.vec_id % 8
+                WHERE a.vec_id != c.vec_id AND a.label != c.label))
+        WHERE rnk <= 3
+        ORDER BY anchor_id, rnk
     """
     return out

@@ -240,3 +240,43 @@ def cluster_canonicals(components: DataFrame) -> DataFrame:
     return components.groupBy("component").agg(
         F.count("*").alias("n_members")
     )
+
+
+def canonical_by_score(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: within every near-dup cluster
+    keep the HIGHEST-scoring member (ties -> lowest id) instead of the
+    arbitrary min-id canonical. This is the keeplist a production corpus
+    build actually wants — when a page exists as five mirrors, keep the
+    least-degraded copy, not the one with the smallest crawl id.
+    (Reference analogue: corpus builds there dedup whole records and
+    keep first-seen, corpusama/database.py — score-ranked selection is
+    the scale upgrade.)
+
+    `components` is (id, component) from connected_components; `scores`
+    any (id, score) table (doc length, LM perplexity, classifier logit).
+    Returns (id, component, keep).
+
+    Scale shape: ONE hash exchange on component; flood guards upstream
+    bound cluster sizes, so the per-cluster window sort is tiny. The
+    scores join is id-keyed; at 10^12 rows both exchanges are linear.
+    Tie-break on id makes the choice deterministic under any
+    partitioning and float-free when scores are integers.
+    """
+    from pyspark.sql.window import Window
+
+    s = scores.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_score"), F.asc("id")
+    )
+    return (
+        components.join(s, "id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("id", "component", "keep")
+    )

@@ -542,3 +542,67 @@ def dequantize(qstruct: Column) -> Column:
     return F.transform(
         qstruct.getField("q"), lambda x: (x.cast("float") * scale)
     )
+
+
+def in_batch_hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_batches: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """In-batch hard-negative mining for contrastive training: within
+    each deterministic batch (pmod(id, n_batches)), every anchor's k
+    most-cosine-similar DIFFERENT-label rows. This is the standard
+    in-batch-negatives recipe (CLIP-style contrastive pipelines): the
+    batch bound makes the quadratic local, so total cost is
+    rows * batch_size — linear in the corpus, never all-pairs.
+
+    Scale shape: ONE hash exchange on the batch key co-locates each
+    batch, the self-join is an equi-join on that key, and the top-k
+    window partitions by anchor inside the same distribution. Batch
+    size is capped by construction (id space / n_batches at synth
+    scale; a production caller batches by shard id), so no task sees
+    unbounded work. Ranking on the 6-decimal-rounded cosine with an id
+    tie-break is deterministic under any partitioning and reproducible
+    outside Spark.
+    """
+    from pyspark.sql.window import Window
+
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        F.col(label_col).alias("lbl"),
+        F.pmod(F.col(id_col), F.lit(int(n_batches))).alias("b"),
+    )
+    a = base.select(
+        F.col("id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("lbl").alias("albl"),
+        "b",
+    )
+    c = base.select(
+        F.col("id").alias("neg_id"),
+        F.col("v").alias("cv"),
+        F.col("lbl").alias("clbl"),
+        "b",
+    )
+    scored = (
+        a.join(c, "b")
+        .where(
+            (F.col("anchor_id") != F.col("neg_id"))
+            & (F.col("albl") != F.col("clbl"))
+        )
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(cosine(F.col("av"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("neg_id")
+    )
+    out = scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return out.where(F.col("rnk") <= int(k))

@@ -237,3 +237,37 @@ def test_star_agrees_with_unionfind_on_random_graph(spark):
     assert st == want
     hm = {r.id: r.component for r in connected_components(pairs).collect()}
     assert hm == want
+
+
+def test_canonical_by_score_picks_best_member(spark):
+    from pyspark.sql import functions as F
+    from corpusama_spark.operators.components import canonical_by_score
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (8, 5)], "id long, score long"
+    )
+    out = {r.id: r.keep for r in canonical_by_score(comp, scores).collect()}
+    # cluster 1: score tie 99 between ids 2 and 3 -> lowest id wins
+    assert out == {1: False, 2: True, 3: False, 7: True, 8: False}
+
+
+def test_canonical_by_score_partition_invariant(spark):
+    from corpusama_spark.operators.components import canonical_by_score
+
+    comp = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "id long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(i, (i * 7) % 11) for i in range(40)], "id long, score long"
+    )
+    a = sorted(canonical_by_score(comp, scores).collect())
+    b = sorted(
+        canonical_by_score(comp.repartition(7), scores.repartition(3)).collect()
+    )
+    assert a == b
+    # exactly one keeper per cluster
+    keepers = [r.id for r in a if r.keep]
+    assert len(keepers) == 4

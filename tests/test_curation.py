@@ -393,3 +393,21 @@ def test_boilerplate_share_counts_hot_lines(spark):
     # null text coalesces to one empty line, not hot at threshold 2...
     # unless another doc also has an empty line; here it's unique
     assert out[4].n_lines == 1 and out[4].n_boiler == 0
+
+
+def test_eb_shrunk_means_pulls_small_groups_to_global(spark):
+    from corpusama_spark.operators.curation import eb_shrunk_means
+
+    # tiny group with perfect scores vs big group with good scores
+    rows = [("tiny", 100)] * 2 + [("big", 80)] * 200 + [("bad", 10)] * 50
+    df = spark.createDataFrame(rows, "domain string, score long")
+    out = {r.domain: r for r in
+           eb_shrunk_means(df, "domain", "score", 20.0).collect()}
+    g = (2 * 100 + 200 * 80 + 50 * 10) / 252  # global mean
+    assert out["tiny"].raw_mean == 100.0
+    # tiny shrinks most of the way to the global mean...
+    assert abs(out["tiny"].shrunk_mean
+               - round((200 + 20 * g) / 22, 6)) < 1e-9
+    # ...and below big's shrunk mean despite the higher raw mean
+    assert out["tiny"].shrunk_mean < out["big"].shrunk_mean
+    assert out["big"].n_docs == 200

@@ -797,3 +797,36 @@ def test_simhash_md5_family(spark, docs_df):
         assert r.simhash[60:] == "0000"
     with pytest.raises(ValueError, match="hash_family"):
         D.simhash_codes(docs_df, "text", "doc_id", hash_family="crc")
+
+
+def test_in_batch_hard_negatives_semantics(spark):
+    from corpusama_spark.operators.similarity import in_batch_hard_negatives
+
+    # one batch (n_batches=1): anchors see every other-label row
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),   # same label as 0 -> never a negative for 0
+        (2, [0.8, 0.2], 1),   # hardest negative for 0
+        (3, [0.0, 1.0], 1),   # easy negative for 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = in_batch_hard_negatives(df, n_batches=1, k=1).collect()
+    by_anchor = {r.anchor_id: r for r in out}
+    assert by_anchor[0].neg_id == 2 and by_anchor[0].rnk == 1
+    # anchor 1 (label 0) also picks 2 (closest other-label)
+    assert by_anchor[1].neg_id == 2
+    # no pair ever shares a label
+    lbl = {r[0]: r[2] for r in rows}
+    assert all(lbl[r.anchor_id] != lbl[r.neg_id] for r in out)
+
+
+def test_in_batch_hard_negatives_batch_isolation(spark):
+    from corpusama_spark.operators.similarity import in_batch_hard_negatives
+
+    # ids 0 and 1 land in different batches with n_batches=2 -> no pairs
+    rows = [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 1),
+            (2, [0.5, 0.5], 1), (3, [0.5, 0.5], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = in_batch_hard_negatives(df, n_batches=2, k=5).collect()
+    for r in out:
+        assert r.anchor_id % 2 == r.neg_id % 2
