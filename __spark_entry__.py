@@ -2850,6 +2850,100 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor_id", "rnk")
 
 
+def q_caption_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-farm detector: keys (16-char lowered text prefixes — the
+    synthetic caption stand-in) that appear on >= 2 rows, with how many
+    DISTINCT sources carry each. A caption reused across many sources is
+    generator boilerplate ('image may contain ...') that poisons
+    contrastive training even though no (caption, image) pair is an
+    exact duplicate. One two-phase groupBy; output is keys-sized."""
+    from corpusama_spark.operators.curation import cross_reuse_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.substring(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), 1, 16
+        ).alias("caption_key"),
+        "source",
+    )
+    return cross_reuse_stats(docs, "caption_key", "source", min_rows=2).orderBy(
+        "caption_key"
+    )
+
+
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time (OLS slope,
+    intercept, r2 via single-pass regr_* aggregates) — the 'which
+    sources are degrading' monitor. x is whole epoch seconds centered
+    on 2024-01-01 BEFORE the moments accumulate, so the sum-of-squares
+    stays small enough that engines agree at 6 dp."""
+    from corpusama_spark.operators.trends import grouped_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_trend(
+        ev,
+        "event_type",
+        F.unix_timestamp(F.col("ts")).cast("double"),
+        F.col("value"),
+        x_offset=1704067200.0,
+    ).orderBy("event_type")
+
+
+def q_score_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile normalization of doc length WITHIN each source:
+    percent_rank over (partition by source order by n_chars). Raw
+    scores aren't comparable across sources; the within-source
+    percentile makes one global keep threshold meaningful. Rank
+    arithmetic — deterministic under ties, bit-portable."""
+    from corpusama_spark.operators.curation import within_group_percentile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return within_group_percentile(docs, "source", "n_chars").orderBy("doc_id")
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster label QA over the chains+links component graph:
+    per cluster, size, majority language (ties -> smallest) and purity.
+    Cross-language clusters are LSH false-merge symptoms; this is the
+    audit that catches them before the keeplist deletes good docs."""
+    from corpusama_spark.operators.components import (
+        cluster_purity,
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chains = docs.where(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    links = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 7).alias("id_b")
+    )
+    comp = connected_components(chains.unionByName(links), fixed_iters=12)
+    labels = docs.select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label")
+    )
+    return cluster_purity(comp, labels).orderBy("component")
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment over the perturbed corpus: every
+    pair where either direction's |∩|/|A| reaches 0.7 — the
+    quote/excerpt detector Jaccard misses (a paragraph embedded in a
+    100x larger page). Same inverted-index + df-cap shape as
+    jaccard_exact; integer count ratios keep engines bit-identical."""
+    from corpusama_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _perturbed_docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        threshold=0.7,
+        shingle_n=3,
+        max_df=32,
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -2933,6 +3027,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_keeplist": q_best_keeplist,
         "domain_shrinkage": q_domain_shrinkage,
         "hard_negatives": q_hard_negatives,
+        "caption_reuse": q_caption_reuse,
+        "value_trend": q_value_trend,
+        "score_percentile": q_score_percentile,
+        "cluster_purity": q_cluster_purity,
+        "containment": q_containment,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -5887,5 +5986,99 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.vec_id != c.vec_id AND a.label != c.label))
         WHERE rnk <= 3
         ORDER BY anchor_id, rnk
+    """
+    out["caption_reuse"] = """
+        SELECT k AS caption_key,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_distinct_vals,
+               count(DISTINCT source) > 1 AS reused
+        FROM (SELECT substr(lower(coalesce(text, '')), 1, 16) AS k, source
+              FROM documents)
+        GROUP BY k HAVING count(*) >= 2
+        ORDER BY caption_key
+    """
+    out["value_trend"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(regr_slope(y, x), 6) AS slope,
+               round(regr_intercept(y, x), 6) AS intercept,
+               round(regr_r2(y, x), 6) AS r2
+        FROM (SELECT event_type, value AS y,
+                     floor(epoch(ts)) - 1704067200.0 AS x
+              FROM events)
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+    out["score_percentile"] = """
+        SELECT doc_id, source, n_chars,
+               round(percent_rank() OVER (PARTITION BY source
+                                          ORDER BY n_chars), 6) AS pct
+        FROM documents
+        ORDER BY doc_id
+    """
+    out["cluster_purity"] = """
+        WITH RECURSIVE
+        p AS (
+            SELECT doc_id AS id_a, doc_id + 1 AS id_b
+            FROM documents WHERE doc_id % 5 != 4
+            UNION ALL
+            SELECT doc_id, doc_id + 7
+            FROM documents WHERE doc_id % 50 = 0),
+        e AS (
+            SELECT id_a AS s, id_b AS d FROM p
+            UNION
+            SELECT id_b, id_a FROM p),
+        r AS (
+            SELECT s AS id, s AS comp FROM e
+            UNION
+            SELECT r.id, e.d FROM r JOIN e ON e.s = r.comp),
+        c AS (
+            SELECT id, min(comp) AS component FROM r GROUP BY id),
+        cnt AS (
+            SELECT component, lang, count(*) AS n
+            FROM c JOIN documents d ON d.doc_id = c.id
+            GROUP BY 1, 2),
+        sz AS (
+            SELECT component, CAST(sum(n) AS BIGINT) AS size
+            FROM cnt GROUP BY 1),
+        top AS (
+            SELECT component, lang AS majority_label,
+                   CAST(n AS BIGINT) AS majority_n
+            FROM (SELECT component, lang, n,
+                         row_number() OVER (PARTITION BY component
+                                            ORDER BY n DESC, lang) AS rn
+                  FROM cnt)
+            WHERE rn = 1)
+        SELECT t.component, s.size, t.majority_label, t.majority_n,
+               round(t.majority_n / s.size, 6) AS purity
+        FROM top t JOIN sz s USING (component)
+        ORDER BY t.component
+    """
+    out["containment"] = f"""
+        WITH srcx AS (SELECT * FROM {_SQL_PERTURBED_SRC} s(doc_id, text)),
+        tok AS (SELECT doc_id AS id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM srcx),
+        sh AS (SELECT id, list_distinct(list_filter(
+                 list_transform(
+                     generate_series(1, greatest(len(ws) - 2, 1)),
+                     i -> array_to_string(ws[i:i+2], ' ')),
+                 s -> len(s) > 0)) AS sg FROM tok),
+        nz AS (SELECT id, sg, len(sg) AS sz FROM sh WHERE len(sg) > 0),
+        inv AS (SELECT id, unnest(sg) AS g FROM nz),
+        okg AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 32),
+        inv2 AS (SELECT inv.id, inv.g FROM inv JOIN okg USING (g)),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                  FROM inv2 a JOIN inv2 b USING (g)
+                  WHERE a.id < b.id GROUP BY 1, 2),
+        co AS (SELECT id_a, id_b,
+                      round(i / sa.sz, 6) AS cont_a_in_b,
+                      round(i / sb.sz, 6) AS cont_b_in_a
+               FROM inter
+               JOIN nz sa ON sa.id = inter.id_a
+               JOIN nz sb ON sb.id = inter.id_b)
+        SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM co
+        WHERE cont_a_in_b >= 0.7 OR cont_b_in_a >= 0.7
+        ORDER BY id_a, id_b
     """
     return out

@@ -280,3 +280,52 @@ def canonical_by_score(
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("id", "component", "keep")
     )
+
+
+def cluster_purity(
+    components: DataFrame,
+    labels: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Dedup-cluster QA: per cluster, its size, majority label (ties ->
+    lexicographically smallest) and purity = majority_count / size. A
+    near-dup cluster spanning languages or modality labels is a
+    collision symptom — banded-LSH false merges show up here before
+    they silently delete good documents. Purity is an int/int divide,
+    bit-portable across engines.
+
+    Scale shape: one groupBy(component, label) with map-side combine,
+    then a cluster-keyed argmax window over the (clusters × labels)
+    table — already reduced, never corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    lb = labels.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("_lbl")
+    )
+    counts = (
+        components.join(lb, "id")
+        .groupBy("component", "_lbl")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n"), F.asc("_lbl"))
+    sizes = counts.groupBy("component").agg(
+        F.sum("n").cast("long").alias("size")
+    )
+    top = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            "component",
+            F.col("_lbl").alias("majority_label"),
+            F.col("n").cast("long").alias("majority_n"),
+        )
+    )
+    return top.join(sizes, "component").select(
+        "component",
+        "size",
+        "majority_label",
+        "majority_n",
+        F.round(F.col("majority_n") / F.col("size"), 6).alias("purity"),
+    )

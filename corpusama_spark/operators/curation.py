@@ -53,6 +53,8 @@ __all__ = [
     "neighbor_score_stats",
     "boilerplate_share",
     "eb_shrunk_means",
+    "cross_reuse_stats",
+    "within_group_percentile",
 ]
 
 
@@ -748,4 +750,64 @@ def eb_shrunk_means(
             / (F.col("_n") + F.lit(k)),
             6,
         ).alias("shrunk_mean"),
+    )
+
+
+def cross_reuse_stats(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    min_rows: int = 2,
+) -> DataFrame:
+    """Key-reuse audit across distinct values: per key, how many rows
+    carry it and how many DISTINCT values it co-occurs with. The
+    caption-farm detector — a caption string attached to hundreds of
+    distinct images is generator boilerplate ("image may contain...")
+    and poisons contrastive training even though no single (caption,
+    image) pair is a duplicate. Symmetric uses: one image id under many
+    captions, one URL under many texts.
+
+    Scale shape: exact count(DISTINCT val) inside a groupBy compiles to
+    the standard two-phase plan — partial-aggregate on (key, val), then
+    a key-keyed exchange — so no task holds corpus-sized state unless
+    one key floods, and min_rows filters OUTPUT rows, never inputs.
+    """
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct(val_col).cast("long").alias("n_distinct_vals"),
+        )
+        .where(F.col("n_rows") >= int(min_rows))
+        .withColumn(
+            "reused", F.col("n_distinct_vals") > F.lit(1)
+        )
+    )
+
+
+def within_group_percentile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Percentile normalization of a quality score WITHIN each group:
+    percent_rank over (partition by group order by value). Raw scores
+    are not comparable across sources (a wiki dump and a crawl have
+    different length distributions); mapping every doc to its
+    within-source percentile makes ONE global threshold meaningful —
+    the continuous version of the per-group quantile gate. percent_rank
+    is rank arithmetic ((rank-1)/(n-1)), deterministic under ties and
+    bit-portable.
+
+    Scale shape: one group-keyed exchange + in-partition sort. Hot
+    groups (one source = half the corpus) serialize a task; pre-split
+    by a coarse hash and merge ranks only if a group exceeds task
+    memory — at that point prefer the relational rank-join variant
+    (quantiles.py) which shards freely.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col))
+    return df.withColumn(
+        "pct", F.round(F.percent_rank().over(w), 6)
     )

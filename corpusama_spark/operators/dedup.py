@@ -874,3 +874,56 @@ def repeated_spans(
             F.col("span_end").cast("int").alias("span_end"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    max_df: int | None = 32,
+) -> DataFrame:
+    """Directional shingle CONTAINMENT for asymmetric near-dup detection:
+    c(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. Jaccard misses the quote/excerpt
+    case — a paragraph wholly embedded in a 100× larger page scores near
+    zero on Jaccard but 1.0 on containment — and web-scale corpus builds
+    need exactly this to catch syndicated excerpts, quote chains, and
+    boilerplate-wrapped reposts. Returns every pair where EITHER
+    direction reaches the threshold, with both directions reported.
+
+    Same scale shape as exact_jaccard_pairs (dedup.py:363): inverted
+    shingle index bounds candidates to pairs sharing a shingle, df-cap
+    kills hot-shingle blowup, intersection counts ride one groupBy.
+    Integer count ratios keep both engines bit-identical.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_df is not None:
+        ok = inv.groupBy("g").count().where(F.col("count") <= max_df)
+        inv = inv.join(ok.select("g"), "g")
+    a = inv.select(F.col("id").alias("id_a"), "g")
+    b = inv.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("cont_a_in_b"),
+            F.round(F.col("inter") / F.col("sz_b"), 6).alias("cont_b_in_a"),
+        )
+    )
+    t = float(threshold)
+    return out.where(
+        (F.col("cont_a_in_b") >= t) | (F.col("cont_b_in_a") >= t)
+    )

@@ -271,3 +271,23 @@ def test_canonical_by_score_partition_invariant(spark):
     # exactly one keeper per cluster
     keepers = [r.id for r in a if r.keep]
     assert len(keepers) == 4
+
+
+def test_cluster_purity_majority_and_ties(spark):
+    from corpusama_spark.operators.components import cluster_purity
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (9, 9), (10, 9)],
+        "id long, component long",
+    )
+    labels = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (4, "fr"), (9, "de"), (10, "de"),
+         (99, "xx")],  # unclustered id never appears
+        "id long, label string",
+    )
+    out = {r.component: r for r in cluster_purity(comp, labels).collect()}
+    # 2-2 tie in cluster 1 -> lexicographically smallest label wins
+    assert out[1].majority_label == "en" and out[1].purity == 0.5
+    assert out[1].size == 4 and out[1].majority_n == 2
+    assert out[9].majority_label == "de" and out[9].purity == 1.0
+    assert set(out) == {1, 9}

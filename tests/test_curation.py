@@ -411,3 +411,40 @@ def test_eb_shrunk_means_pulls_small_groups_to_global(spark):
     # ...and below big's shrunk mean despite the higher raw mean
     assert out["tiny"].shrunk_mean < out["big"].shrunk_mean
     assert out["big"].n_docs == 200
+
+
+def test_cross_reuse_stats_counts_and_flag(spark):
+    from corpusama_spark.operators.curation import cross_reuse_stats
+
+    df = spark.createDataFrame(
+        [("cap A", "s1"), ("cap A", "s2"), ("cap A", "s1"),
+         ("cap B", "s1"), ("cap B", "s1"),
+         ("cap C", "s9")],
+        "cap string, src string",
+    )
+    out = {r.cap: r for r in
+           cross_reuse_stats(df, "cap", "src", min_rows=2).collect()}
+    assert "cap C" not in out  # below min_rows
+    assert out["cap A"].n_rows == 3 and out["cap A"].n_distinct_vals == 2
+    assert out["cap A"].reused is True
+    assert out["cap B"].n_distinct_vals == 1 and out["cap B"].reused is False
+
+
+def test_within_group_percentile_rank_arithmetic(spark):
+    from corpusama_spark.operators.curation import within_group_percentile
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 20), ("a", 40), ("a", 50),
+         ("b", 7)],
+        "src string, score long",
+    )
+    out = within_group_percentile(df, "src", "score").collect()
+    by = {}
+    for r in out:
+        by.setdefault((r.src, r.score), set()).add(r.pct)
+    # (rank-1)/(n-1): ties share a rank; single-row group pins to 0
+    assert by[("a", 10)] == {0.0}
+    assert by[("a", 20)] == {0.25}
+    assert by[("a", 40)] == {0.75}
+    assert by[("a", 50)] == {1.0}
+    assert by[("b", 7)] == {0.0}

@@ -830,3 +830,40 @@ def test_in_batch_hard_negatives_batch_isolation(spark):
     out = in_batch_hard_negatives(df, n_batches=2, k=5).collect()
     for r in out:
         assert r.anchor_id % 2 == r.neg_id % 2
+
+
+def test_containment_catches_embedded_excerpt(spark):
+    from corpusama_spark.operators.dedup import (
+        containment_pairs,
+        exact_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    page = ("intro words here " + quote +
+            " plus a very long tail " + " ".join(f"w{i}" for i in range(40)))
+    df = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "unrelated text entirely different")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(df, "text", "doc_id", threshold=0.9,
+                             shingle_n=3, max_df=None).collect()
+    # the quote is fully embedded: containment finds (1,2) at 1.0 ...
+    assert [(r.id_a, r.id_b, r.cont_a_in_b) for r in cont] == [(1, 2, 1.0)]
+    # ... while Jaccard at the same strictness misses it
+    jac = exact_jaccard_pairs(df, "text", "doc_id", threshold=0.9,
+                              shingle_n=3).collect()
+    assert jac == []
+
+
+def test_grouped_trend_recovers_known_line(spark):
+    from pyspark.sql import functions as F
+    from corpusama_spark.operators.trends import grouped_trend
+
+    rows = [("up", float(x), 3.0 * x + 7.0) for x in range(50)]
+    rows += [("flat", float(x), 5.0) for x in range(50)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in
+           grouped_trend(df, "g", F.col("x"), F.col("y")).collect()}
+    assert out["up"].slope == 3.0 and out["up"].intercept == 7.0
+    assert out["up"].r2 == 1.0 and out["up"].n == 50
+    assert out["flat"].slope == 0.0 and out["flat"].intercept == 5.0
