@@ -2944,6 +2944,40 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length outliers: median/MAD z-score with the
+    0.6745 consistency constant, |z| > 3.5 flagged — the robust-location
+    gate a handful of pathological docs can't drag (a mean/stddev gate
+    they can). Both medians are exact type-1 rank selections (dyadic
+    q=0.5), integer through the deviation pass; degenerate MAD=0 groups
+    emit NULL rather than a divide-by-zero."""
+    from corpusama_spark.operators.quantiles import mad_outliers
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return mad_outliers(docs, "source", "n_chars", z_thresh=3.5).orderBy(
+        "doc_id"
+    )
+
+
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector near-dup tier: TF-IDF cosine >= 0.6 pairs over the
+    perturbed corpus via an inverted term index with df-cap 32 — catches
+    shared-vocabulary rewrites that shingle Jaccard misses and embedding
+    cosine needs a model for. The DuckDB twin re-derives the identical
+    tf/idf/norm chain."""
+    from corpusama_spark.operators.similarity import tfidf_pairs
+
+    return tfidf_pairs(
+        _perturbed_docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        threshold=0.6,
+        max_df=32,
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3032,6 +3066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_percentile": q_score_percentile,
         "cluster_purity": q_cluster_purity,
         "containment": q_containment,
+        "mad_outliers": q_mad_outliers,
+        "tfidf_pairs": q_tfidf_pairs,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -6079,6 +6115,55 @@ def oracle_sql() -> dict[str, str]:
                JOIN nz sb ON sb.id = inter.id_b)
         SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM co
         WHERE cont_a_in_b >= 0.7 OR cont_b_in_a >= 0.7
+        ORDER BY id_a, id_b
+    """
+    out["mad_outliers"] = """
+        WITH med AS (
+            SELECT source, quantile_disc(n_chars, 0.5) AS med
+            FROM documents GROUP BY 1),
+        dev AS (
+            SELECT d.doc_id, d.source, d.n_chars, m.med,
+                   abs(d.n_chars - m.med) AS ad
+            FROM documents d JOIN med m USING (source)),
+        madt AS (
+            SELECT source, quantile_disc(ad, 0.5) AS mad
+            FROM dev GROUP BY 1)
+        SELECT dev.doc_id, dev.source, dev.n_chars,
+               CAST(dev.med AS BIGINT) AS med,
+               CAST(x.mad AS BIGINT) AS mad,
+               CASE WHEN x.mad = 0 THEN NULL
+                    ELSE round(0.6745 * (dev.n_chars - dev.med) / x.mad, 6)
+               END AS robust_z,
+               CASE WHEN x.mad = 0 THEN NULL
+                    ELSE abs(0.6745 * (dev.n_chars - dev.med) / x.mad) > 3.5
+               END AS outlier
+        FROM dev JOIN madt x USING (source)
+        ORDER BY dev.doc_id
+    """
+    out["tfidf_pairs"] = f"""
+        WITH srcx AS (SELECT * FROM {_SQL_PERTURBED_SRC} s(doc_id, text)),
+        tok AS (SELECT doc_id AS id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS t
+                FROM srcx),
+        tok2 AS (SELECT id, t FROM tok WHERE t != ''),
+        tf AS (SELECT id, t, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        dfreq AS (SELECT t, count(*) AS df_t FROM tf
+                  GROUP BY 1 HAVING count(*) <= 32),
+        nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+               FROM srcx),
+        w AS (SELECT id, t, tf * ln(n / df_t) AS w
+              FROM tf JOIN dfreq USING (t), nd),
+        nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+                 FROM w a JOIN w b USING (t)
+                 WHERE a.id < b.id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(dot / (na.nrm * nb.nrm), 6) AS tfidf_cos
+        FROM dots
+        JOIN nrm na ON na.id = dots.id_a
+        JOIN nrm nb ON nb.id = dots.id_b
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.6
         ORDER BY id_a, id_b
     """
     return out

@@ -66,3 +66,51 @@ def group_quantiles_exact(
         F.explode(hits).alias("q"),
         F.col(val).alias("value"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier gate: median/MAD z-score
+    (0.6745·(x−med)/MAD, the standard consistency constant) with
+    |z| > z_thresh flagged. Quality filtering needs ROBUST location —
+    a handful of 100 MB pathological docs drags a mean/stddev gate far
+    enough that real spam passes; the median and MAD don't move.
+    Degenerate groups (MAD = 0: over half the group identical) emit
+    NULL z/outlier rather than a divide-by-zero — callers decide
+    policy for those explicitly.
+
+    Both medians are exact type-1 selections via group_quantiles_exact
+    (rank == ceil(n/2)), so integer inputs stay integer through the
+    deviation pass and the only float op is the final ratio —
+    bit-portable. Scale shape: two group-keyed window passes + two
+    broadcast-sized joins (one row per group each); no corpus-sized
+    state beyond the sorts.
+    """
+    med = group_quantiles_exact(
+        df.select(group_col, value_col), group_col, value_col, [0.5]
+    ).select(F.col(group_col), F.col("value").alias("_med"))
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_ad", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = group_quantiles_exact(
+        dev.select(group_col, "_ad"), group_col, "_ad", [0.5]
+    ).select(F.col(group_col), F.col("value").alias("_mad"))
+    z = F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad")
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .select(
+            *df.columns,
+            F.col("_med").cast("long").alias("med"),
+            F.col("_mad").cast("long").alias("mad"),
+            F.when(F.col("_mad") == 0, F.lit(None)).otherwise(
+                F.round(z, 6)
+            ).alias("robust_z"),
+            F.when(F.col("_mad") == 0, F.lit(None).cast("boolean")).otherwise(
+                F.abs(z) > F.lit(float(z_thresh))
+            ).alias("outlier"),
+        )
+    )

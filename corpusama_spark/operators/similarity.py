@@ -606,3 +606,79 @@ def in_batch_hard_negatives(
     )
     out = scored.withColumn("rnk", F.row_number().over(w).cast("long"))
     return out.where(F.col("rnk") <= int(k))
+
+
+def tfidf_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    max_df: int | None = 32,
+) -> DataFrame:
+    """Document-pair TF-IDF cosine similarity over an inverted term
+    index — the sparse-vector near-dup tier between exact shingle
+    matching (surface identical) and embedding cosine (needs a model).
+    Rewrites/translations-of-structure share vocabulary but not
+    shingles; TF-IDF cosine catches them with zero model dependency.
+
+    Scale shape: candidates are pairs SHARING a term (inverted-index
+    equi-join), never |corpus|²; ``max_df`` drops terms in more docs
+    than the cap — stop-words blow the index quadratically while
+    carrying no signal, so the cap is both the perf guard and standard
+    practice. Per-pair dot products ride one groupBy; norms are one
+    doc-keyed aggregate joined back. IDF = ln(N/df) with N via a
+    broadcast single-row join; float sums here are benign at 6 dp
+    rounding (term weights are O(1–10), so accumulated ulp error is
+    ~1e-14 relative — nine orders below the rounding boundary).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("t"),
+    ).where(F.col("t") != "")
+    tf = tok.groupBy("id", "t").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df_t"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df_t") <= int(max_df))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("_n")
+    )
+    w = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "t",
+            (F.col("tf") * F.log(F.col("_n") / F.col("df_t"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(F.col("id").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("id").alias("id_b"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    out = (
+        dots.join(
+            norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "tfidf_cos"
+            ),
+        )
+    )
+    return out.where(F.col("tfidf_cos") >= float(threshold))

@@ -867,3 +867,33 @@ def test_grouped_trend_recovers_known_line(spark):
     assert out["up"].slope == 3.0 and out["up"].intercept == 7.0
     assert out["up"].r2 == 1.0 and out["up"].n == 50
     assert out["flat"].slope == 0.0 and out["flat"].intercept == 5.0
+
+
+def test_tfidf_pairs_shared_vocab_beats_shingles(spark):
+    from corpusama_spark.operators.dedup import exact_jaccard_pairs
+    from corpusama_spark.operators.similarity import tfidf_pairs
+
+    # same vocabulary, reordered: zero shared 3-shingles, high tf-idf cos
+    a = "quantum flux capacitor resonates with tachyon harmonics"
+    b = "tachyon harmonics resonates quantum capacitor with flux"
+    filler = [(i, f"doc {i} filler text about topic{i} entirely") for i in range(3, 9)]
+    df = spark.createDataFrame(
+        [(1, a), (2, b)] + filler, "doc_id long, text string"
+    )
+    hits = tfidf_pairs(df, "text", "doc_id", threshold=0.9, max_df=None).collect()
+    assert [(r.id_a, r.id_b) for r in hits] == [(1, 2)]
+    assert hits[0].tfidf_cos == 1.0  # identical bags -> exactly 1
+    assert exact_jaccard_pairs(df, "text", "doc_id", threshold=0.9,
+                               shingle_n=3).collect() == []
+
+
+def test_tfidf_pairs_df_cap_drops_stopword_candidates(spark):
+    from corpusama_spark.operators.similarity import tfidf_pairs
+
+    # docs share ONLY the stop-word "the"; with a df cap below its df the
+    # pair never becomes a candidate
+    df = spark.createDataFrame(
+        [(i, f"the unique{i} tokens{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert tfidf_pairs(df, "text", "doc_id", threshold=0.0, max_df=5).collect() == []

@@ -63,3 +63,20 @@ def test_plan_single_exchange(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, v double")
     out = group_quantiles_exact(df, "k", "v", [0.5])
     report(out).assert_no_row_python().assert_max_shuffles(1)
+
+
+def test_mad_outliers_flags_extreme_and_handles_degenerate(spark):
+    from corpusama_spark.operators.quantiles import mad_outliers
+
+    rows = [("a", i, v) for i, v in enumerate([10, 12, 11, 13, 12, 500])]
+    rows += [("b", 100 + i, 7) for i in range(4)]  # constant group: MAD=0
+    df = spark.createDataFrame(rows, "src string, rid long, val long")
+    out = {r.rid: r for r in mad_outliers(df, "src", "val", 3.5).collect()}
+    # group a: sorted [10,11,12,12,13,500] -> type-1 median = 12 (rank 3),
+    # deviations [2,1,0,0,1,488] -> MAD = 1 (rank 3 of [0,0,1,1,2,488])
+    assert out[5].med == 12 and out[5].mad == 1
+    assert out[5].outlier is True and out[5].robust_z > 300
+    assert out[0].outlier is False
+    # degenerate group: NULL z and NULL flag, never a crash
+    assert out[100].mad == 0 and out[100].robust_z is None
+    assert out[100].outlier is None
