@@ -2978,6 +2978,46 @@ def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase over the events
+    stream: per step, users who reached it IN ORDER (first-touch, strict
+    microsecond-exact 'after'). N-1 user-keyed semi-join stages, each
+    narrower than the last — the where-do-we-lose-documents shape for
+    ingest pipelines, unchanged for product analytics."""
+    from corpusama_spark.operators.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention triangle: users bucketed by first-event day,
+    distinct-user counts per (cohort_day, day_offset). Cohort day is an
+    ISO string so the result is dtype-stable across engines."""
+    from corpusama_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram audit of a [0,1] quality score: the
+    within-source length percentile (X-family score_percentile) binned
+    into fixed deciles against the outcome 'doc mentions «query»' —
+    longer docs are likelier to, so a calibrated score shows a rising
+    pos_rate. Fixed-width bins keep it scan-stage (never ntile/global
+    sort); this is the audit run before a threshold deletes a petabyte."""
+    from corpusama_spark.operators.classifier import calibration_bins
+    from corpusama_spark.operators.curation import within_group_percentile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    scored = within_group_percentile(docs, "source", "n_chars").select(
+        "pct", F.col("text").rlike(r"\bquery\b").alias("has_query")
+    )
+    return calibration_bins(scored, "pct", "has_query", bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3068,6 +3108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "mad_outliers": q_mad_outliers,
         "tfidf_pairs": q_tfidf_pairs,
+        "funnel": q_funnel,
+        "cohort": q_cohort,
+        "calibration": q_calibration,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -6165,5 +6208,54 @@ def oracle_sql() -> dict[str, str]:
         JOIN nrm nb ON nb.id = dots.id_b
         WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.6
         ORDER BY id_a, id_b
+    """
+    out["funnel"] = """
+        WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s1 ON s1.user_id = e.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s2 ON s2.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        c AS (
+            SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        SELECT step_idx, step, n_users,
+               round(n_users / (SELECT count(*) FROM s1), 6) AS conv_rate
+        FROM c ORDER BY step_idx
+    """
+    out["cohort"] = """
+        WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE)
+                              AS day
+                   FROM events),
+        f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, day FROM d)
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', f.cohort, a.day) AS BIGINT)
+                   AS day_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM a JOIN f ON f.user_id = a.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    out["calibration"] = """
+        WITH scored AS (
+            SELECT round(percent_rank() OVER (PARTITION BY source
+                                              ORDER BY n_chars), 6) AS pct,
+                   CAST(regexp_matches(text, '\\bquery\\b') AS INT) AS y
+            FROM documents),
+        binned AS (
+            SELECT CAST(least(9, floor(pct * 10)) AS BIGINT) AS bin,
+                   pct, y
+            FROM scored)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               round(avg(pct), 6) AS mean_score,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               round(sum(y) / count(*), 6) AS pos_rate
+        FROM binned GROUP BY bin ORDER BY bin
     """
     return out

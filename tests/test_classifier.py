@@ -99,3 +99,20 @@ def test_nb_plan_broadcast_and_jvm(spark):
     rep.assert_no_row_python()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_calibration_bins_rates_and_edges(spark):
+    from pyspark.sql import functions as F
+    from corpusama_spark.operators.classifier import calibration_bins
+
+    rows = [(0.05, False), (0.05, False), (0.15, True), (0.95, True),
+            (1.0, True),  # score exactly 1.0 must clamp into the top bin
+            (0.95, False)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = {r.bin: r for r in
+           calibration_bins(df, "score", "y", bins=10).collect()}
+    assert out[0].n == 2 and out[0].pos_rate == 0.0
+    assert out[1].n == 1 and out[1].pos_rate == 1.0
+    assert out[9].n == 3 and out[9].n_pos == 2
+    assert out[9].pos_rate == round(2 / 3, 6)
+    assert set(out) == {0, 1, 9}
