@@ -3018,6 +3018,59 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(scored, "pct", "has_query", bins=10)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over a deterministic synthetic link graph
+    (tree edge doc→⌊doc/2⌋ concentrating authority at the root + a
+    modular mixing edge doc→(13·doc+7) mod 97) — the domain-authority
+    signal crawl curation ranks frontiers with. Fixed iterations,
+    uniform init, documented dangling-mass leak; the DuckDB twin
+    unrolls the identical three rounds."""
+    from corpusama_spark.operators.components import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    e1 = docs.where(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("src"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 13 + 7, F.lit(97)).cast("long").alias("dst"),
+    )
+    return pagerank(e1.unionByName(e2), iters=3, damping=0.85).orderBy("id")
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document: words / sentence runs /
+    vowel-group syllables as integer regexp folds, the standard
+    dictionary-free readability estimate — both spam-correlated tails
+    (too hard, too easy) are stock quality-filter features."""
+    from corpusama_spark.operators.textstats import flesch_reading_ease
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", flesch_reading_ease(F.col("text")).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.words").alias("words"),
+        F.col("s.sentences").alias("sentences"),
+        F.col("s.syllables").alias("syllables"),
+        F.col("s.flesch").alias("flesch"),
+    ).orderBy("doc_id")
+
+
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest-volume anomalies per event type: each day's count
+    z-scored against the trailing 7 days (current day excluded so a
+    spike can't mask itself) — the 'source X just doubled / went dark'
+    monitor. The window runs over the tiny (type, day) rollup, never
+    raw events."""
+    from corpusama_spark.operators.trends import rate_anomaly
+
+    return rate_anomaly(
+        _t(spark, sf_dir, "events"), trailing=7, z_thresh=2.0
+    ).orderBy("event_type", "day")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3111,6 +3164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort": q_cohort,
         "calibration": q_calibration,
+        "pagerank": q_pagerank,
+        "readability": q_readability,
+        "rate_anomaly": q_rate_anomaly,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -6257,5 +6313,90 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(y) AS BIGINT) AS n_pos,
                round(sum(y) / count(*), 6) AS pos_rate
         FROM binned GROUP BY bin ORDER BY bin
+    """
+    out["pagerank"] = """
+        WITH ed AS (
+            SELECT doc_id AS src,
+                   CAST(floor(doc_id / 2) AS BIGINT) AS dst
+            FROM documents WHERE doc_id > 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 7) % 97 FROM documents),
+        nodes AS (SELECT DISTINCT id FROM (
+            SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)),
+        odeg AS (SELECT src, count(*) AS odeg FROM ed GROUP BY 1),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT id, 1.0 / n AS rank FROM nodes, nt),
+        c1 AS (SELECT dst, sum(r.rank / o.odeg) AS i
+               FROM ed JOIN odeg o USING (src)
+               JOIN r0 r ON r.id = ed.src GROUP BY 1),
+        r1 AS (SELECT nodes.id,
+                      0.15 / n + 0.85 * coalesce(c1.i, 0.0) AS rank
+               FROM nodes LEFT JOIN c1 ON c1.dst = nodes.id, nt),
+        c2 AS (SELECT dst, sum(r.rank / o.odeg) AS i
+               FROM ed JOIN odeg o USING (src)
+               JOIN r1 r ON r.id = ed.src GROUP BY 1),
+        r2 AS (SELECT nodes.id,
+                      0.15 / n + 0.85 * coalesce(c2.i, 0.0) AS rank
+               FROM nodes LEFT JOIN c2 ON c2.dst = nodes.id, nt),
+        c3 AS (SELECT dst, sum(r.rank / o.odeg) AS i
+               FROM ed JOIN odeg o USING (src)
+               JOIN r2 r ON r.id = ed.src GROUP BY 1),
+        r3 AS (SELECT nodes.id,
+                      0.15 / n + 0.85 * coalesce(c3.i, 0.0) AS rank
+               FROM nodes LEFT JOIN c3 ON c3.dst = nodes.id, nt)
+        SELECT id, round(rank, 6) AS rank FROM r3 ORDER BY id
+    """
+    out["readability"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   regexp_replace(lower(coalesce(text, '')),
+                                  '[^\\s]+', chr(1), 'g') AS cw,
+                   regexp_replace(lower(coalesce(text, '')),
+                                  '[.!?]+', chr(1), 'g') AS cs,
+                   regexp_replace(lower(coalesce(text, '')),
+                                  '[aeiouy]+', chr(1), 'g') AS cy
+            FROM documents),
+        k AS (
+            SELECT doc_id,
+                   CAST(length(cw) - length(replace(cw, chr(1), ''))
+                        AS BIGINT) AS words,
+                   greatest(CAST(1 AS BIGINT),
+                            CAST(length(cs) - length(replace(cs, chr(1), ''))
+                                 AS BIGINT)) AS sentences,
+                   CAST(length(cy) - length(replace(cy, chr(1), ''))
+                        AS BIGINT) AS syllables
+            FROM c)
+        SELECT doc_id, words, sentences, syllables,
+               CASE WHEN words > 0
+                    THEN round(206.835 - 1.015 * (words / sentences)
+                               - 84.6 * (syllables / words), 6)
+               END AS flesch
+        FROM k ORDER BY doc_id
+    """
+    out["rate_anomaly"] = """
+        WITH daily AS (
+            SELECT event_type,
+                   strftime(CAST(date_trunc('day', ts) AS DATE),
+                            '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT event_type, day, n,
+               CAST(count(n) OVER w AS BIGINT) AS n_prior,
+               coalesce(round(avg(n) OVER w, 6), 0.0) AS trail_mean,
+               coalesce(CASE WHEN (stddev_samp(n) OVER w) > 0
+                             THEN round((n - avg(n) OVER w)
+                                        / (stddev_samp(n) OVER w), 6)
+                        END, 0.0) AS z,
+               coalesce(CASE WHEN (stddev_samp(n) OVER w) > 0
+                             THEN abs((n - avg(n) OVER w)
+                                      / (stddev_samp(n) OVER w)) > 2.0
+                             WHEN (stddev_samp(n) OVER w) = 0
+                                  AND (count(n) OVER w) >= 2
+                             THEN n != avg(n) OVER w
+                        END, FALSE) AS anomaly
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        ORDER BY event_type, day
     """
     return out

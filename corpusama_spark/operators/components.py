@@ -329,3 +329,62 @@ def cluster_purity(
         "majority_n",
         F.round(F.col("majority_n") / F.col("size"), 6).alias("purity"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed link graph — the
+    domain/page authority signal web-curation pipelines rank crawl
+    frontiers and weight quality priors with (CommonCrawl publishes
+    exactly this per domain). Deterministic by construction: fixed
+    iteration count, uniform 1/N init, r' = (1−d)/N + d·Σ r/outdeg
+    over incoming edges. Dangling-node mass leaks (no redistribution) —
+    acceptable for RANKING use and kept deliberately so the relational
+    form stays one join + one groupBy per iteration; document the leak
+    rather than hide a second corpus-wide aggregate per round.
+
+    Scale shape per iteration: ONE src-keyed join (rank × outdeg) and
+    ONE dst-keyed sum — both linear; the rank vector is nodes-sized,
+    never edges-sized. N and outdegrees compute once up front. At
+    10^12 edges use the same plan with the rank table bucketed on id so
+    the per-iteration join is co-located.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_tot = nodes.agg(F.count("*").cast("double").alias("_n"))
+    d = float(damping)
+    r = nodes.crossJoin(F.broadcast(n_tot)).select(
+        "id", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(int(iters)):
+        contrib = (
+            e.join(outdeg, "src")
+            .join(r.select(F.col("id").alias("src"), "rank"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("_in"))
+        )
+        r = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(n_tot))
+            .select(
+                "id",
+                (
+                    (F.lit(1.0) - d) / F.col("_n")
+                    + F.lit(d) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return r.select("id", F.round(F.col("rank"), 6).alias("rank"))

@@ -526,3 +526,40 @@ def heaps_fit(
         F.round(F.regr_r2(F.col("ln_v"), F.col("ln_n")), 6).alias("r2"),
         F.count("*").alias("n_checkpoints"),
     )
+
+
+def _count_pattern_runs(col: Column, pattern: str) -> Column:
+    """Count maximal runs matching `pattern` by collapsing each run to a
+    sentinel and length-diffing — pure JVM, no UDF, and semantically
+    identical to DuckDB's regexp_replace(..., 'g') twin."""
+    collapsed = F.regexp_replace(col, pattern, "\x01")
+    return (
+        F.length(collapsed)
+        - F.length(F.regexp_replace(collapsed, "\x01", ""))
+    ).cast("long")
+
+
+def flesch_reading_ease(text_col: Column) -> Column:
+    """Flesch reading-ease struct (words, sentences, syllables, flesch):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    syllables approximated as maximal vowel-group runs (the standard
+    dictionary-free estimate) and sentences as [.!?]+ runs, floored at
+    1 so punctuation-free fragments don't divide by zero. A readability
+    band is a stock quality-filter feature (too-hard and too-easy tails
+    are both spam-correlated). Every count is an integer regexp fold —
+    scan-stage, and the final float expression is engine-portable."""
+    lower = F.lower(F.coalesce(text_col, F.lit("")))
+    words = _count_pattern_runs(lower, r"[^\s]+")
+    sents = F.greatest(F.lit(1).cast("long"), _count_pattern_runs(lower, r"[.!?]+"))
+    syll = _count_pattern_runs(lower, r"[aeiouy]+")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sents)
+        - F.lit(84.6) * (syll / words)
+    )
+    return F.struct(
+        words.alias("words"),
+        sents.alias("sentences"),
+        syll.alias("syllables"),
+        F.when(words > 0, F.round(flesch, 6)).alias("flesch"),
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_trend"]
+__all__ = ["grouped_trend", "rate_anomaly"]
 
 
 def grouped_trend(
@@ -48,4 +48,67 @@ def grouped_trend(
             F.round(F.expr("regr_intercept(_y, _x)"), 6).alias("intercept"),
             F.round(F.expr("regr_r2(_y, _x)"), 6).alias("r2"),
         )
+    )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    trailing: int = 7,
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Daily-volume anomaly detection per group: each day's event count
+    z-scored against the TRAILING `trailing`-day window (current day
+    excluded, so a spike can't mask itself). The ingest-monitoring op —
+    "source X just doubled / went dark" — and the first thing a crawl
+    operator wants automated. Warm-up days (under two prior days: mean
+    or stddev undefined) report n_prior so callers can see the stats
+    are vacuous, with trail_mean/z pinned to 0.0 and anomaly=false —
+    the output carries NO null floats/booleans, so it is dtype-stable
+    through every pandas/Arrow handoff. A PERFECTLY FLAT history makes
+    sd = 0 and z undefined — and a jump off a flat line is the clearest
+    anomaly there is — so with >= 2 prior days and sd = 0, ANY
+    deviation from the trailing mean flags (z stays 0.0: it cannot be
+    scaled).
+
+    Scale shape: the daily rollup is one (group, day) groupBy with
+    map-side combine — output is groups × days, tiny; the window then
+    runs over THAT table, so the sort is per-group over day counts,
+    not over raw events. Counts are integers, so the window mean/sd
+    see exact inputs and engines agree at 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        events.groupBy(
+            F.col(group_col),
+            F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("day")
+        .rowsBetween(-int(trailing), -1)
+    )
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    z = (F.col("n") - mu) / sd
+    return daily.select(
+        group_col,
+        "day",
+        "n",
+        F.count("n").over(w).cast("long").alias("n_prior"),
+        F.coalesce(F.round(mu, 6), F.lit(0.0)).alias("trail_mean"),
+        F.coalesce(F.when(sd > 0, F.round(z, 6)), F.lit(0.0)).alias("z"),
+        F.coalesce(
+            F.when(sd > 0, F.abs(z) > F.lit(float(z_thresh))).when(
+                (sd == 0) & (F.count("n").over(w) >= 2),
+                F.col("n") != mu,
+            ),
+            F.lit(False),
+        ).alias("anomaly"),
     )

@@ -291,3 +291,28 @@ def test_cluster_purity_majority_and_ties(spark):
     assert out[1].size == 4 and out[1].majority_n == 2
     assert out[9].majority_label == "de" and out[9].purity == 1.0
     assert set(out) == {1, 9}
+
+
+def test_pagerank_tree_concentrates_authority(spark):
+    from corpusama_spark.operators.components import pagerank
+
+    # star: everyone links to 0 -> 0 gets the mass
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 9)], "src long, dst long"
+    )
+    r = {x.id: x.rank for x in pagerank(edges, iters=3).collect()}
+    assert r[0] == max(r.values())
+    assert all(abs(r[i] - r[1]) < 1e-9 for i in range(2, 9))  # symmetric leaves
+    # leaves only get teleport mass: (1-d)/N at every iteration
+    assert r[1] == round(0.15 / 9, 6)
+
+
+def test_pagerank_partition_invariant(spark):
+    from corpusama_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(40)], "src long, dst long"
+    )
+    a = sorted(pagerank(edges, iters=3).collect())
+    b = sorted(pagerank(edges.repartition(7), iters=3).collect())
+    assert a == b

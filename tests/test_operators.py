@@ -897,3 +897,44 @@ def test_tfidf_pairs_df_cap_drops_stopword_candidates(spark):
         "doc_id long, text string",
     )
     assert tfidf_pairs(df, "text", "doc_id", threshold=0.0, max_df=5).collect() == []
+
+
+def test_flesch_reading_ease_counts(spark):
+    from pyspark.sql import functions as F
+    from corpusama_spark.operators.textstats import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),
+         (2, "word"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.s for r in df.select(
+        "doc_id", flesch_reading_ease(F.col("text")).alias("s")).collect()}
+    assert out[1].words == 6 and out[1].sentences == 2
+    # "the cat sat the dog ran" -> vowel groups: e,a,a,e,o,a = 6
+    assert out[1].syllables == 6
+    assert out[1].flesch == round(206.835 - 1.015 * 3 - 84.6 * 1.0, 6)
+    assert out[2].sentences == 1  # floored, no divide-by-zero
+    assert out[3].words == 0 and out[3].flesch is None
+
+
+def test_rate_anomaly_flags_spike_not_warmup(spark):
+    from datetime import datetime
+    from corpusama_spark.operators.trends import rate_anomaly
+
+    rows = []
+    for d in range(1, 9):
+        n = 100 if d < 8 else 500  # flat week then a 5x spike
+        rows += [(i, "ingest", datetime(2024, 1, d, i % 24)) for i in range(n)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.day: r for r in rate_anomaly(ev, trailing=7, z_thresh=2.0).collect()}
+    # warm-up days: vacuous stats, never alerts, NULL-free
+    assert out["2024-01-01"].n_prior == 0 and out["2024-01-01"].anomaly is False
+    assert out["2024-01-02"].z == 0.0  # single prior day: sd undefined
+    # flat days in between: z == 0 exactly (all counts equal -> sd == 0)
+    assert out["2024-01-05"].anomaly is False
+    # the spike day: 7 prior flat days, huge z
+    spike = out["2024-01-08"]
+    assert spike.n_prior == 7 and spike.trail_mean == 100.0
+    assert spike.anomaly is True
