@@ -3071,6 +3071,75 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production image-dedup cascade over the phash catalog: content
+    hashes (ids folded mod 350 so later ids byte-duplicate earlier
+    ones; twins never do) feed the cheap exact pass, then banded phash
+    LSH + components run on survivors only, with TRANSITIVE canonicals.
+    The oracle re-derives exact groups, O(n²) hamming pairs, and the
+    recursive closure over the identical survivor set."""
+    from corpusama_spark.operators.dedup import dedup_cascade
+
+    pop = _phash_population(_t(spark, sf_dir, "documents"))
+    cat = pop.withColumn(
+        "chash",
+        F.when(
+            F.col("id") < 1000000,
+            F.md5(F.concat(F.lit("c-"), (F.col("id") % 350).cast("string"))),
+        ).otherwise(
+            F.md5(F.concat(F.lit("c-t-"), F.col("id").cast("string")))
+        ),
+    )
+    return dedup_cascade(
+        cat, "chash", "id", "code", bands=4, hamming_k=3
+    ).orderBy("id")
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (source, lang) with grouping_id and '(all)'
+    sentinel labels — every subtotal tier of the corpus-composition
+    report in ONE pass (Spark expands grouping sets map-side; no
+    4-scan union). Doc counts and char sums are exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            # gid bit layout: first cube column is the high bit
+            F.when(F.col("gid").bitwiseAND(2) != 0, F.lit("(all)"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            F.when(F.col("gid").bitwiseAND(1) != 0, F.lit("(all)"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            "n_docs",
+            "n_chars",
+            "gid",
+        )
+        .orderBy("gid", "source", "lang")
+    )
+
+
+def q_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL / INTERSECT ALL coverage: even-id docs vs
+    English docs, per-language row counts of both set results — the
+    audit shape for 'what did this corpus revision add/remove'."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    b = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    ex = a.exceptAll(b).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n")
+    ).select(F.lit("except").alias("op"), "lang", "n")
+    ix = a.intersectAll(b).groupBy("lang").agg(
+        F.count("*").cast("long").alias("n")
+    ).select(F.lit("intersect").alias("op"), "lang", "n")
+    return ex.unionByName(ix).orderBy("op", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3167,6 +3236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "readability": q_readability,
         "rate_anomaly": q_rate_anomaly,
+        "dedup_cascade": q_dedup_cascade,
+        "cube_counts": q_cube_counts,
+        "except_intersect": q_except_intersect,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -6398,5 +6470,60 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (PARTITION BY event_type ORDER BY day
                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
         ORDER BY event_type, day
+    """
+    out["dedup_cascade"] = f"""
+        WITH RECURSIVE
+        pop AS ({_SQL_PHASH_POP}),
+        cat AS (
+            SELECT id, code,
+                   CASE WHEN id < 1000000
+                        THEN md5('c-' || (id % 350))
+                        ELSE md5('c-t-' || id) END AS chash
+            FROM pop),
+        c1 AS (SELECT chash, min(id) AS ecanon FROM cat GROUP BY 1),
+        s1 AS (SELECT cat.id, cat.code, cat.chash, c1.ecanon
+               FROM cat JOIN c1 USING (chash)),
+        surv AS (SELECT id, code FROM s1 WHERE id = ecanon),
+        cand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM surv a JOIN surv b ON a.id < b.id
+            WHERE bit_count(xor(a.code, b.code)) <= 3),
+        e AS (SELECT id_a AS s, id_b AS d FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+        r AS (SELECT s AS id, s AS comp FROM e
+              UNION SELECT r.id, e.d FROM r JOIN e ON e.s = r.comp),
+        c AS (SELECT id, min(comp) AS component FROM r GROUP BY id)
+        SELECT s1.id,
+               CASE WHEN s1.id != s1.ecanon THEN 'exact_dup'
+                    WHEN coalesce(c.component, s1.ecanon) != s1.id
+                        THEN 'near_dup'
+                    ELSE 'unique' END AS stage,
+               coalesce(c.component, s1.ecanon) AS canonical,
+               coalesce(c.component, s1.ecanon) = s1.id AS keep
+        FROM s1 LEFT JOIN c ON c.id = s1.ecanon
+        ORDER BY s1.id
+    """
+    out["cube_counts"] = """
+        SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)'
+                    ELSE source END AS source,
+               CASE WHEN GROUPING(lang) = 1 THEN '(all)'
+                    ELSE lang END AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(GROUPING(source, lang) AS BIGINT) AS gid
+        FROM documents
+        GROUP BY CUBE (source, lang)
+        ORDER BY gid, source, lang
+    """
+    out["except_intersect"] = """
+        WITH a AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0),
+        b AS (SELECT doc_id, lang FROM documents WHERE lang = 'en'),
+        ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+        ix AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        SELECT 'except' AS op, lang, CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY lang
+        UNION ALL
+        SELECT 'intersect', lang, count(*) FROM ix GROUP BY lang
+        ORDER BY op, lang
     """
     return out

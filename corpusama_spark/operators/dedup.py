@@ -927,3 +927,61 @@ def containment_pairs(
     return out.where(
         (F.col("cont_a_in_b") >= t) | (F.col("cont_b_in_a") >= t)
     )
+
+
+def dedup_cascade(
+    catalog: DataFrame,
+    content_col: str,
+    id_col: str = "id",
+    code_col: str = "code",
+    bands: int = 4,
+    hamming_k: int = 3,
+    fixed_iters: int = 12,
+) -> DataFrame:
+    """Two-stage image-dedup cascade, the production shape: a CHEAP
+    exact pass (byte/content hash groupBy, min-id canonical) shrinks
+    the catalog before the EXPENSIVE near-dup pass (banded perceptual-
+    hash LSH → hamming verify → connected components) runs on survivors
+    only. At web scale the exact stage routinely removes 30-50% of
+    images (hotlinked/re-uploaded bytes), cutting the LSH stage's
+    candidate volume quadratically in the dense buckets.
+
+    Canonicals are TRANSITIVE: an exact duplicate whose canonical later
+    merges into a near-dup cluster points at that cluster's canonical,
+    so anti-joining `keep` leaves exactly one copy per visual identity.
+    Returns (id, stage ∈ exact_dup|near_dup|unique, canonical, keep).
+
+    Scale shape: one content-keyed exchange (hashes, never bytes), then
+    the banded pair join + per-round component shuffles on the reduced
+    survivor set; the final stitch is two id-keyed joins. All
+    arithmetic is integer/hash — bit-identical on any engine.
+    """
+    from corpusama_spark.operators.components import connected_components
+
+    c = catalog.select(
+        F.col(id_col).alias("id"),
+        F.col(content_col).alias("_chash"),
+        F.col(code_col).alias("code"),
+    )
+    canon1 = c.groupBy("_chash").agg(F.min("id").alias("_ecanon"))
+    s1 = c.join(canon1, "_chash")
+    survivors = s1.where(F.col("id") == F.col("_ecanon")).select("id", "code")
+    pairs = hamming_band_pairs(
+        survivors, "id", "code", bands=bands, hamming_k=hamming_k
+    )
+    comp = connected_components(pairs, fixed_iters=fixed_iters).select(
+        F.col("id").alias("_ecanon"), F.col("component").alias("_comp")
+    )
+    canonical = F.coalesce(F.col("_comp"), F.col("_ecanon"))
+    return (
+        s1.join(comp, "_ecanon", "left")
+        .select(
+            "id",
+            F.when(F.col("id") != F.col("_ecanon"), F.lit("exact_dup"))
+            .when(canonical != F.col("id"), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("stage"),
+            canonical.alias("canonical"),
+            (canonical == F.col("id")).alias("keep"),
+        )
+    )

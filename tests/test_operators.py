@@ -938,3 +938,44 @@ def test_rate_anomaly_flags_spike_not_warmup(spark):
     spike = out["2024-01-08"]
     assert spike.n_prior == 7 and spike.trail_mean == 100.0
     assert spike.anomaly is True
+
+
+def test_dedup_cascade_stages_and_transitive_canonical(spark):
+    from corpusama_spark.operators.dedup import dedup_cascade
+    from pyspark.sql import functions as F
+
+    # ids 1,2 byte-identical (content A); 3 unique content but phash-near 1;
+    # 4 totally distinct. Codes: 1 and 3 differ in one bit.
+    rows = [
+        (1, "A", 0b1111000011110000),
+        (2, "A", 0b1010101010101010),  # code irrelevant: exact-dup of 1
+        (3, "B", 0b1111000011110001),
+        (4, "C", 0b0000111100001111),
+    ]
+    df = spark.createDataFrame(rows, "id long, chash string, code long")
+    out = {r.id: r for r in
+           dedup_cascade(df, "chash", "id", "code",
+                         bands=4, hamming_k=1).collect()}
+    assert out[1].stage == "unique" and out[1].keep is True
+    assert out[2].stage == "exact_dup" and out[2].canonical == 1
+    assert out[3].stage == "near_dup" and out[3].canonical == 1
+    assert out[4].stage == "unique" and out[4].keep is True
+    # exactly one keeper per visual identity
+    assert sum(r.keep for r in out.values()) == 2
+
+
+def test_dedup_cascade_exact_dup_follows_merged_canonical(spark):
+    from corpusama_spark.operators.dedup import dedup_cascade
+
+    # 5 is an exact dup of 3; 3 near-merges into 1 -> 5's canonical is 1
+    rows = [
+        (1, "A", 0b11110000),
+        (3, "B", 0b11110001),
+        (5, "B", 0b00000000),
+    ]
+    df = spark.createDataFrame(rows, "id long, chash string, code long")
+    out = {r.id: r for r in
+           dedup_cascade(df, "chash", "id", "code",
+                         bands=4, hamming_k=1).collect()}
+    assert out[5].stage == "exact_dup" and out[5].canonical == 1
+    assert out[3].canonical == 1 and not out[3].keep
