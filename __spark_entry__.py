@@ -3140,6 +3140,42 @@ def q_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.unionByName(ix).orderBy("op", "lang")
 
 
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (pct, has_query) scoring pair for the model-QA family:
+    within-source length percentile as the score, 'mentions «query»' as
+    the outcome — longer docs are likelier to, so a sane score shows
+    AUC > 0.5 and a rising PR tradeoff."""
+    from corpusama_spark.operators.curation import within_group_percentile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    return within_group_percentile(docs, "source", "n_chars").select(
+        "pct", F.col("text").rlike(r"\bquery\b").alias("has_query")
+    )
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney with midrank ties, integer until the
+    final divide) of the length-percentile score against the
+    mentions-«query» outcome — the threshold-free ranking-quality
+    number for the calibration/PR family."""
+    from corpusama_spark.operators.classifier import auc_score
+
+    return auc_score(_scored_docs(spark, sf_dir), "pct", "has_query")
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at t = 1/10 … 9/10 over the same scoring
+    pair — the operating-point table a deployment picks its keep
+    threshold from. One corpus read for all thresholds (broadcast
+    threshold crossJoin, map-side combine); vacuous points report 0.0
+    with n_pred exposing vacuity (no NULL floats)."""
+    from corpusama_spark.operators.classifier import pr_curve
+
+    return pr_curve(_scored_docs(spark, sf_dir), "pct", "has_query", 9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3239,6 +3275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cascade": q_dedup_cascade,
         "cube_counts": q_cube_counts,
         "except_intersect": q_except_intersect,
+        "auc": q_auc,
+        "pr_curve": q_pr_curve,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -6525,5 +6563,56 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'intersect', lang, count(*) FROM ix GROUP BY lang
         ORDER BY op, lang
+    """
+    _sql_scored = """
+        SELECT round(percent_rank() OVER (PARTITION BY source
+                                          ORDER BY n_chars), 6) AS s,
+               CAST(regexp_matches(text, '\\bquery\\b') AS BIGINT) AS y
+        FROM documents"""
+    out["auc"] = f"""
+        WITH scored AS ({_sql_scored}),
+        per AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS n_s,
+                   CAST(sum(y) AS BIGINT) AS pos_s
+            FROM scored GROUP BY s),
+        ranked AS (
+            SELECT *, sum(n_s) OVER (ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) AS cum_n
+            FROM per)
+        SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+               CAST(sum(n_s) - sum(pos_s) AS BIGINT) AS n_neg,
+               round((sum(pos_s * (2 * cum_n - n_s + 1))
+                      - sum(pos_s) * (sum(pos_s) + 1))
+                     / (2.0 * sum(pos_s) * (sum(n_s) - sum(pos_s))), 6)
+                   AS auc
+        FROM ranked
+    """
+    out["pr_curve"] = f"""
+        WITH scored AS ({_sql_scored}),
+        th AS (SELECT i / 10.0 AS t FROM generate_series(1, 9) g(i)),
+        agg AS (
+            SELECT t,
+                   CAST(sum(CASE WHEN s >= t AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN s >= t AND y = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN s < t AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fn
+            FROM scored, th GROUP BY t)
+        SELECT round(t, 6) AS t, tp, fp, fn,
+               CAST(tp + fp AS BIGINT) AS n_pred,
+               coalesce(CASE WHEN tp + fp > 0
+                             THEN round(tp / (tp + fp), 6) END, 0.0)
+                   AS precision,
+               coalesce(CASE WHEN tp + fn > 0
+                             THEN round(tp / (tp + fn), 6) END, 0.0)
+                   AS recall,
+               coalesce(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+                             THEN round(2 * (tp / (tp + fp))
+                                          * (tp / (tp + fn))
+                                        / ((tp / (tp + fp))
+                                           + (tp / (tp + fn))), 6)
+                        END, 0.0) AS f1
+        FROM agg ORDER BY t
     """
     return out

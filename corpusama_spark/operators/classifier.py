@@ -203,3 +203,118 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def auc_score(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean outcome via the
+    Mann-Whitney rank-sum with PROPER midrank tie handling — the one
+    threshold-free number that says whether a quality model ranks
+    keep-worthy docs above junk. Kept fully integer until the final
+    divide: with S2 = Σ_pos (2·cum_n − n_s + 1) (twice the midrank
+    sum), AUC = (S2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg) — every term
+    is an exact integer, so engines agree to the last bit before the
+    one rounded division.
+
+    Scale shape: one map-side-combinable groupBy collapses the corpus
+    to per-DISTINCT-SCORE counts; the cumulative window then runs over
+    that table. Quantize the score (e.g. 6 dp) upstream so the distinct
+    table is bounded — the window is single-partition by construction
+    (a global CDF is inherently ordered) and must stay tiny.
+    Returns one row: (n_pos, n_neg, auc).
+    """
+    from pyspark.sql.window import Window
+
+    per = (
+        scored.select(
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("n_s"),
+            F.sum("y").cast("long").alias("pos_s"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per.withColumn("cum_n", F.sum("n_s").over(w))
+    return ranked.agg(
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        (F.sum("n_s") - F.sum("pos_s")).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(
+                    F.col("pos_s")
+                    * (2 * F.col("cum_n") - F.col("n_s") + 1)
+                )
+                - F.sum("pos_s") * (F.sum("pos_s") + 1)
+            )
+            / (2.0 * F.sum("pos_s") * (F.sum("n_s") - F.sum("pos_s"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+def pr_curve(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_thresholds: int = 9,
+) -> DataFrame:
+    """Precision/recall/F1 at evenly spaced thresholds t = i/(n+1) —
+    the operating-point table a deployment picks its keep threshold
+    from (AUC says the score ranks well; this says what a concrete
+    cutoff costs). Conditional integer sums per threshold; vacuous
+    points (no predicted positives) report 0.0 with n_pred exposing
+    the vacuity — no NULL floats ever leave the operator.
+
+    Scale shape: the threshold table (n rows) broadcasts into one
+    crossJoin, so the corpus is read ONCE and every threshold's
+    confusion entries accumulate in the same map-side combine.
+    """
+    n = int(n_thresholds)
+    spark = scored.sparkSession
+    th = spark.range(1, n + 1).select(
+        (F.col("id") / float(n + 1)).alias("t")
+    )
+    base = scored.select(
+        F.col(score_col).alias("s"), F.col(label_col).cast("long").alias("y")
+    )
+    agg = (
+        base.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when((F.col("s") >= F.col("t")) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when((F.col("s") >= F.col("t")) & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when((F.col("s") < F.col("t")) & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("fn"),
+        )
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp") / (F.col("tp") + F.col("fn"))
+    return agg.select(
+        F.round("t", 6).alias("t"),
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") + F.col("fp")).cast("long").alias("n_pred"),
+        F.coalesce(
+            F.when(F.col("tp") + F.col("fp") > 0, F.round(prec, 6)),
+            F.lit(0.0),
+        ).alias("precision"),
+        F.coalesce(
+            F.when(F.col("tp") + F.col("fn") > 0, F.round(rec, 6)),
+            F.lit(0.0),
+        ).alias("recall"),
+        F.coalesce(
+            F.when(
+                (F.col("tp") + F.col("fp") > 0)
+                & (F.col("tp") + F.col("fn") > 0)
+                & (F.col("tp") > 0),
+                F.round(2 * prec * rec / (prec + rec), 6),
+            ),
+            F.lit(0.0),
+        ).alias("f1"),
+    ).orderBy("t")

@@ -116,3 +116,46 @@ def test_calibration_bins_rates_and_edges(spark):
     assert out[9].n == 3 and out[9].n_pos == 2
     assert out[9].pos_rate == round(2 / 3, 6)
     assert set(out) == {0, 1, 9}
+
+
+def test_auc_perfect_random_and_ties(spark):
+    from corpusama_spark.operators.classifier import auc_score
+
+    # perfectly separating score -> AUC 1.0
+    perfect = spark.createDataFrame(
+        [(0.1, False), (0.2, False), (0.8, True), (0.9, True)],
+        "score double, y boolean",
+    )
+    assert auc_score(perfect, "score", "y").collect()[0].auc == 1.0
+    # all scores tied -> midranks make AUC exactly 0.5
+    tied = spark.createDataFrame(
+        [(0.5, lbl) for lbl in (True, False, True, False, False)],
+        "score double, y boolean",
+    )
+    r = auc_score(tied, "score", "y").collect()[0]
+    assert r.auc == 0.5 and r.n_pos == 2 and r.n_neg == 3
+    # hand-checked mixed case: scores .1(+) .2(-) .3(+) .4(-) ->
+    # pos ranks {1,3}, U = 4-... AUC = (1*0 + 1*1)/ (2*2)? compute: 0.5
+    mixed = spark.createDataFrame(
+        [(0.1, True), (0.2, False), (0.3, True), (0.4, False)],
+        "score double, y boolean",
+    )
+    assert auc_score(mixed, "score", "y").collect()[0].auc == 0.25
+
+
+def test_pr_curve_monotone_recall_and_vacuous_guard(spark):
+    from corpusama_spark.operators.classifier import pr_curve
+
+    rows = [(i / 20.0, i >= 12) for i in range(20)]  # top 8 scores positive
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = pr_curve(df, "score", "y", n_thresholds=9).collect()
+    recalls = [r.recall for r in out]
+    assert recalls == sorted(recalls, reverse=True)  # recall never rises with t
+    # at t=0.5, predicted = scores >= 0.5 (10 rows), tp = 8
+    at5 = [r for r in out if abs(r.t - 0.5) < 1e-9][0]
+    assert at5.tp == 8 and at5.n_pred == 10 and at5.precision == 0.8
+    assert at5.recall == 1.0
+    # everything above max score -> vacuous: all-zero, never NULL
+    hi = pr_curve(spark.createDataFrame([(0.01, True)], "score double, y boolean"),
+                  "score", "y", n_thresholds=3).collect()
+    assert all(r.precision == 0.0 and r.f1 == 0.0 for r in hi)
