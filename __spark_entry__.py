@@ -3176,6 +3176,22 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(_scored_docs(spark, sf_dir), "pct", "has_query", 9)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 5 docs per source with
+    probability proportional to length (Efraimidis-Spirakis keys
+    ln(u)/w from md5-derived u) — fixed sample size where PPS Poisson
+    can't pin it, retry-safe where rand() isn't. One group-keyed
+    window top-k; the DuckDB twin re-derives the identical keys."""
+    from corpusama_spark.operators.curation import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_topk(
+        docs, "source", "doc_id", "n_chars", k=5
+    ).orderBy("source", "rnk")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3277,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_intersect": q_except_intersect,
         "auc": q_auc,
         "pr_curve": q_pr_curve,
+        "weighted_sample": q_weighted_sample,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -6614,5 +6631,20 @@ def oracle_sql() -> dict[str, str]:
                                            + (tp / (tp + fn))), 6)
                         END, 0.0) AS f1
         FROM agg ORDER BY t
+    """
+    out["weighted_sample"] = """
+        WITH t AS (
+            SELECT source, doc_id, n_chars,
+                   ln((('0x' || substr(md5('ws:' || doc_id), 1, 8))::BIGINT
+                       + 0.5) / 4294967296.0) / n_chars AS es
+            FROM documents WHERE n_chars > 0),
+        r AS (
+            SELECT source, doc_id, n_chars,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY es DESC, doc_id)
+                        AS BIGINT) AS rnk
+            FROM t)
+        SELECT doc_id, source, n_chars, rnk FROM r WHERE rnk <= 5
+        ORDER BY source, rnk
     """
     return out

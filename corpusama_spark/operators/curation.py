@@ -55,6 +55,7 @@ __all__ = [
     "eb_shrunk_means",
     "cross_reuse_stats",
     "within_group_percentile",
+    "weighted_sample_topk",
 ]
 
 
@@ -810,4 +811,56 @@ def within_group_percentile(
     w = Window.partitionBy(group_col).orderBy(F.col(value_col))
     return df.withColumn(
         "pct", F.round(F.percent_rank().over(w), 6)
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 5,
+    seed: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one distributed pass:
+    Efraimidis-Spirakis (2006) — each row draws u from md5(seed:key)
+    and survives if its key ln(u)/w ranks in the group's top k (w =
+    weight; ln(u)/w descending is the same order as u^(1/w)). The
+    probability a row wins is proportional to its weight, WITHOUT
+    replacement — the exact semantics "pick 5 docs per source, long
+    docs proportionally likelier, no repeats" needs, where PPS Poisson
+    (X101) can't pin the sample size and rand() isn't retry-safe.
+
+    Deterministic end to end: u = (h32 + 0.5) / 2^32 (never 0, so
+    ln never sees -inf), md5-derived, identical on any engine and
+    under any retry/speculation. Rows with weight <= 0 can never win
+    and are filtered explicitly. Scale shape: one group-keyed window
+    top-k — the same exchange quota_sample pays; at extreme group
+    sizes use the threshold-prefilter trick from quota_sample_skewsafe.
+    """
+    w = F.col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + ":"), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    es_key = F.log(u) / w
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("_es"), F.asc(key_col)
+    )
+    return (
+        df.where(w > 0)
+        .withColumn("_es", es_key)
+        .withColumn("rnk", F.row_number().over(win).cast("long"))
+        .where(F.col("rnk") <= int(k))
+        .drop("_es")
     )

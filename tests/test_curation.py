@@ -448,3 +448,38 @@ def test_within_group_percentile_rank_arithmetic(spark):
     assert by[("a", 40)] == {0.75}
     assert by[("a", 50)] == {1.0}
     assert by[("b", 7)] == {0.0}
+
+
+def test_weighted_sample_topk_exact_k_and_determinism(spark):
+    from corpusama_spark.operators.curation import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(g, i, (i % 7) + 1) for g in ("a", "b") for i in range(30)],
+        "src string, rid long, w long",
+    )
+    out = weighted_sample_topk(df, "src", "rid", "w", k=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.src, []).append(r.rid)
+    assert sorted(len(v) for v in per.values()) == [5, 5]
+    # deterministic under repartition
+    again = sorted((r.src, r.rid) for r in weighted_sample_topk(
+        df.repartition(7), "src", "rid", "w", k=5).collect())
+    assert sorted((r.src, r.rid) for r in out) == again
+    # zero/negative weights can never win
+    z = spark.createDataFrame([("a", 1, 0), ("a", 2, -3), ("a", 3, 10)],
+                              "src string, rid long, w long")
+    kept = weighted_sample_topk(z, "src", "rid", "w", k=5).collect()
+    assert [r.rid for r in kept] == [3]
+
+
+def test_weighted_sample_topk_weight_bias(spark):
+    from corpusama_spark.operators.curation import weighted_sample_topk
+
+    # one group, 200 rows: ids < 100 weight 1, ids >= 100 weight 50.
+    # heavy rows should dominate the top-20 overwhelmingly.
+    rows = [("g", i, 1 if i < 100 else 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "src string, rid long, w long")
+    kept = weighted_sample_topk(df, "src", "rid", "w", k=20).collect()
+    heavy = sum(1 for r in kept if r.rid >= 100)
+    assert heavy >= 17  # P(light row beats heavy) is tiny at w-ratio 50
