@@ -3192,6 +3192,47 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "rnk")
 
 
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus balance report over sources: Gini of group sizes
+    (integer arithmetic until the final divide), Shannon entropy,
+    normalized entropy, top group share — the data-mixing pre-flight
+    that says whether temperature reweighting is needed before
+    training. The corpus collapses to a groups-sized table first."""
+    from corpusama_spark.operators.skew import concentration_stats
+
+    return concentration_stats(_t(spark, sf_dir, "documents"), "source")
+
+
+def q_decayed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted value means per event type (half-life 7 days,
+    FIXED anchor 2024-02-01 so the result is reproducible on any
+    engine at any time) next to the plain mean — the freshness-
+    weighted drift report."""
+    from corpusama_spark.operators.trends import decayed_mean
+
+    return decayed_mean(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        "value",
+        half_life_days=7.0,
+        anchor="2024-02-01",
+    ).orderBy("event_type")
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM context chunking: 64-token windows with 16-token overlap per
+    document (final window runs short rather than padding) — pure
+    per-row array arithmetic, zero shuffle, output exactly
+    rows × ceil(n/stride). The DuckDB twin re-slices the identical
+    token arrays."""
+    from corpusama_spark.operators.curation import chunk_windows
+
+    return chunk_windows(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", size=64, overlap=16
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3294,6 +3335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc": q_auc,
         "pr_curve": q_pr_curve,
         "weighted_sample": q_weighted_sample,
+        "concentration": q_concentration,
+        "decayed_mean": q_decayed_mean,
+        "chunk_windows": q_chunk_windows,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -6646,5 +6690,66 @@ def oracle_sql() -> dict[str, str]:
             FROM t)
         SELECT doc_id, source, n_chars, rnk FROM r WHERE rnk <= 5
         ORDER BY source, rnk
+    """
+    out["concentration"] = """
+        WITH sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS x
+            FROM documents GROUP BY 1),
+        tot AS (
+            SELECT CAST(sum(x) AS BIGINT) AS tx,
+                   CAST(count(*) AS BIGINT) AS ng
+            FROM sizes),
+        ranked AS (
+            SELECT x, CAST(row_number() OVER (ORDER BY x, source)
+                           AS BIGINT) AS i
+            FROM sizes),
+        a AS (
+            SELECT t.ng, t.tx,
+                   sum(i * x) AS six,
+                   -sum((x / t.tx) * ln(x / t.tx)) AS ent,
+                   max(x) AS mx
+            FROM ranked, tot t
+            GROUP BY t.ng, t.tx)
+        SELECT ng AS n_groups,
+               round((2 * six - (ng + 1) * tx) / (ng * tx), 6) AS gini,
+               round(ent, 6) AS entropy,
+               round(CASE WHEN ng > 1
+                          THEN ent / ln(CAST(ng AS DOUBLE))
+                          ELSE 0.0 END, 6) AS norm_entropy,
+               round(mx / tx, 6) AS top_share
+        FROM a
+    """
+    out["decayed_mean"] = """
+        WITH base AS (
+            SELECT event_type, value,
+                   exp(-(ln(2) / 7.0)
+                       * CAST(date_diff('day',
+                              CAST(date_trunc('day', ts) AS DATE),
+                              DATE '2024-02-01') AS DOUBLE)) AS w
+            FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 6) AS plain_mean,
+               round(sum(value * w) / sum(w), 6) AS decayed_mean
+        FROM base GROUP BY event_type
+        ORDER BY event_type
+    """
+    out["chunk_windows"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(coalesce(text, ''), '\\s+'),
+                       s -> len(s) > 0) AS ws
+            FROM documents),
+        nn AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+        st AS (SELECT doc_id, ws, n,
+                      unnest(generate_series(1, n, 48)) AS s
+               FROM nn)
+        SELECT doc_id,
+               CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+               CAST(least(64, n - s + 1) AS BIGINT) AS n_tokens,
+               array_to_string(ws[s:s + 63], ' ') AS chunk_text
+        FROM st
+        ORDER BY doc_id, chunk_idx
     """
     return out

@@ -56,6 +56,7 @@ __all__ = [
     "cross_reuse_stats",
     "within_group_percentile",
     "weighted_sample_topk",
+    "chunk_windows",
 ]
 
 
@@ -863,4 +864,58 @@ def weighted_sample_topk(
         .withColumn("rnk", F.row_number().over(win).cast("long"))
         .where(F.col("rnk") <= int(k))
         .drop("_es")
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-size overlapping token windows per document — the
+    context-length chunking every LM training/embedding pipeline runs
+    between curation and tokenization (overlap preserves cross-boundary
+    context; the final window is allowed to run short rather than
+    padding or dropping tail tokens). Returns (id, chunk_idx, n_tokens,
+    chunk_text), deterministic and order-stable.
+
+    Pure per-row array arithmetic: split → sequence of window starts →
+    posexplode → slice — all scan-stage, ZERO shuffle, no UDF; output
+    size is rows × ceil(n_tok/stride), exactly the blowup the caller
+    asked for. Docs with no tokens produce no chunks (explicit, not an
+    empty-string chunk).
+    """
+    size = int(size)
+    stride = size - int(overlap)
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        base.where(F.col("_n") > 0)
+        .select(
+            "id",
+            "_t",
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(F.slice("_t", F.col("_start") + 1, size))
+            .cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice("_t", F.col("_start") + 1, size)
+            ).alias("chunk_text"),
+        )
     )

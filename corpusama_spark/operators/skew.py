@@ -60,3 +60,62 @@ def suggest_salt(df: DataFrame, key_col: str, target_skew: float = 2.0) -> int:
     if not row:
         return 1
     return max(1, math.ceil(float(row[0].skew) / target_skew))
+
+
+def concentration_stats(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row corpus balance report over a grouping key: n_groups,
+    Gini coefficient of the group-size distribution, Shannon entropy,
+    normalized entropy (entropy / ln(n_groups)), and the largest
+    group's share. The data-mixing pre-flight: a corpus where one
+    domain holds 40% of rows (top_share) or sizes are near-maximally
+    unequal (gini → 1) needs temperature reweighting BEFORE training,
+    and this is the number that says so. Gini stays integer until the
+    final divide (G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted sizes); entropy terms are computed per group from
+    exact rational shares and summed over the group-sized table.
+
+    Scale shape: the corpus collapses to one row per group first
+    (map-side combinable count), so the ranking window and both final
+    aggregates run over a groups-sized table — thousands of domains,
+    never corpus rows.
+    """
+    from pyspark.sql.window import Window
+
+    sizes = df.groupBy(key_col).agg(F.count("*").cast("long").alias("x"))
+    tot = sizes.agg(
+        F.sum("x").cast("long").alias("tx"),
+        F.count("*").cast("long").alias("ng"),
+    )
+    w = Window.orderBy(F.asc("x"), F.asc(key_col))
+    ranked = sizes.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("ng", "tx")
+        .agg(
+            F.sum(F.col("i") * F.col("x")).alias("_six"),
+            (
+                -F.sum(
+                    (F.col("x") / F.col("tx"))
+                    * F.log(F.col("x") / F.col("tx"))
+                )
+            ).alias("_ent"),
+            F.max("x").alias("_mx"),
+        )
+    )
+    return agg.select(
+        F.col("ng").alias("n_groups"),
+        F.round(
+            (2 * F.col("_six") - (F.col("ng") + 1) * F.col("tx"))
+            / (F.col("ng") * F.col("tx")),
+            6,
+        ).alias("gini"),
+        F.round(F.col("_ent"), 6).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("ng") > 1,
+                F.col("_ent") / F.log(F.col("ng").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("norm_entropy"),
+        F.round(F.col("_mx") / F.col("tx"), 6).alias("top_share"),
+    )

@@ -19,10 +19,12 @@ moments small enough that engines agree to 6 dp.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_trend", "rate_anomaly"]
+__all__ = ["grouped_trend", "rate_anomaly", "decayed_mean"]
 
 
 def grouped_trend(
@@ -111,4 +113,40 @@ def rate_anomaly(
             ),
             F.lit(False),
         ).alias("anomaly"),
+    )
+
+
+def decayed_mean(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_days: float = 7.0,
+    anchor: str = "2024-02-01",
+) -> DataFrame:
+    """Recency-weighted mean per group: Σ v·w / Σ w with
+    w = exp(−ln2 · age_days / half_life), age measured back from a
+    FIXED anchor date (never now(): a data-derived or wall-clock
+    anchor would make the result irreproducible across runs and
+    engines). The freshness-weighted quality metric — "what does this
+    source look like lately" — where a plain mean lets a year of
+    stale rows drown the last week.
+
+    Scale shape: one map-side-combinable groupBy; weights are computed
+    per row in the scan stage from integer day ages, so the only float
+    accumulation is the two weighted sums (O(1)-magnitude terms, 6 dp
+    rounding robust). Also reports the plain mean so drift is visible
+    in one row.
+    """
+    lam = math.log(2.0) / float(half_life_days)
+    age = F.datediff(F.lit(anchor).cast("date"), F.to_date(F.col(ts_col)))
+    w = F.exp(F.lit(-lam) * age.cast("double"))
+    v = F.col(value_col).cast("double")
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg(v), 6).alias("plain_mean"),
+            F.round(F.sum(v * w) / F.sum(w), 6).alias("decayed_mean"),
+        )
     )

@@ -483,3 +483,36 @@ def test_weighted_sample_topk_weight_bias(spark):
     kept = weighted_sample_topk(df, "src", "rid", "w", k=20).collect()
     heavy = sum(1 for r in kept if r.rid >= 100)
     assert heavy >= 17  # P(light row beats heavy) is tiny at w-ratio 50
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    from corpusama_spark.operators.curation import chunk_windows
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "single"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(df, size=4, overlap=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,2,4,6,8 -> 5 chunks; last is the 2-token tail
+    c1 = sorted(by[1], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in c1] == [4, 4, 4, 4, 2]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[1].chunk_text == "w2 w3 w4 w5"  # 2-token overlap
+    assert c1[4].chunk_text == "w8 w9"
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3, 4]
+    # single-token doc -> one short chunk; empty/null docs -> no chunks
+    assert by[2][0].chunk_text == "single" and by[2][0].n_tokens == 1
+    assert 3 not in by and 4 not in by
+
+
+def test_chunk_windows_rejects_bad_overlap(spark):
+    import pytest
+    from corpusama_spark.operators.curation import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_windows(df, size=4, overlap=4)

@@ -979,3 +979,36 @@ def test_dedup_cascade_exact_dup_follows_merged_canonical(spark):
                          bands=4, hamming_k=1).collect()}
     assert out[5].stage == "exact_dup" and out[5].canonical == 1
     assert out[3].canonical == 1 and not out[3].keep
+
+
+def test_decayed_mean_prefers_recent(spark):
+    import math
+    from datetime import datetime
+    from corpusama_spark.operators.trends import decayed_mean
+
+    # old row value 0 (31 days before anchor), fresh row value 10 (1 day)
+    df = spark.createDataFrame(
+        [(1, "t", datetime(2024, 1, 1), 0.0),
+         (2, "t", datetime(2024, 1, 31), 10.0)],
+        "id long, event_type string, ts timestamp, value double",
+    )
+    r = decayed_mean(df, "event_type", "ts", "value",
+                     half_life_days=7.0, anchor="2024-02-01").collect()[0]
+    lam = math.log(2.0) / 7.0
+    w_old, w_new = math.exp(-lam * 31), math.exp(-lam * 1)
+    expected = (0.0 * w_old + 10.0 * w_new) / (w_old + w_new)
+    assert r.plain_mean == 5.0
+    assert abs(r.decayed_mean - round(expected, 6)) < 1e-9
+    assert r.decayed_mean > 9.0  # the month-old zero barely counts
+
+
+def test_decayed_mean_constant_value_invariant(spark):
+    from datetime import datetime
+    from corpusama_spark.operators.trends import decayed_mean
+
+    df = spark.createDataFrame(
+        [(i, "t", datetime(2024, 1, 1 + i), 3.5) for i in range(10)],
+        "id long, event_type string, ts timestamp, value double",
+    )
+    r = decayed_mean(df, "event_type", "ts", "value").collect()[0]
+    assert r.plain_mean == 3.5 and r.decayed_mean == 3.5

@@ -59,3 +59,31 @@ def test_pipeline_correct_under_pathological_skew(spark):
         .collect()
     }
     assert a == b
+
+
+def test_concentration_stats_uniform_and_degenerate(spark):
+    from corpusama_spark.operators.skew import concentration_stats
+
+    uniform = spark.createDataFrame(
+        [(f"s{i % 4}", i) for i in range(40)], "src string, x long"
+    )
+    r = concentration_stats(uniform, "src").collect()[0]
+    assert r.n_groups == 4 and r.gini == 0.0
+    assert r.norm_entropy == 1.0 and r.top_share == 0.25
+    single = spark.createDataFrame([("only", i) for i in range(5)],
+                                   "src string, x long")
+    r1 = concentration_stats(single, "src").collect()[0]
+    assert r1.n_groups == 1 and r1.gini == 0.0
+    assert r1.entropy == 0.0 and r1.norm_entropy == 0.0
+    assert r1.top_share == 1.0
+
+
+def test_concentration_stats_skewed_is_high_gini(spark):
+    from corpusama_spark.operators.skew import concentration_stats
+
+    rows = [("big", i) for i in range(98)] + [("a", 0), ("b", 0)]
+    df = spark.createDataFrame(rows, "src string, x long")
+    r = concentration_stats(df, "src").collect()[0]
+    # sizes (1,1,98): gini = (2*(1*1+2*1+3*98) - 4*100) / (3*100)
+    assert r.gini == round((2 * 297 - 400) / 300, 6)
+    assert r.top_share == 0.98 and r.norm_entropy < 0.15
