@@ -3233,6 +3233,86 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per source between two cheap keep gates (a char-
+    length rule and a space-count token proxy) — chance-corrected
+    agreement with the full confusion matrix, integer arithmetic to the
+    final divides."""
+    from corpusama_spark.operators.classifier import cohen_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    gate_a = F.col("n_chars") >= 300
+    gate_b = (
+        F.length(txt) - F.length(F.regexp_replace(txt, " ", ""))
+    ) >= 49
+    return cohen_kappa(docs, gate_a, gate_b, "source").orderBy("source")
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of January (fixed split 2024-01-16, fixed width-50
+    value bins): the model-monitoring drift gate, with excluded-bin
+    coverage exposed instead of epsilon-clamped away."""
+    from corpusama_spark.operators.drift import psi_report
+
+    return psi_report(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        "ts",
+        "2024-01-16",
+        bin_width=50.0,
+        n_bins=10,
+    ).orderBy("event_type")
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D per event type between
+    pre- and post-2024-01-16 value distributions, computed on the full
+    data via per-distinct-value counts + one cumulative window — plus
+    the value where the CDFs diverge most."""
+    from corpusama_spark.operators.drift import ks_statistic
+
+    return ks_statistic(
+        _t(spark, sf_dir, "events"), "event_type", "value", "ts", "2024-01-16"
+    ).orderBy("event_type")
+
+
+def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    vs the REST of the corpus — group-local join via the closed-form
+    absent-word mass, never a group×vocabulary cross product."""
+    from corpusama_spark.operators.drift import js_divergence
+
+    return js_divergence(
+        _t(spark, sf_dir, "documents"), "source", "text"
+    ).orderBy("source")
+
+
+def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal audit-budget allocation over sources (budget
+    1000) from exact integer moments of n_chars, largest-remainder
+    rounded so allocations sum to exactly the budget."""
+    from corpusama_spark.operators.curation import neyman_allocation
+
+    return neyman_allocation(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", 1000
+    ).orderBy("source")
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multiplier-bootstrap CI for mean n_chars per
+    source: 64 hash-weighted replicates (double-or-nothing weights from
+    md5, integer sums), CI = dyadic [1/32, 31/32] rank band of the
+    replicate means. No RNG anywhere."""
+    from corpusama_spark.operators.drift import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id", b=64
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3338,6 +3418,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration": q_concentration,
         "decayed_mean": q_decayed_mean,
         "chunk_windows": q_chunk_windows,
+        "kappa_agreement": q_kappa_agreement,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        "jsd_sources": q_jsd_sources,
+        "neyman_alloc": q_neyman_alloc,
+        "bootstrap_ci": q_bootstrap_ci,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -6751,5 +6837,226 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[s:s + 63], ' ') AS chunk_text
         FROM st
         ORDER BY doc_id, chunk_idx
+    """
+    out["kappa_agreement"] = """
+        WITH g AS (
+            SELECT source,
+                   (n_chars >= 300) AS a,
+                   ((length(coalesce(text, ''))
+                     - length(replace(coalesce(text, ''), ' ', ''))) >= 49)
+                       AS b
+            FROM documents),
+        c AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n11,
+                   CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10,
+                   CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01,
+                   CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n00
+            FROM g GROUP BY source)
+        SELECT source, n, n11, n10, n01, n00,
+               round((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+               round(((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00))
+                     / (CAST(n AS DOUBLE) * n), 6) AS pe,
+               CASE WHEN ((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00))
+                        / (CAST(n AS DOUBLE) * n) < 1.0
+                    THEN round(((n11 + n00) / CAST(n AS DOUBLE)
+                                - ((n11 + n10) * (n11 + n01)
+                                   + (n01 + n00) * (n10 + n00))
+                                  / (CAST(n AS DOUBLE) * n))
+                               / (1.0 - ((n11 + n10) * (n11 + n01)
+                                         + (n01 + n00) * (n10 + n00))
+                                        / (CAST(n AS DOUBLE) * n)), 6)
+                    ELSE 0.0 END AS kappa
+        FROM c ORDER BY source
+    """
+    out["psi_drift"] = """
+        WITH base AS (
+            SELECT event_type AS g,
+                   least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0),
+                         9) AS bin,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+                        END AS is_ref
+            FROM events),
+        counts AS (
+            SELECT g, bin,
+                   CAST(sum(is_ref) AS BIGINT) AS rn,
+                   CAST(sum(1 - is_ref) AS BIGINT) AS cn
+            FROM base GROUP BY g, bin),
+        totals AS (
+            SELECT g, CAST(sum(rn) AS BIGINT) AS n_ref,
+                   CAST(sum(cn) AS BIGINT) AS n_cur
+            FROM counts GROUP BY g)
+        SELECT c.g AS event_type, t.n_ref, t.n_cur,
+               CAST(sum(CASE WHEN rn > 0 AND cn > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bins_used,
+               round(sum(CASE WHEN rn > 0 AND cn > 0
+                              THEN (cn / CAST(t.n_cur AS DOUBLE)
+                                    - rn / CAST(t.n_ref AS DOUBLE))
+                                   * ln((cn / CAST(t.n_cur AS DOUBLE))
+                                        / (rn / CAST(t.n_ref AS DOUBLE)))
+                              ELSE 0.0 END), 6) AS psi,
+               round(sum(CASE WHEN rn > 0 AND cn > 0 THEN rn ELSE 0 END)
+                     / CAST(t.n_ref AS DOUBLE), 6) AS ref_cover,
+               round(sum(CASE WHEN rn > 0 AND cn > 0 THEN cn ELSE 0 END)
+                     / CAST(t.n_cur AS DOUBLE), 6) AS cur_cover
+        FROM counts c JOIN totals t USING (g)
+        GROUP BY c.g, t.n_ref, t.n_cur
+        ORDER BY event_type
+    """
+    out["ks_drift"] = """
+        WITH base AS (
+            SELECT event_type AS g, value AS v,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+                        END AS is_ref
+            FROM events),
+        counts AS (
+            SELECT g, v,
+                   CAST(sum(is_ref) AS BIGINT) AS rn,
+                   CAST(sum(1 - is_ref) AS BIGINT) AS cn
+            FROM base GROUP BY g, v),
+        totals AS (
+            SELECT g, CAST(sum(rn) AS BIGINT) AS n_ref,
+                   CAST(sum(cn) AS BIGINT) AS n_cur
+            FROM counts GROUP BY g),
+        ecdf AS (
+            SELECT c.g, c.v, t.n_ref, t.n_cur,
+                   abs(sum(rn) OVER w / CAST(t.n_ref AS DOUBLE)
+                       - sum(cn) OVER w / CAST(t.n_cur AS DOUBLE)) AS d
+            FROM counts c JOIN totals t USING (g)
+            WINDOW w AS (PARTITION BY c.g ORDER BY c.v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+        pick AS (
+            SELECT g, v, n_ref, n_cur, d,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY d DESC, v ASC) AS rnk
+            FROM ecdf)
+        SELECT g AS event_type, n_ref, n_cur,
+               round(d, 6) AS ks_d, v AS ks_at
+        FROM pick WHERE rnk = 1 ORDER BY event_type
+    """
+    out["jsd_sources"] = """
+        WITH tok AS (
+            SELECT source AS g,
+                   unnest(list_filter(
+                       string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                       s -> len(s) > 0)) AS w
+            FROM documents),
+        gw AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY g, w),
+        wc AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM gw GROUP BY w),
+        gt AS (SELECT g, CAST(sum(c) AS BIGINT) AS tg FROM gw GROUP BY g),
+        grand AS (SELECT CAST(sum(tg) AS BIGINT) AS tt FROM gt),
+        j AS (
+            SELECT gw.g, gw.c, wc.cw, gt.tg, grand.tt,
+                   gw.c / CAST(gt.tg AS DOUBLE) AS p,
+                   (wc.cw - gw.c)
+                       / CAST(grand.tt - gt.tg AS DOUBLE) AS q
+            FROM gw JOIN wc USING (w) JOIN gt USING (g)
+            CROSS JOIN grand),
+        s AS (
+            SELECT g, tg,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   sum(0.5 * p * ln(p / ((p + q) / 2))
+                       + CASE WHEN cw - c > 0
+                              THEN 0.5 * q * ln(q / ((p + q) / 2))
+                              ELSE 0.0 END) AS inner_sum,
+                   sum(q) AS qmass
+            FROM j GROUP BY g, tg)
+        SELECT g AS source, tg AS n_tokens, vocab,
+               round(inner_sum + 0.5 * ln(2) * (1.0 - qmass), 6) AS jsd,
+               round((inner_sum + 0.5 * ln(2) * (1.0 - qmass)) / ln(2),
+                     6) AS jsd_norm
+        FROM s ORDER BY source
+    """
+    out["neyman_alloc"] = """
+        WITH per AS (
+            SELECT source AS g,
+                   CAST(count(*) AS BIGINT) AS nh,
+                   CAST(sum(n_chars) AS BIGINT) AS s1,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+            FROM documents GROUP BY source),
+        v AS (
+            SELECT g, nh,
+                   sqrt(greatest(
+                       (CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1 / nh) / nh,
+                       0.0)) AS sh
+            FROM per),
+        w AS (SELECT g, nh, sh, nh * sh AS wh FROM v),
+        tot AS (SELECT sum(wh) AS tw, CAST(sum(nh) AS BIGINT) AS tn
+                FROM w),
+        raw AS (
+            SELECT g, nh, sh,
+                   CASE WHEN t.tw > 0
+                        THEN 1000.0 * wh / t.tw
+                        ELSE 1000.0 * nh / CAST(t.tn AS DOUBLE)
+                   END AS r
+            FROM w, tot t),
+        f AS (
+            SELECT g, nh, round(sh, 6) AS sh,
+                   CAST(floor(r) AS BIGINT) AS base,
+                   r - floor(r) AS rem
+            FROM raw),
+        lo AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS extra FROM f),
+        rk AS (
+            SELECT f.*, l.extra,
+                   row_number() OVER (ORDER BY rem DESC, g ASC) AS rnk
+            FROM f, lo l)
+        SELECT g AS source, nh AS n_rows, sh,
+               CAST(base + CASE WHEN rnk <= extra THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM rk ORDER BY source
+    """
+    out["bootstrap_ci"] = """
+        WITH reps AS (
+            SELECT source AS g, n_chars AS v, doc_id,
+                   unnest(range(64)) AS r
+            FROM documents),
+        wts AS (
+            SELECT g, r, v,
+                   (('0x' || substr(md5(doc_id::VARCHAR || ':'
+                                        || r::VARCHAR), 1, 15))::BIGINT
+                    % 2) * 2 AS w
+            FROM reps),
+        rm AS (
+            SELECT g, r,
+                   CAST(sum(w * v) AS BIGINT) AS sv,
+                   CAST(sum(w) AS BIGINT) AS sw
+            FROM wts GROUP BY g, r),
+        mb AS (
+            SELECT g, r, sv / CAST(sw AS DOUBLE) AS mb
+            FROM rm WHERE sw > 0),
+        rk AS (
+            SELECT g, mb,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY mb ASC, r ASC) AS rnk,
+                   CAST(count(*) OVER (PARTITION BY g)
+                        AS BIGINT) AS n_boot
+            FROM mb),
+        bands AS (
+            SELECT g, n_boot,
+                   round(min(CASE WHEN rnk = greatest(
+                                 CAST(ceil(n_boot / 32.0) AS BIGINT), 1)
+                             THEN mb END), 6) AS ci_lo,
+                   round(min(CASE WHEN rnk = CAST(
+                                 ceil(n_boot * 31 / 32.0) AS BIGINT)
+                             THEN mb END), 6) AS ci_hi
+            FROM rk GROUP BY g, n_boot),
+        pt AS (
+            SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(n_chars) AS BIGINT)
+                         / CAST(count(*) AS DOUBLE), 6) AS mean
+            FROM documents GROUP BY source)
+        SELECT pt.g AS source, pt.n, pt.mean, b.n_boot, b.ci_lo, b.ci_hi
+        FROM pt JOIN bands b USING (g) ORDER BY source
     """
     return out

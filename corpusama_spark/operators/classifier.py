@@ -318,3 +318,58 @@ def pr_curve(
             F.lit(0.0),
         ).alias("f1"),
     ).orderBy("t")
+
+
+def cohen_kappa(
+    df: DataFrame,
+    gate_a: Column,
+    gate_b: Column,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Cohen's kappa between two boolean keep/drop gates — the
+    inter-rater agreement audit every multi-gate quality stack needs:
+    raw agreement (po) is inflated whenever both gates keep almost
+    everything, kappa subtracts the agreement expected by chance (pe)
+    so "my cheap rule agrees with the expensive classifier" is a real
+    claim. kappa = (po − pe) / (1 − pe) with
+    pe = (a1·b1 + a0·b0) / n²; the full confusion matrix ships
+    alongside so the number is auditable.
+
+    All arithmetic is INTEGER until the final divides (counts via
+    sum(cast(bool as long))), so both engines agree bit-for-bit; the
+    degenerate pe=1 case (both gates constant) is 0.0-coalesced with
+    the confusion counts exposing the degeneracy. One map-side
+    combinable groupBy — the corpus collapses to one row per group
+    before any float exists.
+    """
+    a = gate_a.cast("boolean")
+    b = gate_b.cast("boolean")
+    keys = [group_col] if group_col else []
+    cnt = df.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((a & b).cast("long")).cast("long").alias("n11"),
+        F.sum((a & ~b).cast("long")).cast("long").alias("n10"),
+        F.sum((~a & b).cast("long")).cast("long").alias("n01"),
+        F.sum((~a & ~b).cast("long")).cast("long").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    a1 = F.col("n11") + F.col("n10")
+    b1 = F.col("n11") + F.col("n01")
+    a0 = F.col("n01") + F.col("n00")
+    b0 = F.col("n10") + F.col("n00")
+    pe = (a1 * b1 + a0 * b0) / (n * n)
+    return cnt.select(
+        *keys,
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.coalesce(
+            F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), 6)),
+            F.lit(0.0),
+        ).alias("kappa"),
+    )

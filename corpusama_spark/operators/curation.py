@@ -57,6 +57,7 @@ __all__ = [
     "within_group_percentile",
     "weighted_sample_topk",
     "chunk_windows",
+    "neyman_allocation",
 ]
 
 
@@ -917,5 +918,81 @@ def chunk_windows(
             F.concat_ws(
                 " ", F.slice("_t", F.col("_start") + 1, size)
             ).alias("chunk_text"),
+        )
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Optimal (Neyman) sample-size allocation across strata for a
+    fixed audit budget: stratum h gets n·(N_h·S_h)/Σ(N_h·S_h) — the
+    allocation that minimizes the variance of the stratified mean
+    estimator (Neyman 1934, classical survey sampling). This is the
+    planning table that says HOW MANY rows from each domain the manual
+    quality audit should read: big AND internally-varied strata get
+    more; a huge but homogeneous stratum gets few. Fractional seats are
+    resolved by largest remainder (Hamilton's method, remainder desc /
+    stratum asc) so allocations are integers that sum EXACTLY to the
+    budget. Degenerate case Σ N_h·S_h = 0 (every stratum constant)
+    falls back to proportional-to-size allocation, same rounding.
+
+    S_h is computed from exact integer moments (Σv, Σv² as longs, the
+    value column must be integer-valued), so the only floats are one
+    sqrt and one divide per STRATUM — both engines produce identical
+    doubles and identical floors. The corpus collapses to one row per
+    stratum in a single map-side-combinable groupBy; the ranking window
+    and total join run over the strata table only.
+    """
+    from pyspark.sql.window import Window
+
+    budget = int(budget)
+    v = F.col(value_col).cast("long")
+    per = df.groupBy(F.col(stratum_col).alias("g")).agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum(v).cast("long").alias("s1"),
+        F.sum(v * v).cast("long").alias("s2"),
+    )
+    # population variance from integer moments: (s2 - s1^2/n) / n
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("nh")
+    ) / F.col("nh")
+    per = per.withColumn("sh", F.sqrt(F.greatest(var, F.lit(0.0))))
+    per = per.withColumn("wh", F.col("nh") * F.col("sh"))
+    tot = per.agg(
+        F.sum("wh").alias("tw"), F.sum("nh").cast("long").alias("tn")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    raw = F.when(
+        F.col("tw") > 0, F.lit(float(budget)) * F.col("wh") / F.col("tw")
+    ).otherwise(
+        F.lit(float(budget)) * F.col("nh") / F.col("tn").cast("double")
+    )
+    j = j.select(
+        "g",
+        "nh",
+        F.round(F.col("sh"), 6).alias("sh"),
+        F.floor(raw).cast("long").alias("base"),
+        (raw - F.floor(raw)).alias("rem"),
+    )
+    leftover = j.agg(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("extra")
+    )
+    rw = Window.orderBy(F.desc("rem"), F.asc("g"))
+    return (
+        j.crossJoin(F.broadcast(leftover))
+        .withColumn("rnk", F.row_number().over(rw))
+        .select(
+            F.col("g").alias(stratum_col),
+            F.col("nh").alias("n_rows"),
+            "sh",
+            (
+                F.col("base")
+                + (F.col("rnk") <= F.col("extra")).cast("long")
+            ).alias("alloc"),
         )
     )
