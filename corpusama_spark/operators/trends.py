@@ -24,7 +24,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_trend", "rate_anomaly", "decayed_mean"]
+__all__ = ["grouped_trend", "rate_anomaly", "decayed_mean", "cusum_shift"]
 
 
 def grouped_trend(
@@ -148,5 +148,86 @@ def decayed_mean(
             F.count("*").cast("long").alias("n"),
             F.round(F.avg(v), 6).alias("plain_mean"),
             F.round(F.sum(v * w) / F.sum(w), 6).alias("decayed_mean"),
+        )
+    )
+
+
+def cusum_shift(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM change-point estimate per group over daily means: with
+    x_d the per-day mean and x̄ the overall mean of the daily means,
+    S_d = Σ_{i≤d} (x_i − x̄) and the estimated shift day is
+    argmax |S_d| (smallest day on ties) — the classical closed-form
+    CUSUM change-point locator (Page 1954 / Pettitt's statistic shape,
+    public). The pre/post means around the located day quantify the
+    shift; a near-zero cusum_max says the series is level. This is the
+    ingest-monitoring question "WHEN did the distribution move?" that
+    rate_anomaly (point outliers) and psi/ks (did it move at all)
+    don't answer.
+
+    Scale shape: the corpus collapses to one row per (group, day) in a
+    map-side-combinable groupBy; every window after that runs over the
+    days-per-group table. Deterministic: fixed tie-breaks, no now().
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.to_date(F.col(ts_col)).alias("d"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("g", "d")
+        .agg(F.avg("v").alias("x"))
+    )
+    tot = Window.partitionBy("g")
+    cum = (
+        Window.partitionBy("g")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = Window.partitionBy("g").orderBy("d")
+    scored = daily.select(
+        "g",
+        "d",
+        "x",
+        F.count("*").over(tot).alias("n_days"),
+        (
+            F.sum("x").over(cum)
+            - F.row_number().over(seq)
+            * (F.sum("x").over(tot) / F.count("*").over(tot))
+        ).alias("s"),
+        F.sum("x").over(cum).alias("cx"),
+        F.row_number().over(seq).alias("i"),
+        F.sum("x").over(tot).alias("tx"),
+    )
+    pick = Window.partitionBy("g").orderBy(
+        F.desc(F.abs(F.col("s"))), F.asc("d")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(pick))
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_days").cast("long").alias("n_days"),
+            # ISO string, not DATE: dtype-stable across engines/pandas
+            F.date_format("d", "yyyy-MM-dd").alias("shift_day"),
+            F.round(F.abs(F.col("s")), 6).alias("cusum_max"),
+            F.round(F.col("cx") / F.col("i"), 6).alias("mean_before"),
+            F.coalesce(
+                F.when(
+                    F.col("n_days") > F.col("i"),
+                    F.round(
+                        (F.col("tx") - F.col("cx"))
+                        / (F.col("n_days") - F.col("i")).cast("double"),
+                        6,
+                    ),
+                ),
+                F.lit(0.0),
+            ).alias("mean_after"),
         )
     )
