@@ -3365,6 +3365,42 @@ def q_compress_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch audit for the 20 most frequent tokens: exact
+    count vs what a 4×256 md5-hashed CMS reports (integer end to end;
+    est ≥ exact is the checkable sketch invariant). The sketch is built
+    from the vocabulary count table, vocab×depth cost."""
+    from corpusama_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _t(spark, sf_dir, "documents"), "text", depth=4, width=256, k=20
+    )
+
+
+def q_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type (m=64
+    registers, md5-derived, leading-zero ranks via exact bit-length)
+    next to the exact count and relative error — the sketch
+    qualification table; no engine-private hashing anywhere."""
+    from corpusama_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", p=6
+    ).orderBy("event_type")
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic relational k-means (k=4, 2 Lloyd iterations,
+    lowest-id init, 6dp-pinned centroids): final cluster per vector
+    with squared L2 to the winning centroid. The iterative-ML pattern
+    as pure DataFrame algebra, DuckDB-twinned."""
+    from corpusama_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, iters=2
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3480,6 +3516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "cusum_shift": q_cusum_shift,
         "compress_gate": q_compress_gate,
+        "cms_topk": q_cms_topk,
+        "hll_audit": q_hll_audit,
+        "kmeans_clusters": q_kmeans_clusters,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -7200,5 +7239,127 @@ def oracle_sql() -> dict[str, str]:
                     THEN round((tx - cx) / CAST(n_days - i AS DOUBLE), 6)
                     ELSE 0.0 END AS mean_after
         FROM pick WHERE rnk = 1 ORDER BY event_type
+    """
+    out["cms_topk"] = """
+        WITH tok AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                       s -> len(s) > 0)) AS tok
+            FROM documents),
+        vocab AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS exact
+            FROM tok GROUP BY tok),
+        h AS (
+            SELECT tok, exact, j,
+                   ('0x' || substr(md5(j::VARCHAR || ':' || tok), 1, 15)
+                       )::BIGINT % 256 AS bucket
+            FROM vocab, (SELECT unnest(range(4)) AS j)),
+        sketch AS (
+            SELECT j, bucket, CAST(sum(exact) AS BIGINT) AS cell
+            FROM h GROUP BY j, bucket),
+        top AS (
+            SELECT tok, exact,
+                   row_number() OVER (ORDER BY exact DESC, tok ASC)
+                       AS rnk
+            FROM vocab QUALIFY rnk <= 20),
+        est AS (
+            SELECT t.tok, t.exact,
+                   CAST(min(s.cell) AS BIGINT) AS est
+            FROM top t,
+                 (SELECT unnest(range(4)) AS j) r
+            JOIN sketch s
+              ON s.j = r.j
+             AND s.bucket = ('0x' || substr(
+                     md5(r.j::VARCHAR || ':' || t.tok), 1, 15))::BIGINT
+                 % 256
+            GROUP BY t.tok, t.exact)
+        SELECT tok, exact, est,
+               CAST(est - exact AS BIGINT) AS overestimate
+        FROM est ORDER BY exact DESC, tok ASC
+    """
+    out["hll_audit"] = """
+        WITH h AS (
+            SELECT event_type AS g, user_id,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 15)
+                       )::BIGINT AS hv
+            FROM events),
+        r AS (SELECT g, hv % 64 AS reg, hv >> 6 AS w FROM h),
+        rk AS (
+            SELECT g, reg,
+                   max(CASE WHEN w > 0 THEN 55 - len(bin(w))
+                            ELSE 55 END) AS mrank
+            FROM r GROUP BY g, reg),
+        per AS (
+            SELECT g, sum(pow(2.0::DOUBLE, -mrank)) AS z,
+                   CAST(count(*) AS BIGINT) AS nonzero
+            FROM rk GROUP BY g),
+        exact AS (
+            SELECT event_type AS g,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY event_type),
+        calc AS (
+            SELECT p.g, e.n_exact,
+                   2904.064::DOUBLE
+                       / (p.z + (64 - p.nonzero)) AS raw,
+                   CAST(64 - p.nonzero AS DOUBLE) AS zeros,
+                   CAST(64 - p.nonzero AS BIGINT) AS n_zero_regs
+            FROM per p JOIN exact e USING (g)),
+        est AS (
+            SELECT g, n_exact, n_zero_regs,
+                   (raw <= 160.0::DOUBLE AND zeros > 0)
+                       AS linear_counting,
+                   CASE WHEN raw <= 160.0::DOUBLE AND zeros > 0
+                        THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros)
+                        ELSE raw END AS e
+            FROM calc)
+        SELECT g AS event_type, n_exact,
+               round(e, 6) AS hll_est,
+               round(abs(e - n_exact) / n_exact, 6) AS rel_err,
+               n_zero_regs, linear_counting
+        FROM est ORDER BY event_type
+    """
+    out["kmeans_clusters"] = """
+        WITH dims AS (
+            SELECT vec_id AS id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings),
+        seeds AS (
+            SELECT vec_id AS id,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings QUALIFY cluster < 4),
+        c0 AS (
+            SELECT s.cluster, d.dim, round(d.v, 6) AS c
+            FROM dims d JOIN seeds s USING (id)),
+        d1 AS (
+            SELECT d.id, c.cluster,
+                   round(sum((d.v - c.c) * (d.v - c.c)), 6) AS d2
+            FROM dims d JOIN c0 c USING (dim)
+            GROUP BY d.id, c.cluster),
+        a1 AS (
+            SELECT id, cluster FROM (
+                SELECT id, cluster,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY d2, cluster) AS rnk
+                FROM d1) WHERE rnk = 1),
+        c1 AS (
+            SELECT a.cluster, d.dim, round(avg(d.v), 6) AS c
+            FROM dims d JOIN a1 a USING (id)
+            GROUP BY a.cluster, d.dim),
+        d2t AS (
+            SELECT d.id, c.cluster,
+                   round(sum((d.v - c.c) * (d.v - c.c)), 6) AS d2
+            FROM dims d JOIN c1 c USING (dim)
+            GROUP BY d.id, c.cluster),
+        a2 AS (
+            SELECT id, cluster, d2 FROM (
+                SELECT id, cluster, d2,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY d2, cluster) AS rnk
+                FROM d2t) WHERE rnk = 1)
+        SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+               round(d2, 4) AS d2
+        FROM a2 ORDER BY vec_id
     """
     return out

@@ -1,0 +1,211 @@
+"""Deterministic relational sketches: Count-Min and HyperLogLog audits.
+
+At 10^12 rows, exact per-key answers stop being the default — frequency
+and cardinality questions run on SKETCHES (Cormode-Muthukrishnan's
+Count-Min, Flajolet's HyperLogLog; both public). Spark ships HLL behind
+``approx_count_distinct``, but its estimate is engine-private; the same
+data on another engine gives a different number, so a sketch answer
+can't sit in a cross-engine contract. These implementations fix that by
+deriving every hash from md5: the sketch content is a pure function of
+the data, so the SAME estimate falls out of Spark and DuckDB — the
+sketch path stays auditable while staying sketch-cheap.
+
+Both sketches are pure relational algebra over the ALREADY-AGGREGATED
+key table (vocabulary / distinct-key sized, not corpus sized):
+
+- Count-Min: depth×width counters = one groupBy over (row, bucket);
+  point estimate = min over depth of the hit counters. The audit table
+  pairs each heavy hitter's estimate with its exact count — CMS NEVER
+  underestimates, so ``est − exact ≥ 0`` is a checkable invariant.
+- HyperLogLog: register = low bits of the hash, rank = leading-zero
+  count of the rest (computed EXACTLY via the bit-length of the binary
+  string — no float log), estimate = the harmonic-mean formula with the
+  standard linear-counting small-range correction.
+
+Scale shape: the corpus collapses to per-key counts first (map-side
+combine); everything after runs on key-table-sized data, and the
+sketch itself is depth×width (CMS) or m (HLL) rows — constant."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cms_heavy_hitters", "hll_distinct"]
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    k: int = 20,
+) -> DataFrame:
+    """(tok, exact, est, overestimate) for the k most frequent tokens:
+    exact counts next to what a depth×width Count-Min sketch would
+    report for them. The table that answers "is the sketch config good
+    enough to drive the hot-token gate?" — overestimate/exact is the
+    observed error the theory bounds by e·N/width w.p. 1−e^−depth.
+
+    The sketch is built FROM the vocabulary count table (explode depth
+    per distinct token, groupBy (row, bucket) sums the counts), so its
+    cost is vocab×depth, not corpus×depth; candidates are the exact
+    top-k (ties broken tok asc). Integer end to end — engines agree
+    bit-for-bit."""
+    depth, width, k = int(depth), int(width), int(k)
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("exact"))
+    )
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    # salt includes j so the depth hash rows are independent
+    hashed = vocab.select("tok", "exact", F.explode(rows).alias("j"))
+    hashed = hashed.withColumn(
+        "bucket",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("tok"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ),
+    )
+    sketch = hashed.groupBy("j", "bucket").agg(
+        F.sum("exact").cast("long").alias("cell")
+    )
+    top = vocab.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("exact"), F.asc("tok"))),
+    ).where(F.col("rnk") <= k)
+    est = (
+        top.select("tok", "exact", "rnk", F.explode(rows).alias("j"))
+        .withColumn(
+            "bucket",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("tok"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ),
+        )
+        .join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "exact", "rnk")
+        .agg(F.min("cell").cast("long").alias("est"))
+    )
+    return est.select(
+        "tok",
+        "exact",
+        "est",
+        (F.col("est") - F.col("exact")).cast("long").alias("overestimate"),
+    ).orderBy(F.desc("exact"), F.asc("tok"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """(group, n_exact, hll_est, rel_err, n_zero_regs, linear_counting)
+    — HyperLogLog distinct-count estimate per group next to the exact
+    answer. m = 2^p registers; hash = 60-bit md5 prefix of the key;
+    register = low p bits; rank = leading-zero count of the remaining
+    60−p bits + 1, computed exactly as (60−p+1) − bit_length(w) via the
+    binary-string length (w = 0 saturates at 60−p+1). Estimate is
+    α_m·m²/Σ2^(−M_j) over ALL m registers (empty registers contribute
+    2^0 = 1), with the standard linear-counting correction
+    m·ln(m/zeros) when est ≤ 2.5m and zeros > 0. α for m = 64 is the
+    published 0.709 constant (Flajolet et al. 2007).
+
+    The per-(group, register) max collapses in one map-side-combinable
+    groupBy; the register table is m rows per group. The exact count is
+    computed alongside for the audit — at true 10^12 scale you run ONLY
+    the sketch branch; this operator is how you qualify p first."""
+    p = int(p)
+    m = 1 << p
+    if p == 4:
+        alpha = 0.673
+    elif p == 5:
+        alpha = 0.697
+    elif p == 6:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    bits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    reg = h % m
+    w = F.shiftright(h, p)  # integer shift: no double round-trip
+    rank = F.when(F.col("_w") > 0, F.lit(bits + 1) - F.length(F.bin("_w"))
+                  ).otherwise(F.lit(bits + 1))
+    regs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            reg.alias("reg"),
+            w.alias("_w"),
+        )
+        .withColumn("rank", rank)
+        .groupBy("g", "reg")
+        .agg(F.max("rank").alias("mrank"))
+    )
+    per = regs.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mrank"))).alias("_z"),
+        F.count("*").cast("long").alias("_nonzero"),
+    )
+    # empty registers: each contributes 2^0 = 1 to the harmonic sum
+    zcol = F.col("_z") + (F.lit(m) - F.col("_nonzero"))
+    raw = F.lit(alpha * m * m) / zcol
+    zeros = (F.lit(m) - F.col("_nonzero")).cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    use_lc = (raw <= 2.5 * m) & (zeros > 0)
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.countDistinct(key_col).cast("long").alias("n_exact")
+    )
+    return (
+        per.join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_exact",
+            F.round(F.when(use_lc, lc).otherwise(raw), 6).alias("hll_est"),
+            F.round(
+                F.abs(F.when(use_lc, lc).otherwise(raw) - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+            (F.lit(m) - F.col("_nonzero")).cast("long").alias(
+                "n_zero_regs"
+            ),
+            use_lc.alias("linear_counting"),
+        )
+    )
