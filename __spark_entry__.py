@@ -3401,6 +3401,30 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize every source's n_chars distribution onto
+    src0's — cross-domain score harmonization via integer type-1 rank
+    mapping (no float ceil can disagree); reference rows map to
+    themselves."""
+    from corpusama_spark.operators.quantiles import quantile_normalize
+
+    return quantile_normalize(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id", "src0"
+    ).orderBy("doc_id")
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Fano factor of per-doc counts, zeros folded in
+    analytically) for tokens with df ≥ 20 — content words clump,
+    function words sit at the Poisson baseline. Integer moments to the
+    final divide."""
+    from corpusama_spark.operators.textstats import token_burstiness
+
+    return token_burstiness(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", min_df=20
+    ).orderBy("tok")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3519,6 +3543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "hll_audit": q_hll_audit,
         "kmeans_clusters": q_kmeans_clusters,
+        "quantile_norm": q_quantile_norm,
+        "burstiness": q_burstiness,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -7361,5 +7387,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS vec_id, CAST(cluster AS BIGINT) AS cluster,
                round(d2, 4) AS d2
         FROM a2 ORDER BY vec_id
+    """
+    out["quantile_norm"] = """
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS r,
+                   CAST(count(*) OVER (PARTITION BY source)
+                        AS BIGINT) AS n
+            FROM documents),
+        ref AS (
+            SELECT r AS idx, n_chars AS mapped, n AS nref
+            FROM ranked WHERE source = 'src0'),
+        nr AS (SELECT max(nref) AS nref FROM ref)
+        SELECT k.doc_id, k.source, k.n_chars,
+               round(k.r / CAST(k.n AS DOUBLE), 6) AS q,
+               f.mapped
+        FROM ranked k, nr
+        JOIN ref f
+          ON f.idx = (k.r * nr.nref + k.n - 1) // k.n
+        ORDER BY k.doc_id
+    """
+    out["burstiness"] = """
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(
+                       string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                       s -> len(s) > 0)) AS tok
+            FROM documents),
+        per_doc AS (
+            SELECT tok, id, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY tok, id),
+        stats AS (
+            SELECT tok,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(c) AS BIGINT) AS s1,
+                   CAST(sum(c * c) AS BIGINT) AS s2
+            FROM per_doc GROUP BY tok),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT tok, df, s1 AS total,
+               round((n * s2 - s1 * s1)
+                     / CAST(n * s1 AS DOUBLE), 6) AS fano
+        FROM stats, nd
+        WHERE df >= 20
+        ORDER BY tok
     """
     return out

@@ -114,3 +114,69 @@ def mad_outliers(
             ).alias("outlier"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    ref_group: str,
+) -> DataFrame:
+    """Map every group's value distribution onto a reference group's —
+    quantile normalization (the cross-sample harmonization standard in
+    computational biology, public; here: make quality scores computed
+    on different domains comparable before one global threshold cuts
+    the corpus). Each row's within-group rank r of n maps to the
+    reference value at type-1 index ceil(r·n_ref / n), computed in
+    INTEGER arithmetic ((r·n_ref + n − 1) div n) so no float ceil can
+    disagree between engines. Output keeps the raw value, the quantile
+    (r/n) and the mapped value; reference rows map to themselves by
+    construction.
+
+    Scale shape: one rank window per group (the irreducible sort), a
+    broadcast of the REFERENCE group's (index, value) table (one group,
+    not the corpus), and an integer-key join. Ties rank by (value, id)
+    so the mapping is deterministic.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc(value_col), F.asc(id_col)
+    )
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).cast("long").alias("_r"),
+        F.count("*")
+        .over(Window.partitionBy(group_col))
+        .cast("long")
+        .alias("_n"),
+    )
+    ref = (
+        ranked.where(F.col(group_col) == ref_group)
+        .select(
+            F.col("_r").alias("_idx"),
+            F.col(value_col).alias("mapped"),
+            F.col("_n").alias("_nref"),
+        )
+    )
+    nref = ref.select(F.max("_nref").alias("_nref"))
+    # (a + n - 1) div n == ceil(a / n) for positives; the double divide
+    # under floor is exact while r·n_ref < 2^53 (always, at any scale
+    # a single group can reach)
+    idx = F.floor(
+        (F.col("_r") * F.col("_nref") + F.col("_n") - F.lit(1))
+        / F.col("_n")
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(nref))
+        .withColumn("_idx", idx)
+        .join(F.broadcast(ref.drop("_nref")), "_idx")
+        .select(
+            id_col,
+            group_col,
+            value_col,
+            F.round(F.col("_r") / F.col("_n"), 6).alias("q"),
+            "mapped",
+        )
+    )

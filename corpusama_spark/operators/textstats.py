@@ -563,3 +563,57 @@ def flesch_reading_ease(text_col: Column) -> Column:
         syll.alias("syllables"),
         F.when(words > 0, F.round(flesch, 6)).alias("flesch"),
     )
+
+
+def token_burstiness(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 10,
+) -> DataFrame:
+    """Fano factor (variance/mean of PER-DOCUMENT counts, zeros
+    included) for every token with document frequency ≥ ``min_df`` —
+    the classic burstiness diagnostic (Church & Gale 1995, public):
+    content words clump (fano > 1: a doc that mentions them mentions
+    them repeatedly), function words spread evenly (fano ≈ 1, the
+    Poisson baseline). Useful for stopword-list induction and for
+    flagging template/boilerplate tokens (huge fano at high df).
+
+    Zeros never materialize: with n the total doc count, Σc and Σc²
+    over only the docs containing the token give
+    fano = (n·Σc² − (Σc)²) / (n·Σc) — integer arithmetic until the
+    final divide. One explode + one (token, doc) groupBy + one token
+    groupBy, all map-side combinable; the doc total is a broadcast
+    1-row join.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    per_doc = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .groupBy("tok", "id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = per_doc.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    ndocs = docs.agg(F.count("*").cast("long").alias("n"))
+    return (
+        stats.where(F.col("df") >= int(min_df))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "tok",
+            "df",
+            F.col("s1").alias("total"),
+            F.round(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                / (F.col("n") * F.col("s1")).cast("double"),
+                6,
+            ).alias("fano"),
+        )
+    )

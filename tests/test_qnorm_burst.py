@@ -1,0 +1,74 @@
+"""Quantile normalization and token burstiness."""
+
+
+def test_quantile_normalize_maps_ref_to_itself_and_matches_hand(spark):
+    from corpusama_spark.operators.quantiles import quantile_normalize
+
+    rows = (
+        # ref group: values 10,20,30,40 (n_ref=4)
+        [(1, "ref", 10), (2, "ref", 20), (3, "ref", 30), (4, "ref", 40)]
+        # other group: 2 values -> ranks 1,2 of n=2 -> idx ceil(r*4/2)
+        + [(5, "b", 7), (6, "b", 99)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = {r.id: r for r in quantile_normalize(
+        df, "g", "v", "id", "ref").collect()}
+    for i, expect in [(1, 10), (2, 20), (3, 30), (4, 40)]:
+        assert out[i].mapped == expect  # reference maps to itself
+    assert out[5].mapped == 20  # idx = ceil(1*4/2) = 2
+    assert out[6].mapped == 40  # idx = ceil(2*4/2) = 4
+    assert out[5].q == 0.5 and out[6].q == 1.0
+
+
+def test_quantile_normalize_equalizes_distributions(spark):
+    from corpusama_spark.operators.quantiles import quantile_normalize
+
+    # same-size groups: after normalization, group b's multiset of
+    # mapped values must equal the reference's values exactly
+    rows = [(i, "ref", i * 10) for i in range(1, 9)] + [
+        (100 + i, "b", i * 1000 + 5) for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = quantile_normalize(df, "g", "v", "id", "ref").collect()
+    ref_vals = sorted(r.v for r in out if r.g == "ref")
+    b_mapped = sorted(r.mapped for r in out if r.g == "b")
+    assert b_mapped == ref_vals
+
+
+def test_token_burstiness_poisson_vs_clumped(spark):
+    from corpusama_spark.operators.textstats import token_burstiness
+
+    # "even" appears once in every doc (fano = 0: constant count);
+    # "bursty" appears 10 times in one doc only
+    docs = [(i, "even " + ("bursty " * 10 if i == 0 else "pad")) for i in
+            range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.tok: r for r in token_burstiness(
+        df, "text", "doc_id", min_df=1).collect()}
+    assert out["even"].fano == 0.0  # variance of constant 1 is 0
+    assert out["even"].df == 10 and out["even"].total == 10
+    # bursty: n=10, s1=10, s2=100 -> fano = (1000-100)/100 = 9
+    assert out["bursty"].fano == 9.0
+    assert out["pad"].df == 9
+
+
+def test_token_burstiness_min_df_filters(spark):
+    from corpusama_spark.operators.textstats import token_burstiness
+
+    df = spark.createDataFrame(
+        [(1, "rare common"), (2, "common"), (3, "common")],
+        "doc_id long, text string",
+    )
+    toks = {r.tok for r in token_burstiness(
+        df, "text", "doc_id", min_df=2).collect()}
+    assert toks == {"common"}
+
+
+def test_qnorm_burst_queries_plan_clean(spark):
+    import __spark_entry__ as e
+    from corpusama_spark.session import assert_no_row_python
+
+    for name in ("quantile_norm", "burstiness"):
+        assert_no_row_python(
+            e.queries()[name](spark, "/root/testdata/sf0.001")
+        )
