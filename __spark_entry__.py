@@ -3425,6 +3425,31 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tok")
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source trimmed + winsorized mean of n_chars (dyadic 1/8
+    trim so the k-floor is integer-exact): robust 'typical length'
+    next to the raw mean in one rank window + one conditional agg."""
+    from corpusama_spark.operators.quantiles import trimmed_stats
+
+    return trimmed_stats(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id",
+        trim=0.125,
+    ).orderBy("source")
+
+
+def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the frequency-ranked and
+    document-frequency-ranked top-50 vocabularies (p=0.9, truncated
+    RBO): do the two selection rules agree where it matters? Items
+    enter the intersection at max(r_A, r_B), so per-depth overlap is a
+    cumulative count — fully relational."""
+    from corpusama_spark.operators.ranking import rbo_vocab_rankings
+
+    return rbo_vocab_rankings(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=50, p=0.9
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3545,6 +3570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "quantile_norm": q_quantile_norm,
         "burstiness": q_burstiness,
+        "trimmed_mean": q_trimmed_mean,
+        "rbo_rankings": q_rbo_rankings,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -7433,5 +7460,72 @@ def oracle_sql() -> dict[str, str]:
         FROM stats, nd
         WHERE df >= 20
         ORDER BY tok
+    """
+    out["trimmed_mean"] = """
+        WITH ranked AS (
+            SELECT source, CAST(n_chars AS BIGINT) AS v,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS r,
+                   CAST(count(*) OVER (PARTITION BY source)
+                        AS BIGINT) AS n
+            FROM documents),
+        t AS (SELECT *, CAST(floor(n * 0.125) AS BIGINT) AS k
+              FROM ranked),
+        agg AS (
+            SELECT source,
+                   max(n) AS n,
+                   max(k) AS k_trimmed,
+                   sum(CASE WHEN r > k AND r <= n - k THEN v END) AS s,
+                   min(CASE WHEN r > k AND r <= n - k THEN v END)
+                       AS lo,
+                   max(CASE WHEN r > k AND r <= n - k THEN v END)
+                       AS hi,
+                   avg(v) AS mean
+            FROM t GROUP BY source)
+        SELECT source, n, k_trimmed,
+               round(mean, 6) AS mean,
+               round(CAST(s AS DOUBLE) / (n - 2 * k_trimmed), 6)
+                   AS trimmed_mean,
+               round((s + k_trimmed * lo + k_trimmed * hi)
+                     / CAST(n AS DOUBLE), 6) AS winsorized_mean
+        FROM agg ORDER BY source
+    """
+    out["rbo_rankings"] = """
+        WITH tok AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(
+                       string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                       s -> len(s) > 0)) AS tok
+            FROM documents),
+        counts AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+                   CAST(count(DISTINCT id) AS BIGINT) AS df
+            FROM tok GROUP BY tok),
+        ranked AS (
+            SELECT tok,
+                   row_number() OVER (ORDER BY freq DESC, tok ASC)
+                       AS ra,
+                   row_number() OVER (ORDER BY df DESC, tok ASC)
+                       AS rb
+            FROM counts),
+        inter AS (
+            SELECT tok, greatest(ra, rb) AS enter
+            FROM ranked WHERE ra <= 50 AND rb <= 50),
+        depths AS (SELECT unnest(range(1, 51)) AS d),
+        per AS (
+            SELECT d, CAST(count(tok) AS BIGINT) AS ov
+            FROM depths LEFT JOIN inter ON enter <= d
+            GROUP BY d),
+        agg AS (
+            SELECT sum(pow(0.9::DOUBLE, d) * ov / d) AS s,
+                   max(CASE WHEN d = 50 THEN ov END) AS ovk
+            FROM per)
+        SELECT CAST(50 AS BIGINT) AS k,
+               round(0.11111111111111108::DOUBLE * s, 6) AS rbo,
+               CAST(ovk AS BIGINT) AS overlap_at_k,
+               round(ovk / (2.0::DOUBLE * 50 - ovk), 6) AS jaccard_at_k
+        FROM agg
     """
     return out

@@ -180,3 +180,60 @@ def quantile_normalize(
             "mapped",
         )
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    trim: float = 0.125,
+) -> DataFrame:
+    """Per-group trimmed AND winsorized means, exactly: drop (trimmed)
+    or clamp (winsorized) the k = floor(trim·n) most extreme rows on
+    each side, k computed from a DYADIC trim fraction so the float
+    floor is integer-exact on any engine. Robust location estimates
+    for corpus metrics where mad_outliers-style gating is too blunt —
+    a handful of 100 MB documents should not move a source's "typical
+    length" (trimmed), and winsorizing is the version that still uses
+    their row count. Integer value columns keep every sum exact; the
+    only floats are the two final divides.
+
+    One rank window per group (the irreducible exact-selection sort),
+    then a single conditional aggregation — no second pass, no join.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc(value_col), F.asc(id_col)
+    )
+    n = F.count("*").over(Window.partitionBy(group_col))
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("long").alias("_v"),
+        F.row_number().over(w).cast("long").alias("_r"),
+        n.cast("long").alias("_n"),
+    ).withColumn("_k", F.floor(F.col("_n") * float(trim)).cast("long"))
+    inc = (F.col("_r") > F.col("_k")) & (
+        F.col("_r") <= F.col("_n") - F.col("_k")
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.max("_n").alias("n"),
+        F.max("_k").alias("k_trimmed"),
+        F.sum(F.when(inc, F.col("_v"))).alias("_s"),
+        F.min(F.when(inc, F.col("_v"))).alias("_lo"),
+        F.max(F.when(inc, F.col("_v"))).alias("_hi"),
+        F.avg("_v").alias("_mean"),
+    )
+    kept = F.col("n") - 2 * F.col("k_trimmed")
+    wins = (
+        F.col("_s")
+        + F.col("k_trimmed") * F.col("_lo")
+        + F.col("k_trimmed") * F.col("_hi")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        group_col,
+        "n",
+        "k_trimmed",
+        F.round(F.col("_mean"), 6).alias("mean"),
+        F.round(F.col("_s") / kept.cast("double"), 6).alias("trimmed_mean"),
+        F.round(wins, 6).alias("winsorized_mean"),
+    )

@@ -100,3 +100,75 @@ def bm25_scores(
         )
         .select(F.col("id").alias(id_col), "score", "n_hit")
     )
+
+
+def rbo_vocab_rankings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010, truncated form) between
+    the corpus's two natural vocabulary rankings — tokens by total
+    FREQUENCY vs tokens by DOCUMENT FREQUENCY, both top-k with (count
+    desc, tok asc) tie-breaks. RBO_trunc = (1−p)/p · Σ_{d≤k} p^d ·
+    |A_d ∩ B_d| / d weights agreement at the head exponentially more
+    than the tail — exactly the question "do these two selection rules
+    pick the same vocabulary where it matters?". One row out: rbo plus
+    the plain overlap and Jaccard at depth k for un-weighted context.
+
+    The identity that keeps it relational: an item in both lists enters
+    the intersection at depth max(r_A, r_B), so |A_d ∩ B_d| is a
+    cumulative count over d — no per-depth set intersection ever
+    materializes. Cost: two vocab-sized rank windows, one vocab join,
+    one k-row broadcast; the corpus is read once for the counts.
+    """
+    from pyspark.sql.window import Window
+
+    k, p = int(k), float(p)
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    counts = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.countDistinct("id").cast("long").alias("df"),
+        )
+    )
+    ra = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
+    rb = F.row_number().over(Window.orderBy(F.desc("df"), F.asc("tok")))
+    ranked = counts.select(
+        "tok", ra.alias("ra"), rb.alias("rb")
+    ).where((F.col("ra") <= k) | (F.col("rb") <= k))
+    both = ranked.where((F.col("ra") <= k) & (F.col("rb") <= k)).select(
+        "tok", F.greatest("ra", "rb").alias("enter")
+    )
+    depths = docs.sparkSession.range(1, k + 1).select(
+        F.col("id").cast("long").alias("d")
+    )
+    per_depth = (
+        F.broadcast(depths)
+        .join(both, F.col("enter") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("tok").cast("long").alias("ov"))
+    )
+    agg = per_depth.agg(
+        F.sum(
+            F.pow(F.lit(p), F.col("d")) * F.col("ov") / F.col("d")
+        ).alias("_s"),
+        F.max(F.when(F.col("d") == k, F.col("ov"))).alias("_ovk"),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.lit((1.0 - p) / p) * F.col("_s"), 6).alias("rbo"),
+        F.col("_ovk").cast("long").alias("overlap_at_k"),
+        F.round(
+            F.col("_ovk") / (2.0 * k - F.col("_ovk")), 6
+        ).alias("jaccard_at_k"),
+    )

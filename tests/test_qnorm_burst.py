@@ -72,3 +72,71 @@ def test_qnorm_burst_queries_plan_clean(spark):
         assert_no_row_python(
             e.queries()[name](spark, "/root/testdata/sf0.001")
         )
+
+
+def test_trimmed_stats_hand_case(spark):
+    from corpusama_spark.operators.quantiles import trimmed_stats
+
+    # 8 values, trim 1/8 -> k=1: drop min and max
+    vals = [1000, 10, 20, 30, 40, 50, 60, 0]
+    rows = [(i, "s", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    r = trimmed_stats(df, "g", "v", "id", trim=0.125).collect()[0]
+    inner = [10, 20, 30, 40, 50, 60]
+    assert r.n == 8 and r.k_trimmed == 1
+    assert r.mean == round(sum(vals) / 8, 6)
+    assert r.trimmed_mean == round(sum(inner) / 6, 6)
+    assert r.winsorized_mean == round((sum(inner) + 10 + 60) / 8, 6)
+    # the outlier 1000 moves the mean but not the trimmed mean
+    assert r.trimmed_mean == 35.0 and r.mean > 150
+
+
+def test_trimmed_stats_small_group_no_trim(spark):
+    from corpusama_spark.operators.quantiles import trimmed_stats
+
+    # n=5, floor(5/8)=0: nothing trimmed, all three means equal
+    df = spark.createDataFrame(
+        [(i, "s", 10 * (i + 1)) for i in range(5)], "id long, g string, v long"
+    )
+    r = trimmed_stats(df, "g", "v", "id").collect()[0]
+    assert r.k_trimmed == 0
+    assert r.mean == r.trimmed_mean == r.winsorized_mean == 30.0
+
+
+def test_rbo_identical_rankings_closed_form(spark):
+    from corpusama_spark.operators.ranking import rbo_vocab_rankings
+
+    # every token appears exactly once per doc it's in -> freq == df ->
+    # identical rankings -> truncated RBO = 1 - p^k exactly
+    docs = [(d, " ".join(f"tok{t:02d}" for t in range(60) if t <= d))
+            for d in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = rbo_vocab_rankings(df, "text", "doc_id", k=50, p=0.9).collect()[0]
+    expect = 0.0
+    for d in range(1, 51):
+        expect += 0.9 ** d  # overlap_d == d
+    assert r.rbo == round((1.0 - 0.9) / 0.9 * expect, 6)
+    assert abs(r.rbo - (1 - 0.9 ** 50)) < 5e-7  # 6dp rounding
+    assert r.overlap_at_k == 50 and r.jaccard_at_k == 1.0
+
+
+def test_rbo_divergent_head_scores_low(spark):
+    from corpusama_spark.operators.ranking import rbo_vocab_rankings
+
+    # "hot" dominates frequency (1000 in one doc) but has df=1;
+    # "wide" leads df. With k=2 the heads disagree -> rbo < 1
+    rows = [(0, "hot " * 1000)] + [(i, "wide filler") for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = rbo_vocab_rankings(df, "text", "doc_id", k=2, p=0.9).collect()[0]
+    assert r.overlap_at_k <= 2
+    assert r.rbo < 1.0
+
+
+def test_trimmed_rbo_queries_plan_clean(spark):
+    import __spark_entry__ as e
+    from corpusama_spark.session import assert_no_row_python
+
+    for name in ("trimmed_mean", "rbo_rankings"):
+        assert_no_row_python(
+            e.queries()[name](spark, "/root/testdata/sf0.001")
+        )
