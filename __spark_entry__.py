@@ -3450,6 +3450,38 @@ def q_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PSI drift monitor driven end-to-end inside the
+    contract: post-2024-01-16 events land as a file stream (fresh temp
+    src/checkpoint per call), scored per microbatch against the frozen
+    pre-split reference histogram via foreachBatch; returns the metrics
+    table (one availableNow batch → one row). The oracle recomputes the
+    identical excluded-bin PSI relationally — a Structured Streaming
+    path whose OUTPUT is DuckDB-oracle-checked."""
+    import tempfile
+
+    from corpusama_spark.streaming.drift import (
+        reference_histogram,
+        stream_batch_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    pre = ev.where(F.col("ts") < split)
+    post = ev.where(F.col("ts") >= split)
+    base = tempfile.mkdtemp(prefix="streamdrift_")
+    src = f"{base}/src"
+    metrics = f"{base}/metrics"
+    ckpt = f"{base}/ckpt"
+    post.write.mode("overwrite").parquet(src)
+    ref = reference_histogram(pre, "value", 50.0, 10)
+    q = stream_batch_drift(
+        spark, src, metrics, ckpt, ref, "value", 50.0, 10
+    )
+    q.awaitTermination()
+    return spark.read.parquet(metrics).select("n_rows", "psi", "cur_cover")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3572,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "trimmed_mean": q_trimmed_mean,
         "rbo_rankings": q_rbo_rankings,
+        "stream_drift": q_stream_drift,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -7527,5 +7560,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(ovk AS BIGINT) AS overlap_at_k,
                round(ovk / (2.0::DOUBLE * 50 - ovk), 6) AS jaccard_at_k
         FROM agg
+    """
+    out["stream_drift"] = """
+        WITH base AS (
+            SELECT least(greatest(
+                       CAST(floor(value / 50.0) AS BIGINT), 0), 9)
+                       AS bin,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+                        END AS is_ref
+            FROM events),
+        counts AS (
+            SELECT bin,
+                   CAST(sum(is_ref) AS BIGINT) AS rn,
+                   CAST(sum(1 - is_ref) AS BIGINT) AS cn
+            FROM base GROUP BY bin),
+        tot AS (
+            SELECT CAST(sum(rn) AS BIGINT) AS n_ref,
+                   CAST(sum(cn) AS BIGINT) AS n_cur
+            FROM counts)
+        SELECT t.n_cur AS n_rows,
+               round(sum(CASE WHEN rn > 0 AND cn > 0
+                              THEN (cn / CAST(t.n_cur AS DOUBLE)
+                                    - rn / CAST(t.n_ref AS DOUBLE))
+                                   * ln((cn / CAST(t.n_cur AS DOUBLE))
+                                        / (rn / CAST(t.n_ref AS DOUBLE)))
+                              ELSE 0.0 END), 6) AS psi,
+               round(sum(CASE WHEN rn > 0 AND cn > 0 THEN cn ELSE 0 END)
+                     / CAST(t.n_cur AS DOUBLE), 6) AS cur_cover
+        FROM counts, tot t
+        GROUP BY t.n_cur
     """
     return out
