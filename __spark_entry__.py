@@ -3482,6 +3482,18 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(metrics).select("n_rows", "psi", "cur_cover")
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV share against the global top-100 vocabulary —
+    occurrence and type OOV rates, the tokenizer-planning table. One
+    explode, vocabulary derived from the (source, token) counts, never
+    a corpus re-read."""
+    from corpusama_spark.operators.textstats import oov_rate
+
+    return oov_rate(
+        _t(spark, sf_dir, "documents"), "text", "source", vocab_top=100
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3605,6 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "rbo_rankings": q_rbo_rankings,
         "stream_drift": q_stream_drift,
+        "oov_rate": q_oov_rate,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -7589,5 +7602,37 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(t.n_cur AS DOUBLE), 6) AS cur_cover
         FROM counts, tot t
         GROUP BY t.n_cur
+    """
+    out["oov_rate"] = """
+        WITH tok AS (
+            SELECT source AS g,
+                   unnest(list_filter(
+                       string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                       s -> len(s) > 0)) AS tok
+            FROM documents),
+        gw AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY g, tok),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok,
+                       row_number() OVER (ORDER BY sum(c) DESC, tok ASC)
+                           AS rnk
+                FROM gw GROUP BY tok) WHERE rnk <= 100),
+        flagged AS (
+            SELECT gw.g, gw.c,
+                   CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+            FROM gw LEFT JOIN vocab v ON gw.tok = v.tok)
+        SELECT g AS source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN oov = 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               round(sum(CASE WHEN oov = 1 THEN c ELSE 0 END)
+                     / CAST(sum(c) AS DOUBLE), 6) AS oov_share,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(oov) AS BIGINT) AS n_oov_types,
+               round(sum(oov) / CAST(count(*) AS DOUBLE), 6)
+                   AS oov_type_share
+        FROM flagged GROUP BY g ORDER BY source
     """
     return out

@@ -617,3 +617,78 @@ def token_burstiness(
             ).alias("fano"),
         )
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_top: int = 100,
+) -> DataFrame:
+    """Out-of-vocabulary share per group against the GLOBAL top-N
+    token vocabulary (frequency-ranked, ties tok asc) — the
+    tokenizer/vocabulary planning table: a source whose oov_share is
+    3× the corpus average will fragment into subword soup under a
+    vocabulary fitted on the blend, and this is the number that says
+    so before training does. Reports per-group token total, OOV token
+    count, OOV share and the share of DISTINCT types that are OOV
+    (types fragment, occurrences pay).
+
+    One corpus explode feeds ONE (group, token) count table; the
+    global vocabulary derives from it (second groupBy, never a corpus
+    re-read) and broadcasts as a top-N semi-join side. Integer counts
+    to the final divides.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    gw = (
+        docs.select(F.col(group_col).alias("g"), F.explode(toks).alias("tok"))
+        .groupBy("g", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    vocab = (
+        gw.groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("freq"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("freq"), F.asc("tok"))
+            ),
+        )
+        .where(F.col("rnk") <= int(vocab_top))
+        .select("tok")
+    )
+    flagged = gw.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6)
+            .alias("oov_share"),
+            "n_types",
+            "n_oov_types",
+            F.round(
+                F.col("n_oov_types") / F.col("n_types").cast("double"), 6
+            ).alias("oov_type_share"),
+        )
+    )

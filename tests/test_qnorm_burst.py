@@ -140,3 +140,32 @@ def test_trimmed_rbo_queries_plan_clean(spark):
         assert_no_row_python(
             e.queries()[name](spark, "/root/testdata/sf0.001")
         )
+
+
+def test_oov_rate_hand_case(spark):
+    from corpusama_spark.operators.textstats import oov_rate
+
+    # vocab_top=2 -> global vocabulary {the, cat} (freq 4, 3)
+    df = spark.createDataFrame(
+        [
+            (1, "a", "the cat the cat"),
+            (2, "a", "the cat zebra"),
+            (3, "b", "the quokka axolotl"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in oov_rate(
+        df, "text", "source", vocab_top=2).collect()}
+    a, b = out["a"], out["b"]
+    assert a.n_tokens == 7 and a.n_oov == 1  # zebra
+    assert a.oov_share == round(1 / 7, 6)
+    assert a.n_types == 3 and a.n_oov_types == 1
+    assert b.n_tokens == 3 and b.n_oov == 2  # quokka, axolotl
+    assert b.oov_type_share == round(2 / 3, 6)
+
+
+def test_oov_rate_query_plan_clean(spark):
+    import __spark_entry__ as e
+    from corpusama_spark.session import assert_no_row_python
+
+    assert_no_row_python(e.queries()["oov_rate"](spark, "/root/testdata/sf0.001"))
