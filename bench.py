@@ -106,6 +106,12 @@ BENCH_QUERIES = [
     "split_leakage",
     "domain_quota",
     "cluster_sizes",
+    # round-4 continuation (X126-X147): the heavier new families
+    "kmeans_clusters",
+    "fuzzy_pairs",
+    "cms_topk",
+    "jsd_sources",
+    "bootstrap_ci",
     # dedup_clusters is deliberately absent: its 12 fixed label-propagation
     # rounds over the tiny sf edge set measure the per-round scheduling
     # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale
