@@ -54,6 +54,11 @@ def main() -> None:
     n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     n_captions = int(os.environ.get("BENCH_CAPTIONS_N", "160000"))
 
+    # one discarded warm-up at the high config first: the very first bench
+    # of a session pays parquet materialization + cold page cache for the
+    # 640k input, which otherwise lands entirely on trial 1 (observed as a
+    # 3x low first-high-trial in the round-4 head run)
+    run_bench(n_high, n_captions)
     # interleave two trials per config and keep each config's best — the
     # sandbox host has noisy-neighbor variance on the order of 2-3x, and
     # best-of-N approximates the uncontended machine both configs deserve
@@ -110,14 +115,25 @@ Speedup {n_low}→{n_high} cores ({n_high // n_low}x): **{thr_hi / thr_lo:.2f}x*
 """
     bench_md = os.path.join(REPO, "BENCH.md")
     header = "# BENCH — engine throughput + scaling\n"
-    existing = ""
+    # Replace ONLY the auto-written section: from its heading to the end
+    # marker (or EOF for pre-marker files). Everything else in BENCH.md —
+    # history, adjudications, environment notes — is hand-maintained and
+    # must survive re-runs.
+    end_marker = "<!-- END AUTO-SCALING -->"
+    section = section.rstrip() + "\n" + end_marker + "\n"
     if os.path.exists(bench_md):
         existing = open(bench_md).read()
-        existing = existing.split("## Measured scaling evidence")[0].rstrip() + "\n"
+        head, sep, rest = existing.partition("## Measured scaling evidence")
+        if sep:
+            _, msep, tail = rest.partition(end_marker)
+            trailing = tail if msep else ""
+            existing = head.rstrip() + "\n\n" + section + trailing
+        else:
+            existing = existing.rstrip() + "\n\n" + section
     else:
-        existing = header
+        existing = header + "\n" + section
     with open(bench_md, "w") as f:
-        f.write(existing + section)
+        f.write(existing)
     print(f"wrote {bench_md}")
 
 
