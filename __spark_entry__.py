@@ -3494,6 +3494,40 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster k-means quality rollup (n, share, inertia, mean d2)
+    over the deterministic Lloyd assignment — the is-k-sane table."""
+    from corpusama_spark.operators.kmeans import kmeans_quality
+
+    return kmeans_quality(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, iters=2
+    )
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids (6dp-
+    pinned means) — the domain cartography table; labels²/2 × dims
+    pair work, corpus read once."""
+    from corpusama_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    return label_centroid_similarity(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    ).orderBy("lab_a", "lab_b")
+
+
+def q_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill-number diversity profile per source (richness, effective
+    vocabulary exp(H), inverse-Simpson head size) — content diversity
+    within groups, integer moments except the entropy sum."""
+    from corpusama_spark.operators.skew import hill_diversity
+
+    return hill_diversity(
+        _t(spark, sf_dir, "documents"), "source", "text"
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3618,6 +3652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_rankings": q_rbo_rankings,
         "stream_drift": q_stream_drift,
         "oov_rate": q_oov_rate,
+        "kmeans_quality": q_kmeans_quality,
+        "label_centroid_sim": q_label_centroid_sim,
+        "hill_diversity": q_hill_diversity,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -7634,5 +7671,96 @@ def oracle_sql() -> dict[str, str]:
                round(sum(oov) / CAST(count(*) AS DOUBLE), 6)
                    AS oov_type_share
         FROM flagged GROUP BY g ORDER BY source
+    """
+    out["kmeans_quality"] = """
+        WITH dims AS (
+            SELECT vec_id AS id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings),
+        seeds AS (
+            SELECT vec_id AS id,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings QUALIFY cluster < 4),
+        c0 AS (
+            SELECT s.cluster, d.dim, round(d.v, 6) AS c
+            FROM dims d JOIN seeds s USING (id)),
+        d1 AS (
+            SELECT d.id, c.cluster,
+                   round(sum((d.v - c.c) * (d.v - c.c)), 6) AS d2
+            FROM dims d JOIN c0 c USING (dim)
+            GROUP BY d.id, c.cluster),
+        a1 AS (
+            SELECT id, cluster FROM (
+                SELECT id, cluster,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY d2, cluster) AS rnk
+                FROM d1) WHERE rnk = 1),
+        c1 AS (
+            SELECT a.cluster, d.dim, round(avg(d.v), 6) AS c
+            FROM dims d JOIN a1 a USING (id)
+            GROUP BY a.cluster, d.dim),
+        d2t AS (
+            SELECT d.id, c.cluster,
+                   round(sum((d.v - c.c) * (d.v - c.c)), 6) AS d2
+            FROM dims d JOIN c1 c USING (dim)
+            GROUP BY d.id, c.cluster),
+        a2 AS (
+            SELECT id, cluster, round(d2, 4) AS d2 FROM (
+                SELECT id, cluster, d2,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY d2, cluster) AS rnk
+                FROM d2t) WHERE rnk = 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM a2)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+               CAST(count(*) AS BIGINT) AS n,
+               round(count(*) / CAST(t.n_total AS DOUBLE), 6) AS share,
+               round(sum(d2), 4) AS inertia,
+               round(avg(d2), 6) AS mean_d2
+        FROM a2, tot t
+        GROUP BY cluster, t.n_total
+        ORDER BY cluster
+    """
+    out["label_centroid_sim"] = """
+        WITH dims AS (
+            SELECT label AS lab,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings),
+        cent AS (
+            SELECT lab, dim, round(avg(v), 6) AS c
+            FROM dims GROUP BY lab, dim),
+        pairs AS (
+            SELECT a.lab AS lab_a, b.lab AS lab_b,
+                   sum(a.c * b.c) AS dot,
+                   sum(a.c * a.c) AS na,
+                   sum(b.c * b.c) AS nb
+            FROM cent a JOIN cent b ON a.dim = b.dim AND a.lab < b.lab
+            GROUP BY a.lab, b.lab)
+        SELECT lab_a, lab_b,
+               round(dot / sqrt(na * nb), 6) AS cosine
+        FROM pairs ORDER BY lab_a, lab_b
+    """
+    out["hill_diversity"] = """
+        WITH tok AS (
+            SELECT source AS g,
+                   unnest(list_filter(
+                       string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                       s -> len(s) > 0)) AS tok
+            FROM documents),
+        gw AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY g, tok),
+        per AS (
+            SELECT g,
+                   CAST(sum(c) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS hill0,
+                   CAST(sum(c * c) AS BIGINT) AS s2,
+                   sum(c * ln(c)) AS clnc
+            FROM gw GROUP BY g)
+        SELECT g AS source, t AS n_tokens, hill0,
+               round(exp(ln(t) - clnc / t), 6) AS hill1,
+               round((t * t) / CAST(s2 AS DOUBLE), 6) AS hill2
+        FROM per ORDER BY source
     """
     return out

@@ -100,3 +100,38 @@ def kmeans_assign(
         F.col("cluster").cast("long").alias("cluster"),
         F.round(F.col("d2"), 4).alias("d2"),
     )
+
+
+def kmeans_quality(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-cluster quality summary over the kmeans_assign output:
+    member count, share of the corpus, inertia (Σ d2) and mean d2 —
+    the table that says whether k is sane (one cluster holding 90% of
+    rows with 10× the mean scatter means k is too small or the space
+    is degenerate). Pure groupBy over the assignment table; the
+    expensive part is the assignment itself."""
+    assign = kmeans_assign(emb, id_col, vec_col, k=k, iters=iters)
+    tot = assign.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("d2"), 4).alias("inertia"),
+            F.round(F.avg("d2"), 6).alias("mean_d2"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster",
+            "n",
+            F.round(F.col("n") / F.col("n_total").cast("double"), 6)
+            .alias("share"),
+            "inertia",
+            "mean_d2",
+        )
+        .orderBy("cluster")
+    )

@@ -682,3 +682,51 @@ def tfidf_pairs(
         )
     )
     return out.where(F.col("tfidf_cos") >= float(threshold))
+
+
+def label_centroid_similarity(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the corpus cartography table ("which domains live in
+    the same region of embedding space"), the number that justifies
+    merging two sources' quality thresholds or keeping them apart.
+    Centroids are per-(label, dim) means ROUNDED to 6 dp (pinning the
+    order-sensitive float sums, same trick as kmeans), so the cosines
+    are engine-exact.
+
+    Scale shape: the corpus collapses to labels×dims rows in one
+    map-side-combinable groupBy; the pair table is labels²/2 × dims —
+    driver-free, broadcast-sized for any real label cardinality."""
+    dims = emb.select(
+        F.col(label_col).alias("lab"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("lab", "dim", F.col("v").cast("double").alias("v"))
+    cent = dims.groupBy("lab", "dim").agg(
+        F.round(F.avg("v"), 6).alias("c")
+    )
+    a = cent.select(
+        F.col("lab").alias("lab_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("lab").alias("lab_b"), "dim", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "dim")
+        .where(F.col("lab_a") < F.col("lab_b"))
+        .groupBy("lab_a", "lab_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("_dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("_na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("_nb"),
+        )
+    )
+    return pairs.select(
+        "lab_a",
+        "lab_b",
+        F.round(
+            F.col("_dot") / F.sqrt(F.col("_na") * F.col("_nb")), 6
+        ).alias("cosine"),
+    )

@@ -119,3 +119,52 @@ def concentration_stats(df: DataFrame, key_col: str) -> DataFrame:
         ).alias("norm_entropy"),
         F.round(F.col("_mx") / F.col("tx"), 6).alias("top_share"),
     )
+
+
+def hill_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hill-number diversity profile of each group's token
+    distribution: q=0 (richness: distinct types), q=1 (exp of Shannon
+    entropy: "effective vocabulary"), q=2 (inverse Simpson:
+    "effective vocabulary counting only the head") — the ecology
+    standard (Hill 1973) that reads as 'how many equally-common words
+    is this source equivalent to?'. hill2 is integer-exact until one
+    divide (t²/Σc²); hill1's entropy sum is the only float
+    accumulation, 6dp-rounded. Complements concentration_stats (which
+    profiles group SIZES; this profiles content WITHIN groups).
+
+    One token explode → one (group, token) count → one group rollup,
+    all map-side combinable; no windows, no joins."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    gw = (
+        docs.select(
+            F.col(group_col).alias("g"), F.explode(toks).alias("tok")
+        )
+        .groupBy("g", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per = gw.groupBy("g").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count("*").cast("long").alias("hill0"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_s2"),
+        F.sum(F.col("c") * F.log("c")).alias("_clnc"),
+    )
+    # entropy = ln t − Σ c·ln c / t  (exact algebra on the count table)
+    ent = F.log(F.col("t")) - F.col("_clnc") / F.col("t")
+    return per.select(
+        F.col("g").alias(group_col),
+        F.col("t").alias("n_tokens"),
+        "hill0",
+        F.round(F.exp(ent), 6).alias("hill1"),
+        F.round(
+            (F.col("t") * F.col("t")) / F.col("_s2").cast("double"), 6
+        ).alias("hill2"),
+    )
