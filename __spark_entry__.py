@@ -3528,6 +3528,18 @@ def q_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_cooc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the top-100
+    token co-occurrence graph (edge: ≥3 shared docs) — topic-structure
+    diagnostic; oriented a<b<c closure counts each triangle once."""
+    from corpusama_spark.operators.components import cooccurrence_triangles
+
+    return cooccurrence_triangles(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        top_tokens=100, min_cooc=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3655,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_quality": q_kmeans_quality,
         "label_centroid_sim": q_label_centroid_sim,
         "hill_diversity": q_hill_diversity,
+        "cooc_triangles": q_cooc_triangles,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -7762,5 +7775,47 @@ def oracle_sql() -> dict[str, str]:
                round(exp(ln(t) - clnc / t), 6) AS hill1,
                round((t * t) / CAST(s2 AS DOUBLE), 6) AS hill2
         FROM per ORDER BY source
+    """
+    out["cooc_triangles"] = """
+        WITH dt AS (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_filter(
+                       string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                       s -> len(s) > 0)) AS tok
+            FROM documents),
+        top AS (
+            SELECT tok FROM (
+                SELECT tok,
+                       row_number() OVER (
+                           ORDER BY count(*) DESC, tok ASC) AS rnk
+                FROM dt GROUP BY tok) WHERE rnk <= 100),
+        capped AS (SELECT dt.id, dt.tok FROM dt JOIN top USING (tok)),
+        edges AS (
+            SELECT a.tok AS ta, b.tok AS tb
+            FROM capped a JOIN capped b
+              ON a.id = b.id AND a.tok < b.tok
+            GROUP BY a.tok, b.tok
+            HAVING count(*) >= 3),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.tb = e2.ta
+            JOIN edges e3 ON e3.ta = e1.ta AND e3.tb = e2.tb),
+        deg AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT ta AS tok FROM edges
+                UNION ALL SELECT tb FROM edges) GROUP BY tok),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS triads
+            FROM deg),
+        ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+        SELECT s.n_nodes, ec.n_edges, tri.n_triangles,
+               CASE WHEN s.triads > 0
+                    THEN round(3.0 * tri.n_triangles
+                               / CAST(s.triads AS DOUBLE), 6)
+                    ELSE 0.0 END AS clustering_coeff
+        FROM stats s, ec, tri
     """
     return out

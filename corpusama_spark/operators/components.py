@@ -388,3 +388,99 @@ def pagerank(
             )
         )
     return r.select("id", F.round(F.col("rank"), 6).alias("rank"))
+
+
+def cooccurrence_triangles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_tokens: int = 100,
+    min_cooc: int = 3,
+) -> DataFrame:
+    """Triangle census of the token CO-OCCURRENCE graph (nodes = the
+    global top-N tokens, an edge where two tokens share ≥ min_cooc
+    documents): one row with node/edge/triangle counts and the global
+    clustering coefficient 3·triangles / open-triads. The graph-shape
+    diagnostic for topic structure — natural corpora close triangles
+    (words that co-occur with a common word co-occur with each other,
+    C ≈ 0.3–0.7); template/boilerplate floods drive C toward 1, random
+    token soup toward 0. Integer arithmetic except the final divide.
+
+    Shapes, because triangle counting is the canonical quadratic trap:
+    nodes are capped at top-N BEFORE any pairing, the doc-token table is
+    semi-joined to that broadcast cap, co-occurrence pairs come from one
+    equi-join on doc id over the capped table (per-doc fan-out ≤ N²/2
+    with N ≤ top_tokens), and the triangle join is the standard
+    oriented a<b<c closure (each triangle counted once, no direction
+    double-count). At web scale you lower top_tokens, not the pattern.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    dt = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .distinct()
+    )
+    # top-N via orderBy+limit -> TakeOrderedAndProject (distributed heap
+    # per partition + driver merge of N rows), not a single-partition window
+    top = (
+        dt.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(int(top_tokens))
+        .select("tok")
+    )
+    capped = dt.join(F.broadcast(top), "tok")
+    a = capped.select("id", F.col("tok").alias("ta"))
+    b = capped.select("id", F.col("tok").alias("tb"))
+    edges = (
+        a.join(b, "id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("long").alias("cooc"))
+        .where(F.col("cooc") >= int(min_cooc))
+        .select("ta", "tb")
+    )
+    e1 = edges.select(F.col("ta").alias("x"), F.col("tb").alias("y"))
+    e2 = edges.select(F.col("ta").alias("y"), F.col("tb").alias("z"))
+    e3 = edges.select(F.col("ta").alias("x"), F.col("tb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    deg = (
+        edges.select(F.col("ta").alias("tok"))
+        .unionAll(edges.select(F.col("tb").alias("tok")))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("long")
+        .alias("_triads"),
+    )
+    ecount = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ecount))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.coalesce(
+                F.when(
+                    F.col("_triads") > 0,
+                    F.round(
+                        3.0
+                        * F.col("n_triangles")
+                        / F.col("_triads").cast("double"),
+                        6,
+                    ),
+                ),
+                F.lit(0.0),
+            ).alias("clustering_coeff"),
+        )
+    )

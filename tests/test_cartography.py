@@ -76,3 +76,50 @@ def test_cartography_queries_plan_clean(spark):
         assert_no_row_python(
             e.queries()[name](spark, "/root/testdata/sf0.001")
         )
+
+
+def test_cooc_triangles_hand_graph(spark):
+    from corpusama_spark.operators.components import cooccurrence_triangles
+
+    # 3 docs all containing {a,b,c} -> triangle abc; d attaches to a,b only
+    docs = [
+        (1, "a b c d"),
+        (2, "a b c d"),
+        (3, "a b c d"),
+        (4, "e f"),  # below min_cooc, never edges
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = cooccurrence_triangles(
+        df, "text", "doc_id", top_tokens=10, min_cooc=3
+    ).collect()[0]
+    # nodes a,b,c,d fully connected (all pairs share 3 docs): K4
+    assert r.n_nodes == 4 and r.n_edges == 6
+    assert r.n_triangles == 4  # K4 has C(4,3) triangles
+    # K4: every open triad closes -> clustering coefficient 1
+    assert r.clustering_coeff == 1.0
+
+
+def test_cooc_triangles_triangle_free(spark):
+    from corpusama_spark.operators.components import cooccurrence_triangles
+
+    # star graph: hub h co-occurs with x,y,z pairwise-disjoint docs
+    docs = (
+        [(i, "h x") for i in range(3)]
+        + [(10 + i, "h y") for i in range(3)]
+        + [(20 + i, "h z") for i in range(3)]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = cooccurrence_triangles(
+        df, "text", "doc_id", top_tokens=10, min_cooc=3
+    ).collect()[0]
+    assert r.n_edges == 3 and r.n_triangles == 0
+    assert r.clustering_coeff == 0.0
+
+
+def test_cooc_triangles_query_plan_clean(spark):
+    import __spark_entry__ as e
+    from corpusama_spark.session import assert_no_row_python
+
+    assert_no_row_python(
+        e.queries()["cooc_triangles"](spark, "/root/testdata/sf0.001")
+    )
