@@ -3540,6 +3540,126 @@ def q_cooc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drop_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential drop-attribution waterfall over the heuristic quality
+    chain: every dropped doc charged to the FIRST failing rule, with
+    cumulative drops and survivors per stage — the per-stage budget
+    report rule_ablation's order-independent marginals can't give.
+    One scan, one coalesce chain, one constant-width agg."""
+    from corpusama_spark.functions.textrules import (
+        caps_ratio_col,
+        digit_ratio_col,
+    )
+    from corpusama_spark.operators.ablation import drop_waterfall
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    rules = {
+        "nanlike": is_nanlike(F.col("text")),
+        "short": F.length(t) < 50,
+        "alpha": alpha_ratio_col(t) < 0.6,
+        "caps": caps_ratio_col(t) > 0.5,
+        "digit": digit_ratio_col(t) > 0.2,
+    }
+    return drop_waterfall(docs, rules, "doc_id")
+
+
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 distance per event type between pre- and
+    post-2024-01-16 value distributions (|ΔECDF|·gap summed over the
+    pooled support) — transport COST in value units, complementing
+    ks_drift's worst vertical gap."""
+    from corpusama_spark.operators.drift import wasserstein_1d
+
+    return wasserstein_1d(
+        _t(spark, sf_dir, "events"), "event_type", "value", "ts",
+        "2024-01-16",
+    ).orderBy("event_type")
+
+
+def q_theil_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of document length decomposed into between-
+    source and within-source components with the exact identity residual
+    exposed — says whether source quotas would fix the imbalance."""
+    from corpusama_spark.operators.skew import theil_decomposition
+
+    return theil_decomposition(
+        _t(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit over the (lang, source, n_chars//100)
+    quasi-identifier: min class size, violating classes and rows below
+    k=5, singleton fingerprints — one groupBy collapse then a rollup."""
+    from corpusama_spark.operators.privacy import k_anonymity
+
+    docs = _t(spark, sf_dir, "documents")
+    return k_anonymity(
+        docs,
+        [
+            F.col("lang"),
+            F.col("source"),
+            F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+        ],
+        k=5,
+    )
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class l-diversity worklist: quasi-identifier classes (source,
+    n_chars//200) failing k-anonymity (k=5) or distinct-l-diversity
+    (l=2) on the sensitive ``lang`` column, with modal-share disclosure
+    risk, worst-first."""
+    from corpusama_spark.operators.privacy import l_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return l_diversity(
+        docs,
+        [
+            F.col("source"),
+            F.floor(F.col("n_chars") / 200).alias("len_bucket"),
+        ],
+        "lang",
+        l=2,
+        k=5,
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources (distinct-token
+    Jaccard + both directional containments) via a token-keyed
+    inverted-index self-join — never a cross product."""
+    from corpusama_spark.operators.textstats import source_vocab_overlap
+
+    return source_vocab_overlap(
+        _t(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
+def q_bleu_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped n-gram precision (BLEU-2 with brevity penalty) for
+    adjacent-in-class candidate pairs (same (lang, source), consecutive
+    doc_id, non-empty texts) — multiplicity-aware overlap verify where
+    Jaccard's set semantics are too blunt. Gram count tables built once
+    per doc; verify is two equi-joins."""
+    from corpusama_spark.operators.fuzzy import bleu_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0
+    )
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("id_a"),
+            F.lead("doc_id").over(w).alias("id_b"),
+        )
+        .where(F.col("id_b").isNotNull())
+        .where(F.col("id_a") % 7 == 0)
+    )
+    return bleu_pairs(pairs, docs, "text", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3668,6 +3788,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_sim": q_label_centroid_sim,
         "hill_diversity": q_hill_diversity,
         "cooc_triangles": q_cooc_triangles,
+        "drop_waterfall": q_drop_waterfall,
+        "wasserstein_drift": q_wasserstein_drift,
+        "theil_decomp": q_theil_decomp,
+        "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
+        "source_overlap": q_source_overlap,
+        "bleu_verify": q_bleu_verify,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -7817,5 +7944,282 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(s.triads AS DOUBLE), 6)
                     ELSE 0.0 END AS clustering_coeff
         FROM stats s, ec, tri
+    """
+    out["drop_waterfall"] = r"""
+        WITH fl AS (
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR regexp_matches(text,
+                            '(?i)^[\s\x0b]*(none|null|nan)?[\s\x0b]*$')
+                        THEN 1 ELSE 0 END AS r_nanlike,
+                   CASE WHEN length(coalesce(text, '')) < 50
+                        THEN 1 ELSE 0 END AS r_short,
+                   CASE WHEN length(coalesce(text, '')) = 0
+                             OR length(regexp_replace(coalesce(text, ''),
+                                                      '[^\p{L}]', '', 'g'))
+                                / CAST(length(coalesce(text, '')) AS DOUBLE)
+                                < 0.6
+                        THEN 1 ELSE 0 END AS r_alpha,
+                   CASE WHEN length(regexp_replace(coalesce(text, ''),
+                                                   '[^\p{L}]', '', 'g')) > 0
+                             AND length(regexp_replace(coalesce(text, ''),
+                                                       '[^\p{Lu}]', '', 'g'))
+                                 / CAST(length(regexp_replace(
+                                       coalesce(text, ''), '[^\p{L}]', '',
+                                       'g')) AS DOUBLE) > 0.5
+                        THEN 1 ELSE 0 END AS r_caps,
+                   CASE WHEN length(coalesce(text, '')) > 0
+                             AND length(regexp_replace(coalesce(text, ''),
+                                                       '[^0-9]', '', 'g'))
+                                 / CAST(length(coalesce(text, '')) AS DOUBLE)
+                                 > 0.2
+                        THEN 1 ELSE 0 END AS r_digit
+            FROM documents),
+        lab AS (
+            SELECT CASE WHEN r_nanlike = 1 THEN 'nanlike'
+                        WHEN r_short = 1 THEN 'short'
+                        WHEN r_alpha = 1 THEN 'alpha'
+                        WHEN r_caps = 1 THEN 'caps'
+                        WHEN r_digit = 1 THEN 'digit'
+                        ELSE '_kept' END AS first_rule,
+                   r_nanlike, r_short, r_alpha, r_caps, r_digit
+            FROM fl),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(r_nanlike) AS BIGINT) AS f_nanlike,
+                   CAST(sum(r_short) AS BIGINT) AS f_short,
+                   CAST(sum(r_alpha) AS BIGINT) AS f_alpha,
+                   CAST(sum(r_caps) AS BIGINT) AS f_caps,
+                   CAST(sum(r_digit) AS BIGINT) AS f_digit
+            FROM lab),
+        firsts AS (
+            SELECT first_rule, CAST(count(*) AS BIGINT) AS n_first
+            FROM lab GROUP BY first_rule),
+        chain AS (
+            SELECT * FROM (VALUES
+                (1, 'nanlike'), (2, 'short'), (3, 'alpha'),
+                (4, 'caps'), (5, 'digit')) AS v(stage, rule)),
+        built AS (
+            SELECT c.stage, c.rule,
+                   coalesce(f.n_first, 0) AS n_first,
+                   CASE c.rule WHEN 'nanlike' THEN t.f_nanlike
+                               WHEN 'short' THEN t.f_short
+                               WHEN 'alpha' THEN t.f_alpha
+                               WHEN 'caps' THEN t.f_caps
+                               ELSE t.f_digit END AS n_fail,
+                   t.n_docs
+            FROM chain c
+            LEFT JOIN firsts f ON f.first_rule = c.rule
+            CROSS JOIN tot t)
+        SELECT CAST(stage AS INTEGER) AS stage, rule,
+               CAST(n_first AS BIGINT) AS n_first,
+               CAST(n_fail AS BIGINT) AS n_fail,
+               CAST(sum(n_first) OVER w AS BIGINT) AS cum_dropped,
+               CAST(n_docs - sum(n_first) OVER w AS BIGINT)
+                   AS n_remaining,
+               round(n_first / CAST(n_docs AS DOUBLE), 6) AS drop_share
+        FROM built
+        WINDOW w AS (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY stage
+    """
+    out["wasserstein_drift"] = """
+        WITH base AS (
+            SELECT event_type AS g, value AS v,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+                        END AS is_ref
+            FROM events),
+        counts AS (
+            SELECT g, v,
+                   CAST(sum(is_ref) AS BIGINT) AS rn,
+                   CAST(sum(1 - is_ref) AS BIGINT) AS cn
+            FROM base GROUP BY g, v),
+        totals AS (
+            SELECT g, CAST(sum(rn) AS BIGINT) AS n_ref,
+                   CAST(sum(cn) AS BIGINT) AS n_cur
+            FROM counts GROUP BY g),
+        steps AS (
+            SELECT c.g, t.n_ref, t.n_cur,
+                   abs(sum(rn) OVER w / CAST(t.n_ref AS DOUBLE)
+                       - sum(cn) OVER w / CAST(t.n_cur AS DOUBLE))
+                   * (lead(c.v) OVER (PARTITION BY c.g ORDER BY c.v)
+                      - c.v) AS area
+            FROM counts c JOIN totals t USING (g)
+            WINDOW w AS (PARTITION BY c.g ORDER BY c.v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+        SELECT g AS event_type, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN round(coalesce(sum(area), 0.0), 6) END AS w1
+        FROM steps GROUP BY g, n_ref, n_cur
+        ORDER BY event_type
+    """
+    out["theil_decomp"] = """
+        WITH per AS (
+            SELECT source AS g,
+                   CAST(sum(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_g,
+                   sum(CASE WHEN n_chars > 0
+                            THEN CAST(n_chars AS DOUBLE) END) AS sx_g,
+                   sum(CASE WHEN n_chars > 0
+                            THEN n_chars * ln(CAST(n_chars AS DOUBLE))
+                       END) AS sxlnx_g,
+                   CAST(sum(CASE WHEN n_chars > 0 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_excl_g
+            FROM documents GROUP BY source),
+        g AS (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                   sum(sx_g) AS total,
+                   sum(sxlnx_g) AS sxlnx,
+                   sum(sx_g * (sxlnx_g / sx_g - ln(sx_g / n_g)))
+                       AS within_num,
+                   sum(sx_g * ln(sx_g / n_g)) AS btw_num,
+                   CAST(sum(n_excl_g) AS BIGINT) AS n_excluded
+            FROM per)
+        SELECT n, round(total, 6) AS total,
+               round(sxlnx / total - ln(total / n), 6) AS theil_total,
+               round(btw_num / total - ln(total / n), 6)
+                   AS theil_between,
+               round(within_num / total, 6) AS theil_within,
+               round((btw_num / total - ln(total / n))
+                     / greatest(sxlnx / total - ln(total / n), 1e-300),
+                     6) AS between_share,
+               round((sxlnx / total - ln(total / n))
+                     - (btw_num / total - ln(total / n))
+                     - within_num / total, 6) AS residual,
+               n_excluded
+        FROM g
+    """
+    out["k_anonymity"] = """
+        WITH cls AS (
+            SELECT lang, source,
+                   CAST(floor(n_chars / 100.0) AS BIGINT) AS lb,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, source, lb)
+        SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(n) AS BIGINT) AS min_class,
+               CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_classes,
+               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_at_risk,
+               round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                     / CAST(sum(n) AS DOUBLE), 6) AS at_risk_share,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singletons
+        FROM cls
+    """
+    out["l_diversity"] = """
+        WITH pv AS (
+            SELECT source,
+                   CAST(floor(n_chars / 200.0) AS BIGINT) AS len_bucket,
+                   lang, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY source, len_bucket, lang),
+        pc AS (
+            SELECT source, len_bucket,
+                   CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_sensitive,
+                   CAST(max(c) AS BIGINT) AS top
+            FROM pv GROUP BY source, len_bucket)
+        SELECT source, len_bucket, n, n_sensitive,
+               round(top / CAST(n AS DOUBLE), 6) AS top_share,
+               n >= 5 AS k_anon,
+               n_sensitive >= 2 AS l_diverse
+        FROM pc
+        WHERE NOT (n >= 5) OR NOT (n_sensitive >= 2)
+        ORDER BY n, n_sensitive, source, len_bucket
+    """
+    out["source_overlap"] = r"""
+        WITH tok AS (
+            SELECT source AS g,
+                   unnest(list_filter(
+                       string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                       s -> len(s) > 0)) AS tok
+            FROM documents),
+        mem AS (SELECT DISTINCT g, tok FROM tok),
+        sizes AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS vocab
+            FROM mem GROUP BY g),
+        inter AS (
+            SELECT a.g AS g_a, b.g AS g_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM mem a JOIN mem b ON a.tok = b.tok AND a.g < b.g
+            GROUP BY a.g, b.g)
+        SELECT g_a, g_b, sa.vocab AS v_a, sb.vocab AS v_b, n_common,
+               round(n_common
+                     / CAST(sa.vocab + sb.vocab - n_common AS DOUBLE),
+                     6) AS jaccard,
+               round(n_common / CAST(sa.vocab AS DOUBLE), 6) AS c_ab,
+               round(n_common / CAST(sb.vocab AS DOUBLE), 6) AS c_ba
+        FROM inter
+        JOIN sizes sa ON sa.g = g_a
+        JOIN sizes sb ON sb.g = g_b
+        ORDER BY g_a, g_b
+    """
+    out["bleu_verify"] = r"""
+        WITH d AS (
+            SELECT doc_id, lang, source,
+                   list_filter(
+                       string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                       s -> len(s) > 0) AS ws
+            FROM documents
+            WHERE len(trim(coalesce(text, ''))) > 0),
+        pr AS (
+            SELECT id_a, id_b FROM (
+                SELECT doc_id AS id_a,
+                       lead(doc_id) OVER (PARTITION BY lang, source
+                                          ORDER BY doc_id) AS id_b
+                FROM d)
+            WHERE id_b IS NOT NULL AND id_a % 7 = 0),
+        st AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 1)) AS s
+            FROM d),
+        grams AS (
+            SELECT doc_id AS id, 1 AS n, unnest(ws) AS gram FROM d
+            UNION ALL
+            SELECT doc_id, 2, ws[s] || ' ' || ws[s + 1] FROM st),
+        gcounts AS (
+            SELECT id, n, gram, CAST(count(*) AS BIGINT) AS c
+            FROM grams GROUP BY id, n, gram),
+        lens AS (
+            SELECT id, n, CAST(sum(c) AS BIGINT) AS total
+            FROM gcounts GROUP BY id, n),
+        clip AS (
+            SELECT pr.id_a, pr.id_b, ga.n,
+                   CAST(sum(least(ga.c, coalesce(gb.c, 0))) AS BIGINT)
+                       AS match
+            FROM pr
+            JOIN gcounts ga ON ga.id = pr.id_a
+            LEFT JOIN gcounts gb ON gb.id = pr.id_b AND gb.n = ga.n
+                                    AND gb.gram = ga.gram
+            GROUP BY pr.id_a, pr.id_b, ga.n),
+        pn AS (
+            SELECT c.id_a, c.id_b, c.n,
+                   c.match / CAST(la.total AS DOUBLE) AS p,
+                   la.total AS ta, coalesce(lb.total, 0) AS tb
+            FROM clip c
+            JOIN lens la ON la.id = c.id_a AND la.n = c.n
+            LEFT JOIN lens lb ON lb.id = c.id_b AND lb.n = c.n),
+        wide AS (
+            SELECT id_a, id_b,
+                   coalesce(max(CASE WHEN n = 1 THEN p END), 0.0) AS p1,
+                   coalesce(max(CASE WHEN n = 2 THEN p END), 0.0) AS p2,
+                   max(CASE WHEN n = 1 THEN ta END) AS len_a,
+                   max(CASE WHEN n = 1 THEN tb END) AS len_b
+            FROM pn GROUP BY id_a, id_b)
+        SELECT id_a, id_b,
+               CAST(len_a AS BIGINT) AS len_a,
+               CAST(len_b AS BIGINT) AS len_b,
+               round(p1, 6) AS p1, round(p2, 6) AS p2,
+               round(CASE WHEN p1 > 0 AND p2 > 0
+                          THEN (CASE WHEN len_a >= len_b THEN 1.0
+                                     ELSE exp(1.0 - len_b
+                                              / CAST(len_a AS DOUBLE))
+                                END)
+                               * exp((ln(p1) + ln(p2)) / 2)
+                          ELSE 0.0 END, 6) AS bleu2
+        FROM wide ORDER BY id_a, id_b
     """
     return out

@@ -168,3 +168,107 @@ def hill_diversity(
             (F.col("t") * F.col("t")) / F.col("_s2").cast("double"), 6
         ).alias("hill2"),
     )
+
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-T inequality index of a positive per-row value (doc length,
+    token count, bytes) decomposed into BETWEEN-group and WITHIN-group
+    components (Theil 1967): T = Σᵢ (xᵢ/X)·ln(xᵢ/x̄ · N/… ), with the
+    exact identity T_total = T_between + T_within. The decomposition is
+    the planning number concentration_stats can't give: Gini says the
+    corpus is unequal, Theil says whether rebalancing SOURCES fixes it
+    (between-share high) or the inequality lives inside each source
+    (within-share high — source quotas won't help).
+
+    Output is ONE row: n, total (Σx), theil_total, theil_between,
+    theil_within, between_share, plus residual = T_total − T_between −
+    T_within (identically ~0, exposed as the self-check). Rows with
+    value ≤ 0 or NULL are excluded (Theil needs positive support) and
+    the excluded count is exposed as n_excluded.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the corpus to
+    a per-group moment table (Σx, Σ x·ln x, n); the global combine and
+    all logs then run on |groups| rows. No window, no second scan —
+    per-row ln(x) rides the first aggregation as Σ x·ln x.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("x"),
+    )
+    per = (
+        base.withColumn("ok", (F.col("x") > 0).cast("int"))
+        .fillna({"ok": 0})
+        .groupBy("g")
+        .agg(
+            F.sum("ok").cast("long").alias("n_g"),
+            F.sum(F.when(F.col("ok") == 1, F.col("x"))).alias("sx_g"),
+            F.sum(
+                F.when(F.col("ok") == 1, F.col("x") * F.log("x"))
+            ).alias("sxlnx_g"),
+            F.sum(1 - F.col("ok")).cast("long").alias("n_excl_g"),
+        )
+        # no n_g > 0 filter: groups with zero positive rows carry NULL
+        # moment sums (skipped by the outer sums) but their n_excl_g
+        # must still count toward n_excluded
+    )
+    # T_g (within group g) = Σ(x·ln x)/X_g − ln(X_g/n_g)
+    # T_within = Σ_g (X_g/X) · T_g
+    # T_between = Σ_g (X_g/X) · ln( (X_g/X) / (n_g/N) )
+    # T_total   = Σ(x·ln x)/X − ln(X/N)   (same moments, global)
+    return (
+        per.groupBy()
+        .agg(
+            F.sum("n_g").cast("long").alias("n"),
+            F.sum("sx_g").alias("total"),
+            F.sum("sxlnx_g").alias("_sxlnx"),
+            F.sum(
+                F.col("sx_g")
+                * (F.col("sxlnx_g") / F.col("sx_g")
+                   - F.log(F.col("sx_g") / F.col("n_g")))
+            ).alias("_within_num"),
+            F.sum(
+                F.col("sx_g") * F.log(F.col("sx_g") / F.col("n_g"))
+            ).alias("_btw_num"),
+            F.sum("n_excl_g").cast("long").alias("n_excluded"),
+        )
+        .select(
+            "n",
+            F.round("total", 6).alias("total"),
+            F.round(
+                F.col("_sxlnx") / F.col("total")
+                - F.log(F.col("total") / F.col("n")),
+                6,
+            ).alias("theil_total"),
+            F.round(
+                F.col("_btw_num") / F.col("total")
+                - F.log(F.col("total") / F.col("n")),
+                6,
+            ).alias("theil_between"),
+            F.round(F.col("_within_num") / F.col("total"), 6).alias(
+                "theil_within"
+            ),
+            F.round(
+                (F.col("_btw_num") / F.col("total")
+                 - F.log(F.col("total") / F.col("n")))
+                / F.greatest(
+                    F.col("_sxlnx") / F.col("total")
+                    - F.log(F.col("total") / F.col("n")),
+                    F.lit(1e-300),
+                ),
+                6,
+            ).alias("between_share"),
+            F.round(
+                (F.col("_sxlnx") / F.col("total")
+                 - F.log(F.col("total") / F.col("n")))
+                - (F.col("_btw_num") / F.col("total")
+                   - F.log(F.col("total") / F.col("n")))
+                - F.col("_within_num") / F.col("total"),
+                6,
+            ).alias("residual"),
+            "n_excluded",
+        )
+    )

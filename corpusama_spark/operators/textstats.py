@@ -692,3 +692,70 @@ def oov_rate(
             ).alias("oov_type_share"),
         )
     )
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise vocabulary similarity between every pair of groups:
+    distinct-token Jaccard plus both directional containments
+    (|A∩B|/|A|, |A∩B|/|B|) — the domain-cartography table that says
+    which sources speak the same language BEFORE mixing weights are
+    chosen. Asymmetric containment matters: a small source fully
+    contained in a big one (c_ab=1, jaccard small) is redundant, not
+    complementary.
+
+    Scale shape: the corpus explodes ONCE into a distinct (group, token)
+    membership table; pair intersections come from the token-keyed
+    SELF-JOIN of that table (g_a < g_b) — an inverted-index join whose
+    work is Σ_tok df(tok)², never a groups×vocabulary or corpus×corpus
+    cross product. Per-group vocabulary sizes ride a tiny broadcast
+    join. Stopword-heavy tokens dominate df² — at 10^12 rows cap
+    per-token document frequency upstream (the dup_lines hot-set
+    pattern) or drop the top-k df tokens first; at contract scale the
+    exact join is the oracle.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    membership = (
+        docs.select(F.col(group_col).alias("g"), F.explode(toks).alias("tok"))
+        .distinct()
+    )
+    sizes = membership.groupBy("g").agg(
+        F.count("*").cast("long").alias("vocab")
+    )
+    a = membership.alias("a")
+    b = membership.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("g_a"), F.col("b.g").alias("g_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("g_a"), F.col("vocab").alias("v_a"))
+    sb = sizes.select(F.col("g").alias("g_b"), F.col("vocab").alias("v_b"))
+    return (
+        inter.join(F.broadcast(sa), "g_a")
+        .join(F.broadcast(sb), "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            "v_a",
+            "v_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("n_common") / F.col("v_a"), 6).alias("c_ab"),
+            F.round(F.col("n_common") / F.col("v_b"), 6).alias("c_ba"),
+        )
+        .orderBy("g_a", "g_b")
+    )

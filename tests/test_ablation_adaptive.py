@@ -68,3 +68,76 @@ def test_adaptive_gate_bounds(spark):
     # fr group: 41..60 (n=20) → lo = 41-1+ceil(2.5)=43, hi = 41-1+ceil(17.5)=58
     assert rows[40]["lo"] == 43 and rows[40]["hi"] == 58
     assert sum(r["keep"] for r in out) == (35 - 5 + 1) + (58 - 43 + 1)
+
+
+def test_drop_waterfall_attribution(spark):
+    """Every dropped row is charged to its FIRST failing rule; the
+    cumulative/remaining columns track the chain; n_fail keeps the
+    order-independent total."""
+    from corpusama_spark.operators.ablation import drop_waterfall
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="x"),                 # short (alpha ok)
+            Row(doc_id=1, text="A" * 100),           # caps only
+            Row(doc_id=2, text="1234567890" * 10),   # alpha first, digit too
+            Row(doc_id=3, text="the quick brown fox jumps over the lazy "
+                               "dog and keeps going"),  # kept
+        ]
+    )
+    from corpusama_spark.functions.textrules import (
+        alpha_ratio_col,
+        caps_ratio_col,
+        digit_ratio_col,
+    )
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    rules = {
+        "short": F.length(t) < 50,
+        "alpha": alpha_ratio_col(t) < 0.6,
+        "caps": caps_ratio_col(t) > 0.5,
+        "digit": digit_ratio_col(t) > 0.2,
+    }
+    rows = drop_waterfall(docs, rules, "doc_id").collect()
+    assert [r["rule"] for r in rows] == ["short", "alpha", "caps", "digit"]
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4]
+    by = {r["rule"]: r for r in rows}
+    # doc0 → short; doc2 → alpha (first in chain, also fails digit);
+    # doc1 → caps; digit charged nothing (doc2 absorbed upstream)
+    assert by["short"]["n_first"] == 1
+    assert by["alpha"]["n_first"] == 1
+    assert by["caps"]["n_first"] == 1
+    assert by["digit"]["n_first"] == 0
+    assert by["digit"]["n_fail"] == 1  # order-independent total intact
+    assert by["digit"]["cum_dropped"] == 3
+    assert by["digit"]["n_remaining"] == 1
+    assert by["short"]["drop_share"] == 0.25
+
+
+def test_drop_waterfall_first_sums_to_total_dropped(spark):
+    """Σ n_first == docs failing ANY rule (partition property), on the
+    real documents table."""
+    import __spark_entry__ as E
+
+    out = E.q_drop_waterfall(spark, "/root/testdata/sf0.001").collect()
+    total_first = sum(r["n_first"] for r in out)
+    # recompute any-fail directly
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from corpusama_spark.functions.textrules import (
+        alpha_ratio_col,
+        caps_ratio_col,
+        digit_ratio_col,
+        is_nanlike,
+    )
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    any_fail = (
+        is_nanlike(F.col("text"))
+        | (F.length(t) < 50)
+        | (alpha_ratio_col(t) < 0.6)
+        | (caps_ratio_col(t) > 0.5)
+        | (digit_ratio_col(t) > 0.2)
+    )
+    expect = docs.where(any_fail).count()
+    assert total_first == expect
+    assert out[-1]["n_remaining"] == docs.count() - expect

@@ -224,3 +224,56 @@ def test_drift_queries_have_no_row_python(spark):
         assert_no_row_python(
             e.queries()[name](spark, "/root/testdata/sf0.001")
         )
+
+
+def test_wasserstein_identical_is_zero_and_shift_is_exact(spark):
+    """W1 of identical samples is 0; shifting every value by a constant
+    c moves W1 to exactly c (translation property of earth-mover)."""
+    from corpusama_spark.operators.drift import wasserstein_1d
+
+    vals = [1.0, 2.0, 5.0, 9.0] * 5
+    rows = [("same", v, PRE) for v in vals] + [
+        ("same", v, POST) for v in vals
+    ]
+    rows += [("shift", v, PRE) for v in vals] + [
+        ("shift", v + 3.0, POST) for v in vals
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "value", "ts"])
+    out = {
+        r["event_type"]: r
+        for r in wasserstein_1d(
+            df, "event_type", "value", "ts", SPLIT
+        ).collect()
+    }
+    assert out["same"]["w1"] == 0.0
+    assert out["shift"]["w1"] == pytest.approx(3.0, abs=1e-6)
+    assert out["shift"]["n_ref"] == 20 and out["shift"]["n_cur"] == 20
+
+
+def test_wasserstein_matches_scipy_formula_brute(spark):
+    """Hand case against the sorted-sample closed form: for equal-size
+    samples W1 = mean |sorted_a - sorted_b|."""
+    from corpusama_spark.operators.drift import wasserstein_1d
+
+    a = [1.0, 4.0, 4.0, 7.0]
+    b = [2.0, 3.0, 5.0, 11.0]
+    expect = sum(abs(x - y) for x, y in zip(sorted(a), sorted(b))) / 4
+    rows = [("g", v, PRE) for v in a] + [("g", v, POST) for v in b]
+    df = spark.createDataFrame(rows, ["event_type", "value", "ts"])
+    (row,) = wasserstein_1d(
+        df, "event_type", "value", "ts", SPLIT
+    ).collect()
+    assert row["w1"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_wasserstein_one_sided_group_is_null(spark):
+    from corpusama_spark.operators.drift import wasserstein_1d
+
+    df = spark.createDataFrame(
+        [("only_ref", 1.0, PRE), ("only_ref", 2.0, PRE)],
+        ["event_type", "value", "ts"],
+    )
+    (row,) = wasserstein_1d(
+        df, "event_type", "value", "ts", SPLIT
+    ).collect()
+    assert row["w1"] is None

@@ -8,6 +8,7 @@ repartition keys are (pmod(phash, nbuckets), salt) — the salt must spread a
 single hot bucket over many partitions.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from corpusama_spark.pipeline import FilterConfig, run_pipeline
@@ -87,3 +88,58 @@ def test_concentration_stats_skewed_is_high_gini(spark):
     # sizes (1,1,98): gini = (2*(1*1+2*1+3*98) - 4*100) / (3*100)
     assert r.gini == round((2 * 297 - 400) / 300, 6)
     assert r.top_share == 0.98 and r.norm_entropy < 0.15
+
+
+def test_theil_decomposition_identity_and_hand_case(spark):
+    """T_total = T_between + T_within exactly (residual ~0), values
+    match the direct per-row formula computed in Python."""
+    import math
+
+    from corpusama_spark.operators.skew import theil_decomposition
+
+    data = [("a", 10), ("a", 20), ("a", 30), ("b", 100), ("b", 140)]
+    df = spark.createDataFrame(data, ["source", "n_chars"])
+    (row,) = theil_decomposition(df, "source", "n_chars").collect()
+
+    xs = [x for _, x in data]
+    n, X = len(xs), sum(xs)
+    mu = X / n
+    t_total = sum((x / X) * math.log(x / mu) for x in xs)
+    groups = {"a": [10, 20, 30], "b": [100, 140]}
+    t_between = sum(
+        (sum(g) / X) * math.log((sum(g) / X) / (len(g) / n))
+        for g in groups.values()
+    )
+    assert row["n"] == 5
+    assert row["theil_total"] == pytest.approx(t_total, abs=1e-6)
+    assert row["theil_between"] == pytest.approx(t_between, abs=1e-6)
+    assert row["theil_within"] == pytest.approx(
+        t_total - t_between, abs=1e-6
+    )
+    assert abs(row["residual"]) < 1e-6
+    assert row["n_excluded"] == 0
+
+
+def test_theil_excludes_nonpositive_even_for_all_excluded_groups(spark):
+    from corpusama_spark.operators.skew import theil_decomposition
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 0), ("b", None), ("c", -5), ("c", 0)],
+        "source string, n_chars int",
+    )
+    (row,) = theil_decomposition(df, "source", "n_chars").collect()
+    assert row["n"] == 1
+    assert row["n_excluded"] == 4  # group c fully excluded still counts
+    assert row["theil_total"] == 0.0  # single value → perfect equality
+
+
+def test_theil_equal_values_zero_inequality(spark):
+    from corpusama_spark.operators.skew import theil_decomposition
+
+    df = spark.createDataFrame(
+        [("a", 7), ("a", 7), ("b", 7), ("b", 7)], ["source", "n_chars"]
+    )
+    (row,) = theil_decomposition(df, "source", "n_chars").collect()
+    assert row["theil_total"] == 0.0
+    assert row["theil_between"] == 0.0
+    assert row["theil_within"] == 0.0
