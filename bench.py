@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     "cms_topk",
     "jsd_sources",
     "bootstrap_ci",
+    # round-4 close (X152-X158): audit/verify families
+    "drop_waterfall",
+    "wasserstein_drift",
+    "source_overlap",
+    "bleu_verify",
     # dedup_clusters is deliberately absent: its 12 fixed label-propagation
     # rounds over the tiny sf edge set measure the per-round scheduling
     # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale
