@@ -3660,6 +3660,67 @@ def q_bleu_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_pairs(pairs, docs, "text", "doc_id")
 
 
+def q_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning table over the perturbed corpus: qualifying
+    pair count + distinct docs touched + corpus share at five candidate
+    Jaccard thresholds, from ONE exact inverted-index pass (the X70
+    ground-truth chain) joined to a broadcast threshold list."""
+    from corpusama_spark.operators.dedup import jaccard_threshold_sweep
+
+    return jaccard_threshold_sweep(
+        _perturbed_docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        [0.5, 0.6, 0.7, 0.8, 0.9],
+        shingle_n=3,
+        max_df=32,
+    )
+
+
+def q_union_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup keeplist: exact-caption star edges UNIONED with
+    banded phash-hamming pairs, one connected-components run over the
+    union so canonicals span signals (caption links A-B + phash links
+    B-C → one cluster). n_signals exposes cross-signal merges. Oracle:
+    recursive-CTE closure over the identical union edge set."""
+    from corpusama_spark.operators.components import multi_signal_keeplist
+    from corpusama_spark.operators.dedup import hamming_band_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pop = _phash_population(docs)
+    keyed = docs.where(
+        F.col("text").isNotNull()
+        & (F.length(F.trim(F.col("text"))) > 0)
+    ).select(F.col("doc_id").alias("id"), F.md5("text").alias("key"))
+    canon = keyed.groupBy("key").agg(F.min("id").alias("canon"))
+    caption_edges = (
+        keyed.join(canon, "key")
+        .where(F.col("id") != F.col("canon"))
+        .select(F.col("canon").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    phash_edges = hamming_band_pairs(
+        pop, "id", "code", bands=4, hamming_k=3
+    ).select("id_a", "id_b")
+    return multi_signal_keeplist(
+        pop.select("id"),
+        {"caption": caption_edges, "phash": phash_edges},
+        id_col="id",
+        fixed_iters=12,
+    )
+
+
+def q_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate burden: global md5(text) dedup with
+    min-id canonicals, duplicates attributed to the source of the
+    duplicate row — the which-source-re-posts table; 16-byte keys are
+    the only corpus exchange."""
+    from corpusama_spark.operators.dedup import dedup_burden_by_group
+
+    return dedup_burden_by_group(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3795,6 +3856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "source_overlap": q_source_overlap,
         "bleu_verify": q_bleu_verify,
+        "jaccard_sweep": q_jaccard_sweep,
+        "union_keeplist": q_union_keeplist,
+        "dedup_by_source": q_dedup_by_source,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -8221,5 +8285,99 @@ def oracle_sql() -> dict[str, str]:
                                * exp((ln(p1) + ln(p2)) / 2)
                           ELSE 0.0 END, 6) AS bleu2
         FROM wide ORDER BY id_a, id_b
+    """
+    out["jaccard_sweep"] = f"""
+        WITH pairs AS (
+            SELECT * FROM ({_sql_jaccard_exact(threshold=0.5)}) q),
+        th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        hit AS (
+            SELECT t.threshold, p.id_a, p.id_b
+            FROM pairs p JOIN th t ON p.jaccard >= t.threshold),
+        np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM hit GROUP BY threshold),
+        nd AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs
+               FROM (SELECT DISTINCT threshold,
+                            unnest([id_a, id_b]) AS id FROM hit)
+               GROUP BY threshold),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus
+                FROM {_SQL_PERTURBED_SRC} s(doc_id, text)
+                WHERE text IS NOT NULL)
+        SELECT th.threshold,
+               coalesce(np.n_pairs, 0) AS n_pairs,
+               coalesce(nd.n_docs, 0) AS n_docs,
+               tot.n_corpus,
+               round(coalesce(nd.n_docs, 0)
+                     / CAST(tot.n_corpus AS DOUBLE), 6) AS doc_share
+        FROM th
+        LEFT JOIN np USING (threshold)
+        LEFT JOIN nd USING (threshold)
+        CROSS JOIN tot
+        ORDER BY threshold
+    """
+    out["union_keeplist"] = f"""
+        WITH RECURSIVE
+        pop AS ({_SQL_PHASH_POP}),
+        pcand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM pop a JOIN pop b ON a.id < b.id
+            WHERE bit_count(xor(a.code, b.code)) <= 3),
+        keyed AS (
+            SELECT doc_id AS id, md5(text) AS key FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        canonk AS (SELECT key, min(id) AS canon FROM keyed GROUP BY key),
+        ccand AS (
+            SELECT c.canon AS id_a, k.id AS id_b
+            FROM keyed k JOIN canonk c USING (key)
+            WHERE k.id <> c.canon),
+        alledges AS (
+            SELECT id_a, id_b, 'phash' AS sig FROM pcand
+            UNION ALL
+            SELECT id_a, id_b, 'caption' FROM ccand),
+        e AS (SELECT id_a AS s, id_b AS d FROM alledges
+              UNION SELECT id_b, id_a FROM alledges),
+        r AS (SELECT s AS id, s AS comp FROM e
+              UNION SELECT r.id, e.d FROM r JOIN e ON e.s = r.comp),
+        c AS (SELECT id, min(comp) AS component FROM r GROUP BY id),
+        touched AS (
+            SELECT uid, CAST(count(*) AS BIGINT) AS n_signals
+            FROM (SELECT DISTINCT uid, sig FROM (
+                      SELECT id_a AS uid, sig FROM alledges
+                      UNION ALL
+                      SELECT id_b, sig FROM alledges))
+            GROUP BY uid)
+        SELECT pop.id,
+               coalesce(c.component, pop.id) AS component,
+               coalesce(c.component, pop.id) = pop.id AS keep,
+               coalesce(t.n_signals, 0) AS n_signals
+        FROM pop
+        LEFT JOIN c ON c.id = pop.id
+        LEFT JOIN touched t ON t.uid = pop.id
+        ORDER BY pop.id
+    """
+    out["dedup_by_source"] = """
+        WITH keyed AS (
+            SELECT doc_id AS id, source AS g,
+                   CASE WHEN text IS NOT NULL
+                             AND length(trim(text)) > 0
+                        THEN md5(text) END AS key
+            FROM documents),
+        canon AS (
+            SELECT key, min(id) AS canon_id FROM keyed
+            WHERE key IS NOT NULL GROUP BY key),
+        fl AS (
+            SELECT g,
+                   CASE WHEN k.key IS NULL THEN 1 ELSE 0 END AS is_null,
+                   CASE WHEN k.key IS NOT NULL AND k.id <> c.canon_id
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM keyed k LEFT JOIN canon c USING (key))
+        SELECT g AS source,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(is_null) AS BIGINT) AS n_null,
+               CAST(sum(is_dup) AS BIGINT) AS n_dup,
+               CAST(count(*) - sum(is_null) - sum(is_dup) AS BIGINT)
+                   AS n_canonical,
+               round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6)
+                   AS dup_share
+        FROM fl GROUP BY g ORDER BY source
     """
     return out

@@ -484,3 +484,69 @@ def cooccurrence_triangles(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def multi_signal_keeplist(
+    universe: DataFrame,
+    edge_sets: dict[str, DataFrame],
+    id_col: str = "id",
+    fixed_iters: int | None = 12,
+) -> DataFrame:
+    """One keep/drop decision from the UNION of several dedup signals'
+    edge lists (exact text hash, MinHash bands, phash hamming, semantic
+    buckets, …): production dedup is multi-signal — a doc dropped by ANY
+    signal's cluster must not survive because the signals ran separately
+    and each kept its own canonical. Union-then-components makes the
+    transitive closure span signals: if caption-exact links A-B and
+    phash links B-C, all three collapse to one canonical.
+
+    ``edge_sets`` maps signal name → (id_a, id_b) pair DataFrame (names
+    are documentation; extra columns are dropped). Returns (id,
+    component, keep, n_signals) over ``universe`` — rows in no edge keep
+    themselves, ``n_signals`` counts how many signals touched the row
+    (0 = untouched; ≥2 = the cross-signal merges that justify the union).
+
+    Scale shape: the union is edge-sized; components is the engine's
+    hash-min kernel (one shuffle per round, lineage-truncated). The
+    n_signals count is one extra edge-sized groupBy, never a corpus
+    re-read.
+    """
+    if not edge_sets:
+        raise ValueError("multi_signal_keeplist needs at least one signal")
+    parts = [
+        e.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.lit(name).alias("sig"),
+        )
+        for name, e in edge_sets.items()
+    ]
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    edges = tagged.select("id_a", "id_b").distinct()
+    comp = connected_components(edges, fixed_iters=fixed_iters)
+    touched = (
+        tagged.select(
+            F.explode(F.array("id_a", "id_b")).alias("uid"), "sig"
+        )
+        .distinct()
+        .groupBy("uid")
+        .agg(F.count("*").cast("long").alias("n_signals"))
+    )
+    uni = universe.select(F.col(id_col).cast("long").alias("uid"))
+    return (
+        uni.join(comp, uni.uid == comp.id, "left")
+        .join(touched, "uid", "left")
+        .select(
+            F.col("uid").alias(id_col),
+            F.coalesce("component", F.col("uid")).alias("component"),
+            (F.coalesce("component", F.col("uid")) == F.col("uid")).alias(
+                "keep"
+            ),
+            F.coalesce("n_signals", F.lit(0)).cast("long").alias(
+                "n_signals"
+            ),
+        )
+        .orderBy(id_col)
+    )

@@ -985,3 +985,126 @@ def dedup_cascade(
             (canonical == F.col("id")).alias("keep"),
         )
     )
+
+
+def jaccard_threshold_sweep(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    thresholds: list[float],
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Dedup-threshold tuning table: for each candidate Jaccard threshold,
+    how many pairs qualify and how many DISTINCT documents are touched —
+    the pr_curve idiom applied to near-dup tuning, so the "how aggressive
+    should dedup be?" decision reads off one table instead of N reruns.
+
+    ONE exact-pairs pass at min(thresholds) feeds every row: the pair
+    table joins a broadcast threshold list (|pairs| × |thresholds| worst
+    case, pair-sized not corpus-sized), then per-threshold pair counts
+    and distinct-doc counts aggregate map-side. Thresholds with zero
+    qualifying pairs still appear (left join), with doc_share against
+    the non-null-text corpus size.
+    """
+    if not thresholds:
+        raise ValueError("jaccard_threshold_sweep needs thresholds")
+    pairs = exact_jaccard_pairs(
+        df,
+        text_col,
+        id_col,
+        threshold=min(thresholds),
+        shingle_n=shingle_n,
+        max_df=max_df,
+    )
+    spark = df.sparkSession
+    th = spark.createDataFrame(
+        [(float(t),) for t in sorted(thresholds)], "threshold double"
+    )
+    hit = pairs.join(
+        F.broadcast(th), F.col("jaccard") >= F.col("threshold")
+    )
+    n_pairs = hit.groupBy("threshold").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        hit.select(
+            "threshold",
+            F.explode(F.array("id_a", "id_b")).alias("id"),
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    total = df.where(F.col(text_col).isNotNull()).select(
+        F.count("*").cast("long").alias("n_corpus")
+    )
+    return (
+        th.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            "n_corpus",
+            F.round(
+                F.coalesce("n_docs", F.lit(0)) / F.col("n_corpus"), 6
+            ).alias("doc_share"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def dedup_burden_by_group(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group exact-duplicate burden: which sources re-post content.
+    A row is a duplicate when its md5(text) group's canonical (min id)
+    is a DIFFERENT row — global dedup, attributed to the group of the
+    DUPLICATE row (the group that would shrink if dedup ran). Reports
+    per group: total rows, null/empty-text rows (excluded from dedup),
+    duplicate rows, canonical rows, and dup_share (6dp).
+
+    Scale shape: the only corpus exchange is the md5-keyed groupBy that
+    exact dedup already pays (16-byte keys, never full text); the min-id
+    canonical broadcasts back via the same hash join dedup_exact uses.
+    One further groupBy collapses to |groups| rows.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("g"),
+        F.when(
+            F.col(text_col).isNotNull()
+            & (F.length(F.trim(F.col(text_col))) > 0),
+            F.md5(F.col(text_col)),
+        ).alias("key"),
+    )
+    canon = (
+        keyed.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.min("id").alias("canon_id"))
+    )
+    flagged = keyed.join(canon, "key", "left").select(
+        "g",
+        (F.col("key").isNull()).cast("long").alias("is_null"),
+        (
+            F.col("key").isNotNull() & (F.col("id") != F.col("canon_id"))
+        ).cast("long").alias("is_dup"),
+    )
+    return (
+        flagged.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("is_null").cast("long").alias("n_null"),
+            F.sum("is_dup").cast("long").alias("n_dup"),
+            (F.count("*") - F.sum("is_null") - F.sum("is_dup"))
+            .cast("long")
+            .alias("n_canonical"),
+            F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_share"),
+        )
+        .orderBy(group_col)
+    )

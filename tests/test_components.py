@@ -316,3 +316,56 @@ def test_pagerank_partition_invariant(spark):
     a = sorted(pagerank(edges, iters=3).collect())
     b = sorted(pagerank(edges.repartition(7), iters=3).collect())
     assert a == b
+
+
+def test_multi_signal_keeplist_cross_signal_merge(spark):
+    """caption links 1-2, phash links 2-3: the union closure must put all
+    three in one cluster with canonical 1; n_signals counts signals per
+    row, not edges."""
+    from corpusama_spark.operators.components import multi_signal_keeplist
+
+    universe = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    cap = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    ph = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    out = {
+        r["id"]: r
+        for r in multi_signal_keeplist(
+            universe, {"caption": cap, "phash": ph}, fixed_iters=6
+        ).collect()
+    }
+    assert [out[i]["component"] for i in range(1, 6)] == [1, 1, 1, 4, 5]
+    assert [out[i]["keep"] for i in range(1, 6)] == [
+        True, False, False, True, True,
+    ]
+    # node 2 touched by both signals; 1 and 3 by one; 4,5 by none
+    assert out[2]["n_signals"] == 2
+    assert out[1]["n_signals"] == 1 and out[3]["n_signals"] == 1
+    assert out[4]["n_signals"] == 0
+
+
+def test_multi_signal_vs_sequential_separate_runs(spark):
+    """The union decision differs from running the signals separately:
+    separate runs keep 3 (phash canonical in its own pair) AND 1, the
+    union keeps only 1 — the over-retention multi-signal dedup fixes."""
+    from corpusama_spark.operators.components import (
+        connected_components,
+        multi_signal_keeplist,
+    )
+
+    universe = spark.createDataFrame([(i,) for i in (1, 2, 3)], "id long")
+    cap = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    ph = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    union_keep = {
+        r["id"]
+        for r in multi_signal_keeplist(
+            universe, {"c": cap, "p": ph}, fixed_iters=6
+        ).collect()
+        if r["keep"]
+    }
+    assert union_keep == {1}
+    ph_only = {
+        r["id"]: r["component"]
+        for r in connected_components(ph, fixed_iters=6).collect()
+    }
+    assert ph_only[3] == 2  # separate phash run would keep 2, drop 3 —
+    # and the caption run would keep 1, drop 2: survivors {1, 3} ≠ {1}

@@ -516,3 +516,70 @@ def test_chunk_windows_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_windows(df, size=4, overlap=4)
+
+
+def test_jaccard_threshold_sweep_monotone_and_exact(spark):
+    """Sweep counts are non-increasing in threshold and match a direct
+    per-threshold recount on a tiny corpus."""
+    from corpusama_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        jaccard_threshold_sweep,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),        # identical to 1 → jaccard 1.0
+            (3, "a b c d e zzz"),      # near 1
+            (4, "q r s t u v"),        # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    ths = [0.4, 0.8, 0.99]
+    out = jaccard_threshold_sweep(docs, "text", "doc_id", ths).collect()
+    assert [r["threshold"] for r in out] == ths
+    np = [r["n_pairs"] for r in out]
+    nd = [r["n_docs"] for r in out]
+    assert np == sorted(np, reverse=True)
+    assert nd == sorted(nd, reverse=True)
+    for r in out:
+        pairs = exact_jaccard_pairs(
+            docs, "text", "doc_id", threshold=r["threshold"]
+        ).collect()
+        assert r["n_pairs"] == len(pairs)
+        assert r["n_docs"] == len(
+            {p["id_a"] for p in pairs} | {p["id_b"] for p in pairs}
+        )
+        assert r["n_corpus"] == 4
+
+
+def test_dedup_burden_by_group_attribution(spark):
+    """Duplicates attribute to the DUPLICATE row's group; null/empty text
+    is excluded from dedup but counted."""
+    from corpusama_spark.operators.dedup import dedup_burden_by_group
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same", "a"),
+            (2, "same", "b"),   # dup of 1, charged to b
+            (3, "same", "b"),   # dup of 1, charged to b
+            (4, "uniq", "b"),
+            (5, None, "a"),
+            (6, "   ", "a"),    # whitespace-only → null-ish
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["source"]: r
+        for r in dedup_burden_by_group(
+            docs, "text", "doc_id", "source"
+        ).collect()
+    }
+    assert out["a"]["n_rows"] == 3
+    assert out["a"]["n_null"] == 2
+    assert out["a"]["n_dup"] == 0
+    assert out["a"]["n_canonical"] == 1
+    assert out["b"]["n_rows"] == 3
+    assert out["b"]["n_dup"] == 2      # docs 2,3 duplicate doc 1 (group a)
+    assert out["b"]["n_canonical"] == 1  # doc 4 only
+    assert out["b"]["dup_share"] == round(2 / 3, 6)
