@@ -3721,6 +3721,96 @@ def q_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics shared by the stats-lane queries: text
+    length, whitespace token count, letter-'e' count (a high-variance
+    character-frequency signal; digits don't occur in the synth texts,
+    which would degenerate every correlation to NULL) — all NULL for
+    NULL text so pairwise deletion is exercised."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("double").alias("text_len"),
+        F.when(F.col("text").isNotNull(), F.size(toks))
+        .cast("double")
+        .alias("n_tokens"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
+        )
+        .cast("double")
+        .alias("n_e"),
+    )
+
+
+def q_metric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix across three per-doc quality metrics
+    from ONE wide aggregate (six sums per pair, map-side combinable):
+    the "are these gates redundant?" audit."""
+    from corpusama_spark.operators.stats import pearson_matrix
+
+    return pearson_matrix(
+        _doc_metrics(spark, sf_dir), ["text_len", "n_tokens", "n_e"]
+    )
+
+
+def q_spearman_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Spearman rho between token count and digit count,
+    exact midrank tie handling (rank window + Pearson over ranks)."""
+    from corpusama_spark.operators.stats import spearman_by_group
+
+    return spearman_by_group(
+        _doc_metrics(spark, sf_dir), "source", "n_tokens", "n_e"
+    )
+
+
+def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of language × source over the full
+    contingency grid (zero-observed cells contribute e), with Cramér's
+    V effect size — "is the language mix uniform across crawls?"."""
+    from corpusama_spark.operators.stats import chi2_independence
+
+    return chi2_independence(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+def q_welch_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between two sources' text-length
+    means: one filtered aggregate to six doubles, algebra after."""
+    from corpusama_spark.operators.stats import welch_ttest
+
+    return welch_ttest(
+        _doc_metrics(spark, sf_dir), "source", "text_len", "src0", "src1"
+    )
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary richness (tokens, types, TTR, hapax share):
+    one (source, token) groupBy, distinct-key shuffle only."""
+    from corpusama_spark.operators.skew import vocab_richness
+
+    return vocab_richness(
+        _t(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair
+    over the top-30 corpus tokens — mirrored-source detection that
+    content hashing misses. Grid-sized after one count pass."""
+    from corpusama_spark.operators.colloc import burrows_delta
+
+    return burrows_delta(
+        _t(spark, sf_dir, "documents"), "text", "source", top_n=30
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3859,6 +3949,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_sweep": q_jaccard_sweep,
         "union_keeplist": q_union_keeplist,
         "dedup_by_source": q_dedup_by_source,
+        "metric_corr": q_metric_corr,
+        "spearman_quality": q_spearman_quality,
+        "chi2_lang_source": q_chi2_lang_source,
+        "welch_length": q_welch_length,
+        "vocab_richness": q_vocab_richness,
+        "burrows_delta": q_burrows_delta,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -8379,5 +8475,180 @@ def oracle_sql() -> dict[str, str]:
                round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6)
                    AS dup_share
         FROM fl GROUP BY g ORDER BY source
+    """
+    _SQL_DOC_METRICS = r"""
+        SELECT doc_id, source,
+               CAST(length(text) AS DOUBLE) AS text_len,
+               CASE WHEN text IS NOT NULL THEN CAST(len(list_filter(
+                   string_split_regex(lower(trim(coalesce(text, ''))),
+                                      '\s+'),
+                   t -> len(t) > 0)) AS DOUBLE) END AS n_tokens,
+               CAST(length(text) - length(replace(text, 'e', ''))
+                    AS DOUBLE) AS n_e
+        FROM documents
+    """
+
+    def _sql_pearson_pair(a: str, b: str) -> str:
+        return f"""
+            SELECT '{a}' AS metric_a, '{b}' AS metric_b,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(CASE WHEN count(*) >= 2
+                              AND (CAST(count(*) AS DOUBLE) * sum(x*x)
+                                   - sum(x) * sum(x))
+                                  * (CAST(count(*) AS DOUBLE) * sum(y*y)
+                                     - sum(y) * sum(y)) > 0
+                         THEN (CAST(count(*) AS DOUBLE) * sum(x*y)
+                               - sum(x) * sum(y))
+                              / sqrt((CAST(count(*) AS DOUBLE) * sum(x*x)
+                                      - sum(x) * sum(x))
+                                     * (CAST(count(*) AS DOUBLE) * sum(y*y)
+                                        - sum(y) * sum(y)))
+                         END, 6) AS r
+            FROM (SELECT {a} AS x, {b} AS y FROM m
+                  WHERE {a} IS NOT NULL AND {b} IS NOT NULL)
+        """
+
+    out["metric_corr"] = f"""
+        WITH m AS ({_SQL_DOC_METRICS})
+        SELECT * FROM (
+            {_sql_pearson_pair("text_len", "n_tokens")}
+            UNION ALL
+            {_sql_pearson_pair("text_len", "n_e")}
+            UNION ALL
+            {_sql_pearson_pair("n_tokens", "n_e")}
+        ) ORDER BY metric_a, metric_b
+    """
+    out["spearman_quality"] = f"""
+        WITH m AS ({_SQL_DOC_METRICS}),
+        b AS (SELECT source AS g, n_tokens AS x, n_e AS y FROM m
+              WHERE n_tokens IS NOT NULL AND n_e IS NOT NULL),
+        r AS (SELECT g,
+                     rank() OVER (PARTITION BY g ORDER BY x)
+                     + (count(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+                     rank() OVER (PARTITION BY g ORDER BY y)
+                     + (count(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+              FROM b),
+        a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(count(*) AS DOUBLE) AS nd,
+                     sum(rx) AS sx, sum(ry) AS sy, sum(rx*rx) AS sxx,
+                     sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+              FROM r GROUP BY g)
+        SELECT g AS source, n,
+               round(CASE WHEN n >= 2
+                          AND (nd*sxx - sx*sx) * (nd*syy - sy*sy) > 0
+                     THEN (nd*sxy - sx*sy)
+                          / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy))
+                     END, 6) AS rho
+        FROM a ORDER BY source
+    """
+    out["chi2_lang_source"] = """
+        WITH obs AS (
+            SELECT lang AS a, source AS b, CAST(count(*) AS DOUBLE) AS o
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        ra AS (SELECT a, sum(o) AS ta FROM obs GROUP BY a),
+        cb AS (SELECT b, sum(o) AS tb FROM obs GROUP BY b),
+        tot AS (SELECT sum(o) AS n FROM obs),
+        grid AS (
+            SELECT n, ta * tb / n AS e, coalesce(o, 0) AS o
+            FROM ra CROSS JOIN cb CROSS JOIN tot
+            LEFT JOIN obs USING (a, b)),
+        s AS (SELECT max(n) AS n,
+                     sum((o - e) * (o - e) / e) AS chi2 FROM grid),
+        la AS (SELECT CAST(count(*) AS BIGINT) AS levels_a FROM ra),
+        lb AS (SELECT CAST(count(*) AS BIGINT) AS levels_b FROM cb)
+        SELECT CAST(s.n AS BIGINT) AS n, levels_a, levels_b,
+               CAST((levels_a - 1) * (levels_b - 1) AS BIGINT) AS dof,
+               round(chi2, 6) AS chi2,
+               round(CASE WHEN least(levels_a, levels_b) > 1
+                     THEN sqrt(chi2 / (s.n * (least(levels_a, levels_b) - 1)))
+                     END, 6) AS cramers_v
+        FROM s CROSS JOIN la CROSS JOIN lb
+    """
+    out["welch_length"] = f"""
+        WITH m AS ({_SQL_DOC_METRICS}),
+        w AS (SELECT
+                CAST(count(*) FILTER (WHERE source = 'src0'
+                     AND text_len IS NOT NULL) AS DOUBLE) AS na,
+                sum(text_len) FILTER (WHERE source = 'src0') AS sa,
+                sum(text_len * text_len)
+                    FILTER (WHERE source = 'src0') AS saa,
+                CAST(count(*) FILTER (WHERE source = 'src1'
+                     AND text_len IS NOT NULL) AS DOUBLE) AS nb,
+                sum(text_len) FILTER (WHERE source = 'src1') AS sb,
+                sum(text_len * text_len)
+                    FILTER (WHERE source = 'src1') AS sbb
+              FROM m),
+        c AS (SELECT *,
+                     CASE WHEN na >= 2
+                          THEN (saa - sa * sa / na) / (na - 1) END AS va,
+                     CASE WHEN nb >= 2
+                          THEN (sbb - sb * sb / nb) / (nb - 1) END AS vb
+              FROM w),
+        d AS (SELECT *, va / na + vb / nb AS se2 FROM c)
+        SELECT 'src0' AS group_a, 'src1' AS group_b,
+               CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(CASE WHEN na > 0 THEN sa / na END, 6) AS mean_a,
+               round(CASE WHEN nb > 0 THEN sb / nb END, 6) AS mean_b,
+               round(va, 6) AS var_a, round(vb, 6) AS var_b,
+               round(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                     THEN (sa / na - sb / nb) / sqrt(se2) END, 6) AS t,
+               round(CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                     THEN se2 * se2
+                          / ((va / na) * (va / na) / (na - 1)
+                             + (vb / nb) * (vb / nb) / (nb - 1))
+                     END, 6) AS welch_df
+        FROM d
+    """
+    out["vocab_richness"] = r"""
+        WITH tk AS (
+            SELECT source AS g, unnest(list_filter(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                   t -> len(t) > 0)) AS tok
+            FROM documents),
+        gc AS (SELECT g, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        ag AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(count(*) AS BIGINT) AS n_types,
+                      CAST(count(*) FILTER (WHERE c = 1) AS BIGINT)
+                          AS n_hapax
+               FROM gc GROUP BY g),
+        allg AS (SELECT DISTINCT source AS g FROM documents)
+        SELECT allg.g AS source,
+               coalesce(n_tokens, 0) AS n_tokens,
+               coalesce(n_types, 0) AS n_types,
+               coalesce(n_hapax, 0) AS n_hapax,
+               round(CASE WHEN coalesce(n_tokens, 0) > 0
+                     THEN n_types / CAST(n_tokens AS DOUBLE) END, 6) AS ttr,
+               round(CASE WHEN coalesce(n_types, 0) > 0
+                     THEN n_hapax / CAST(n_types AS DOUBLE) END, 6)
+                   AS hapax_share
+        FROM allg LEFT JOIN ag USING (g) ORDER BY source
+    """
+    out["burrows_delta"] = r"""
+        WITH tk AS (
+            SELECT source AS g, unnest(list_filter(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                   t -> len(t) > 0)) AS tok
+            FROM documents),
+        gt AS (SELECT g, tok, CAST(count(*) AS DOUBLE) AS c
+               FROM tk GROUP BY 1, 2),
+        top AS (SELECT tok FROM (SELECT tok, sum(c) AS freq FROM gt
+                                 GROUP BY tok)
+                ORDER BY freq DESC, tok ASC LIMIT 30),
+        gtot AS (SELECT g, sum(c) AS gtt FROM gt GROUP BY g),
+        grid AS (SELECT gtot.g, top.tok, coalesce(c, 0) / gtot.gtt AS f
+                 FROM gtot CROSS JOIN top
+                 LEFT JOIN gt ON gt.g = gtot.g AND gt.tok = top.tok),
+        st AS (SELECT tok, avg(f) AS mu,
+                      sqrt(greatest(avg(f * f) - avg(f) * avg(f), 0))
+                          AS sigma
+               FROM grid GROUP BY tok),
+        z AS (SELECT g, grid.tok, (f - mu) / sigma AS z
+              FROM grid JOIN st ON st.tok = grid.tok WHERE sigma > 0)
+        SELECT a.g AS g_a, b.g AS g_b,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               round(avg(abs(a.z - b.z)), 6) AS delta
+        FROM z a JOIN z b ON a.tok = b.tok AND a.g < b.g
+        GROUP BY 1, 2 ORDER BY g_a, g_b
     """
     return out

@@ -241,3 +241,96 @@ def frequency_profile(
             6,
         ).alias("cum_share"),
     )
+
+
+def burrows_delta(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_n: int = 50,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between every pair of groups
+    (Burrows 2002, "'Delta': a measure of stylistic difference" — public):
+    take the ``top_n`` most frequent tokens corpus-wide, compute each
+    group's RELATIVE frequency of each (count / group token total),
+    z-score each token's frequencies across groups, and Delta(a,b) is the
+    mean |z_a − z_b| over the terms. The "which sources write alike?"
+    audit — near-zero Delta between two 'different' crawl sources is the
+    mirrored-site smell that de-dup by content hash misses.
+
+    Conventions pinned for the oracle: top_n ties break by token asc;
+    z-scores use the POPULATION std over the group set including zeros
+    for groups lacking the token (a group not using a common word IS the
+    signal); tokens whose std is 0 (identical share everywhere) are
+    excluded from the mean and ``n_terms`` reports the survivors.
+
+    Scale shape: the corpus collapses to (group × token) counts once
+    (map-side combinable); the top-N list and group totals are tiny;
+    everything after — the grid completion, z-scores, pairwise join —
+    is (top_n × n_groups)-sized. The pair join is on the token key of
+    the z grid, never a corpus self-join.
+    """
+    if top_n < 1:
+        raise ValueError("burrows_delta needs top_n >= 1")
+    gt = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(_words(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("g", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        gt.groupBy("tok")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(top_n)
+        .select("tok")
+    )
+    gtot = gt.groupBy("g").agg(F.sum("c").alias("gt"))
+    # complete grid: every (group, top token), zero-filled
+    grid = (
+        gtot.crossJoin(F.broadcast(top))
+        .join(gt, ["g", "tok"], "left")
+        .select(
+            "g",
+            "tok",
+            (F.coalesce("c", F.lit(0)) / F.col("gt")).alias("f"),
+        )
+    )
+    stats = grid.groupBy("tok").agg(
+        F.avg("f").alias("mu"),
+        # clamp the epsilon-negative variance float error: sqrt(-1e-19)
+        # is NaN, and Spark orders NaN > 0 so it would PASS the filter
+        F.sqrt(
+            F.greatest(
+                F.avg(F.col("f") * F.col("f")) - F.avg("f") * F.avg("f"),
+                F.lit(0.0),
+            )
+        ).alias("sigma"),
+    )
+    z = (
+        grid.join(F.broadcast(stats), "tok")
+        .where(F.col("sigma") > 0)
+        .select(
+            "g", "tok", ((F.col("f") - F.col("mu")) / F.col("sigma")).alias("z")
+        )
+    )
+    a = z.select(
+        F.col("g").alias("g_a"), "tok", F.col("z").alias("z_a")
+    )
+    b = z.select(
+        F.col("g").alias("g_b"), "tok", F.col("z").alias("z_b")
+    )
+    return (
+        a.join(b, "tok")
+        .where(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.avg(F.abs(F.col("z_a") - F.col("z_b"))), 6).alias(
+                "delta"
+            ),
+        )
+        .orderBy("g_a", "g_b")
+    )

@@ -272,3 +272,73 @@ def theil_decomposition(
             "n_excluded",
         )
     )
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group vocabulary richness: token count, type count, type-token
+    ratio, hapax legomena count and hapax share of the vocabulary — the
+    classic "is this source template spam or real prose?" profile (a
+    boilerplate farm has tiny TTR; OCR noise has hapax share near 1).
+
+    Tokenization is the engine's whitespace+lowercase convention (the
+    colloc/freq_profile idiom) so the numbers line up with every other
+    token statistic. NULL/empty texts contribute nothing; a group whose
+    every text is empty still appears with zero counts and NULL ratios.
+
+    Scale shape: one explode + ONE (group, token) groupBy — map-side
+    partial agg means the shuffle carries distinct keys, not tokens —
+    then a group-sized rollup. No window, no join back to the corpus.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            r"\s+",
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    counts = (
+        df.select(F.col(group_col).alias("g"), F.explode_outer(toks).alias("tok"))
+        .groupBy("g", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("tok").isNotNull(), F.col("c")))
+            .cast("long")
+            .alias("_n_tokens"),
+            F.count(F.when(F.col("tok").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("_n_types"),
+            F.count(
+                F.when(F.col("tok").isNotNull() & (F.col("c") == 1), F.lit(1))
+            )
+            .cast("long")
+            .alias("_n_hapax"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.coalesce("_n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("_n_types").alias("n_types"),
+            F.col("_n_hapax").alias("n_hapax"),
+            F.round(
+                F.when(
+                    F.coalesce("_n_tokens", F.lit(0)) > 0,
+                    F.col("_n_types") / F.col("_n_tokens"),
+                ),
+                6,
+            ).alias("ttr"),
+            F.round(
+                F.when(
+                    F.col("_n_types") > 0,
+                    F.col("_n_hapax") / F.col("_n_types"),
+                ),
+                6,
+            ).alias("hapax_share"),
+        )
+        .orderBy(group_col)
+    )
