@@ -3811,6 +3811,57 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over events.value: observed
+    vs log10(1+1/d) shares with per-digit chi-square terms, zero-filled
+    across the 9-digit spine."""
+    from corpusama_spark.operators.stats import benford_first_digit
+
+    return benford_first_digit(_t(spark, sf_dir, "events"), "value")
+
+
+def q_mcnemar_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-gate comparison of two keep rules on the same
+    docs (length>=100 vs tokens>=20): the 2x2 disagreement table,
+    agreement share and (b-c)^2/(b+c) from one filtered aggregate."""
+    from corpusama_spark.operators.stats import mcnemar_gates
+
+    m = _doc_metrics(spark, sf_dir).select(
+        (F.col("text_len") >= 100).alias("gate_a"),
+        (F.col("n_tokens") >= 20).alias("gate_b"),
+    )
+    return mcnemar_gates(m, "gate_a", "gate_b")
+
+
+def q_template_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source longest-common-prefix boilerplate detector via the
+    lexicographic min/max trick (LCP of a set = LCP(min, max)); a
+    deterministic '[source] ' template is injected so the extraction
+    path is exercised, not just the empty case."""
+    from corpusama_spark.operators.curation import template_prefix
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(F.lit("["), F.col("source"), F.lit("] "), F.col("text")),
+        ).alias("text"),
+    )
+    return template_prefix(d, "text", "source")
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count autocorrelation at lags 1-7 over the zero-filled day
+    spine: the seasonality probe a drift monitor needs before its
+    thresholds mean anything. Corpus collapses to (day, n) first; the
+    single-partition window runs over days, never events."""
+    from corpusama_spark.operators.trends import daily_autocorrelation
+
+    return daily_autocorrelation(
+        _t(spark, sf_dir, "events"), "ts", max_lag=7
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -3955,6 +4006,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_length": q_welch_length,
         "vocab_richness": q_vocab_richness,
         "burrows_delta": q_burrows_delta,
+        "benford": q_benford,
+        "mcnemar_rules": q_mcnemar_rules,
+        "template_prefix": q_template_prefix,
+        "acf_daily": q_acf_daily,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -8651,4 +8706,177 @@ def oracle_sql() -> dict[str, str]:
         FROM z a JOIN z b ON a.tok = b.tok AND a.g < b.g
         GROUP BY 1, 2 ORDER BY g_a, g_b
     """
+    out["benford"] = """
+        WITH v AS (SELECT value AS v FROM events
+                   WHERE value IS NOT NULL AND value > 0),
+        obs AS (SELECT CAST(floor(v / pow(10.0, floor(log10(v))))
+                            AS INTEGER) AS digit,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM v GROUP BY 1),
+        spine AS (SELECT unnest(range(1, 10))::INTEGER AS digit),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM obs)
+        SELECT spine.digit,
+               coalesce(obs.n, 0) AS n,
+               round(CASE WHEN total > 0
+                     THEN coalesce(obs.n, 0) / total END, 6) AS share,
+               round(log10(1.0 + 1.0 / spine.digit), 6) AS benford_share,
+               round(CASE WHEN total > 0
+                     THEN total
+                          * (coalesce(obs.n, 0) / total
+                             - log10(1.0 + 1.0 / spine.digit))
+                          * (coalesce(obs.n, 0) / total
+                             - log10(1.0 + 1.0 / spine.digit))
+                          / log10(1.0 + 1.0 / spine.digit)
+                     END, 6) AS chi2_term
+        FROM spine LEFT JOIN obs USING (digit) CROSS JOIN tot
+        ORDER BY digit
+    """
+    out["mcnemar_rules"] = f"""
+        WITH m AS ({_SQL_DOC_METRICS}),
+        g AS (SELECT text_len >= 100 AS a, n_tokens >= 20 AS b FROM m),
+        w AS (SELECT
+            CAST(count(CASE WHEN a AND b THEN 1 END) AS BIGINT)
+                AS n_both_keep,
+            CAST(count(CASE WHEN a AND NOT b THEN 1 END) AS BIGINT)
+                AS n_a_only,
+            CAST(count(CASE WHEN NOT a AND b THEN 1 END) AS BIGINT)
+                AS n_b_only,
+            CAST(count(CASE WHEN NOT a AND NOT b THEN 1 END) AS BIGINT)
+                AS n_both_drop,
+            CAST(count(CASE WHEN a IS NULL OR b IS NULL THEN 1 END)
+                 AS BIGINT) AS n_null
+          FROM g)
+        SELECT *,
+               round(CASE WHEN n_both_keep + n_a_only + n_b_only
+                               + n_both_drop > 0
+                     THEN (n_both_keep + n_both_drop)
+                          / CAST(n_both_keep + n_a_only + n_b_only
+                                 + n_both_drop AS DOUBLE) END, 6)
+                   AS agreement,
+               round(CASE WHEN n_a_only + n_b_only > 0
+                     THEN (n_a_only - n_b_only)
+                          * (n_a_only - n_b_only)
+                          / CAST(n_a_only + n_b_only AS DOUBLE) END, 6)
+                   AS mcnemar_chi2
+        FROM w
+    """
+    out["template_prefix"] = """
+        WITH d AS (SELECT source,
+                          CASE WHEN text IS NOT NULL
+                               THEN '[' || source || '] ' || text
+                          END AS t
+                   FROM documents),
+        base AS (SELECT source AS g, t FROM d
+                 WHERE t IS NOT NULL AND length(t) > 0),
+        mm AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+                      min(t) AS mn, max(t) AS mx
+               FROM base GROUP BY g),
+        allg AS (SELECT DISTINCT source AS g FROM d),
+        lc AS (SELECT g, n_docs, mn,
+                      len(list_filter(
+                          range(1, least(length(mn), length(mx)) + 1),
+                          i -> substr(mn, 1, CAST(i AS INTEGER))
+                               = substr(mx, 1, CAST(i AS INTEGER))))
+                          AS plen
+               FROM mm)
+        SELECT allg.g AS source,
+               coalesce(n_docs, 0) AS n_docs,
+               CAST(coalesce(plen, 0) AS BIGINT) AS prefix_len,
+               coalesce(substr(mn, 1, plen), '') AS prefix
+        FROM allg LEFT JOIN lc USING (g) ORDER BY source
+    """
+    out["acf_daily"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                              CAST(count(*) AS DOUBLE) AS n
+                       FROM events GROUP BY 1),
+        b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        spine AS (SELECT unnest(generate_series(d0, d1,
+                                INTERVAL 1 DAY))::DATE AS day FROM b),
+        s AS (SELECT day, coalesce(n, 0) AS x
+              FROM spine LEFT JOIN daily USING (day)),
+        tot AS (SELECT avg(x) AS mu, CAST(count(*) AS BIGINT) AS n_days,
+                       sum(x*x) AS sxx, sum(x) AS sx FROM s),
+        l AS (SELECT x, __LAG_COLS__
+              FROM s WINDOW w AS (ORDER BY day)),
+        num AS (SELECT __NUM_COLS__
+                FROM l)
+        SELECT * FROM (__ACF_ROWS__
+        ) ORDER BY lag
+    """.replace("__LAG_COLS__", '''lag(x, 1) OVER w AS x_1, lag(x, 2) OVER w AS x_2, lag(x, 3) OVER w AS x_3, lag(x, 4) OVER w AS x_4, lag(x, 5) OVER w AS x_5, lag(x, 6) OVER w AS x_6, lag(x, 7) OVER w AS x_7''').replace(
+        "__NUM_COLS__", '''sum(CASE WHEN x_1 IS NOT NULL THEN x*x_1 END) AS sxy_1, sum(CASE WHEN x_1 IS NOT NULL THEN x END) AS sa_1, sum(CASE WHEN x_1 IS NOT NULL THEN x_1 END) AS sb_1, CAST(count(CASE WHEN x_1 IS NOT NULL THEN 1 END) AS DOUBLE) AS np_1,
+                   sum(CASE WHEN x_2 IS NOT NULL THEN x*x_2 END) AS sxy_2, sum(CASE WHEN x_2 IS NOT NULL THEN x END) AS sa_2, sum(CASE WHEN x_2 IS NOT NULL THEN x_2 END) AS sb_2, CAST(count(CASE WHEN x_2 IS NOT NULL THEN 1 END) AS DOUBLE) AS np_2,
+                   sum(CASE WHEN x_3 IS NOT NULL THEN x*x_3 END) AS sxy_3, sum(CASE WHEN x_3 IS NOT NULL THEN x END) AS sa_3, sum(CASE WHEN x_3 IS NOT NULL THEN x_3 END) AS sb_3, CAST(count(CASE WHEN x_3 IS NOT NULL THEN 1 END) AS DOUBLE) AS np_3,
+                   sum(CASE WHEN x_4 IS NOT NULL THEN x*x_4 END) AS sxy_4, sum(CASE WHEN x_4 IS NOT NULL THEN x END) AS sa_4, sum(CASE WHEN x_4 IS NOT NULL THEN x_4 END) AS sb_4, CAST(count(CASE WHEN x_4 IS NOT NULL THEN 1 END) AS DOUBLE) AS np_4,
+                   sum(CASE WHEN x_5 IS NOT NULL THEN x*x_5 END) AS sxy_5, sum(CASE WHEN x_5 IS NOT NULL THEN x END) AS sa_5, sum(CASE WHEN x_5 IS NOT NULL THEN x_5 END) AS sb_5, CAST(count(CASE WHEN x_5 IS NOT NULL THEN 1 END) AS DOUBLE) AS np_5,
+                   sum(CASE WHEN x_6 IS NOT NULL THEN x*x_6 END) AS sxy_6, sum(CASE WHEN x_6 IS NOT NULL THEN x END) AS sa_6, sum(CASE WHEN x_6 IS NOT NULL THEN x_6 END) AS sb_6, CAST(count(CASE WHEN x_6 IS NOT NULL THEN 1 END) AS DOUBLE) AS np_6,
+                   sum(CASE WHEN x_7 IS NOT NULL THEN x*x_7 END) AS sxy_7, sum(CASE WHEN x_7 IS NOT NULL THEN x END) AS sa_7, sum(CASE WHEN x_7 IS NOT NULL THEN x_7 END) AS sb_7, CAST(count(CASE WHEN x_7 IS NOT NULL THEN 1 END) AS DOUBLE) AS np_7''').replace(
+        "__ACF_ROWS__", '''
+            SELECT 1 AS lag, t.n_days,
+                   round(CASE WHEN np_1 >= 1
+                              AND (sxx - 2*mu*sx + n_days*mu*mu) > 0
+                         THEN (sxy_1 - mu*sa_1 - mu*sb_1
+                               + np_1*mu*mu)
+                              / (sxx - 2*mu*sx + n_days*mu*mu)
+                         END, 6) AS r
+            FROM num CROSS JOIN tot t
+            UNION ALL
+
+            SELECT 2 AS lag, t.n_days,
+                   round(CASE WHEN np_2 >= 1
+                              AND (sxx - 2*mu*sx + n_days*mu*mu) > 0
+                         THEN (sxy_2 - mu*sa_2 - mu*sb_2
+                               + np_2*mu*mu)
+                              / (sxx - 2*mu*sx + n_days*mu*mu)
+                         END, 6) AS r
+            FROM num CROSS JOIN tot t
+            UNION ALL
+
+            SELECT 3 AS lag, t.n_days,
+                   round(CASE WHEN np_3 >= 1
+                              AND (sxx - 2*mu*sx + n_days*mu*mu) > 0
+                         THEN (sxy_3 - mu*sa_3 - mu*sb_3
+                               + np_3*mu*mu)
+                              / (sxx - 2*mu*sx + n_days*mu*mu)
+                         END, 6) AS r
+            FROM num CROSS JOIN tot t
+            UNION ALL
+
+            SELECT 4 AS lag, t.n_days,
+                   round(CASE WHEN np_4 >= 1
+                              AND (sxx - 2*mu*sx + n_days*mu*mu) > 0
+                         THEN (sxy_4 - mu*sa_4 - mu*sb_4
+                               + np_4*mu*mu)
+                              / (sxx - 2*mu*sx + n_days*mu*mu)
+                         END, 6) AS r
+            FROM num CROSS JOIN tot t
+            UNION ALL
+
+            SELECT 5 AS lag, t.n_days,
+                   round(CASE WHEN np_5 >= 1
+                              AND (sxx - 2*mu*sx + n_days*mu*mu) > 0
+                         THEN (sxy_5 - mu*sa_5 - mu*sb_5
+                               + np_5*mu*mu)
+                              / (sxx - 2*mu*sx + n_days*mu*mu)
+                         END, 6) AS r
+            FROM num CROSS JOIN tot t
+            UNION ALL
+
+            SELECT 6 AS lag, t.n_days,
+                   round(CASE WHEN np_6 >= 1
+                              AND (sxx - 2*mu*sx + n_days*mu*mu) > 0
+                         THEN (sxy_6 - mu*sa_6 - mu*sb_6
+                               + np_6*mu*mu)
+                              / (sxx - 2*mu*sx + n_days*mu*mu)
+                         END, 6) AS r
+            FROM num CROSS JOIN tot t
+            UNION ALL
+
+            SELECT 7 AS lag, t.n_days,
+                   round(CASE WHEN np_7 >= 1
+                              AND (sxx - 2*mu*sx + n_days*mu*mu) > 0
+                         THEN (sxy_7 - mu*sa_7 - mu*sb_7
+                               + np_7*mu*mu)
+                              / (sxx - 2*mu*sx + n_days*mu*mu)
+                         END, 6) AS r
+            FROM num CROSS JOIN tot t''')
     return out

@@ -996,3 +996,55 @@ def neyman_allocation(
             ).alias("alloc"),
         )
     )
+
+
+def template_prefix(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group longest common prefix over ALL texts — the template /
+    boilerplate-header detector: a crawl source whose every caption
+    starts with "Stock photo: " shows up here as a long shared prefix,
+    which the line-level dedup (drop_duplicated_lines) misses when the
+    boilerplate is glued to real content on one line.
+
+    The trick makes it one aggregation: the common prefix of a SET of
+    strings equals the common prefix of its lexicographic min and max
+    (any divergence between two members appears between min and max).
+    So the corpus collapses to (group, min(text), max(text)) in one
+    map-side-combinable groupBy, and the LCP scan runs once per GROUP
+    on two strings — prefix matching is monotone, so the scan is
+    ``size(filter(sequence(1, L), i -> prefix_i(min) = prefix_i(max)))``
+    in pure JVM expression code (O(L²) chars on two strings per group;
+    L is caption-scale). NULL/empty texts are excluded; groups with
+    none report n_docs=0 and an empty prefix.
+    """
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(F.col(group_col).alias("g"), F.col(text_col).alias("t"))
+    allg = df.select(F.col(group_col).alias("g")).distinct()
+    mm = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("t").alias("mn"),
+        F.max("t").alias("mx"),
+    )
+    lcp_len = F.expr(
+        "size(filter(sequence(1, int(least(length(mn), length(mx)))), "
+        "i -> substring(mn, 1, i) = substring(mx, 1, i)))"
+    )
+    return (
+        allg.join(mm, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce(lcp_len, F.lit(0)).cast("long").alias("prefix_len"),
+            F.coalesce(
+                F.expr("substring(mn, 1, size(filter(sequence(1, "
+                       "int(least(length(mn), length(mx)))), "
+                       "i -> substring(mn, 1, i) = substring(mx, 1, i))))"),
+                F.lit(""),
+            ).alias("prefix"),
+        )
+        .orderBy(group_col)
+    )

@@ -33,6 +33,8 @@ __all__ = [
     "spearman_by_group",
     "chi2_independence",
     "welch_ttest",
+    "benford_first_digit",
+    "mcnemar_gates",
 ]
 
 
@@ -313,4 +315,117 @@ def welch_ttest(
         F.round(vb, 6).alias("var_b"),
         F.round(tstat, 6).alias("t"),
         F.round(wdf, 6).alias("welch_df"),
+    )
+
+
+def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    vs Benford's law — the classic fabricated-data / unit-mixup smell
+    test for ingested metrics (an events feed whose values are invented
+    or re-scaled stops being Benford long before a mean shifts). Rows
+    with NULL or non-positive values are excluded (no first significant
+    digit). One row per digit 1-9, zero-filled: observed n, share,
+    Benford's expected share log10(1+1/d), and the cell's chi-square
+    term n_total*(share-expected)²/expected — sum them for the statistic.
+
+    The digit extraction is exact integer/log arithmetic — d =
+    floor(v / 10^floor(log10(v))) — identical in any engine; sub-1
+    values (0.042 → 4) and values at power-of-ten boundaries are
+    covered by the same formula. Scale shape: one groupBy over 9 keys
+    with map-side combine; the digit spine join is 9 rows.
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.floor(
+        v / F.pow(F.lit(10.0), F.floor(F.log10(v)))
+    ).cast("int")
+    obs = (
+        df.where(v.isNotNull() & (v > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    tot = obs.agg(F.sum("n").cast("double").alias("total"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    share = F.coalesce("n", F.lit(0)) / F.col("total")
+    return (
+        spine.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.round(
+                F.when(F.col("total") > 0, share), 6
+            ).alias("share"),
+            F.round(expected, 6).alias("benford_share"),
+            F.round(
+                F.when(
+                    F.col("total") > 0,
+                    F.col("total")
+                    * (share - expected) * (share - expected)
+                    / expected,
+                ),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def mcnemar_gates(
+    df: DataFrame,
+    gate_a_col: str,
+    gate_b_col: str,
+) -> DataFrame:
+    """McNemar's test for two keep/drop gates evaluated on the SAME rows
+    (old rule vs new rule): the 2×2 paired table (n_both_keep,
+    n_a_only, n_b_only, n_both_drop), agreement share, and the McNemar
+    chi-square (b−c)²/(b+c) — which only looks at the DISAGREEING
+    cells, the right test for "did the rule change matter?" (a 99%-
+    agreeing pair can still be a one-directional tightening). NULL in
+    either gate excludes the row (counted as n_null). chi2 is NULL when
+    the gates never disagree. ONE filtered aggregate; no shuffle wider
+    than a single row.
+    """
+    a = F.col(gate_a_col).cast("boolean")
+    b = F.col(gate_b_col).cast("boolean")
+    ok = a.isNotNull() & b.isNotNull()
+    wide = df.agg(
+        F.count(F.when(ok & a & b, 1)).cast("long").alias("n_both_keep"),
+        F.count(F.when(ok & a & ~b, 1)).cast("long").alias("n_a_only"),
+        F.count(F.when(ok & ~a & b, 1)).cast("long").alias("n_b_only"),
+        F.count(F.when(ok & ~a & ~b, 1)).cast("long").alias("n_both_drop"),
+        F.count(F.when(~ok, 1)).cast("long").alias("n_null"),
+    )
+    n = (
+        F.col("n_both_keep")
+        + F.col("n_a_only")
+        + F.col("n_b_only")
+        + F.col("n_both_drop")
+    )
+    disc = F.col("n_a_only") + F.col("n_b_only")
+    return wide.select(
+        "n_both_keep",
+        "n_a_only",
+        "n_b_only",
+        "n_both_drop",
+        "n_null",
+        F.round(
+            F.when(
+                n > 0,
+                (F.col("n_both_keep") + F.col("n_both_drop")) / n,
+            ),
+            6,
+        ).alias("agreement"),
+        F.round(
+            F.when(
+                disc > 0,
+                (F.col("n_a_only") - F.col("n_b_only"))
+                * (F.col("n_a_only") - F.col("n_b_only"))
+                / disc,
+            ),
+            6,
+        ).alias("mcnemar_chi2"),
     )

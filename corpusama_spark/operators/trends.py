@@ -231,3 +231,120 @@ def cusum_shift(
             ).alias("mean_after"),
         )
     )
+
+
+def daily_autocorrelation(
+    events: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation of the DAILY event-count series at lags
+    1..max_lag — the "does ingest have a weekly pulse?" diagnostic that
+    tells a drift monitor which lag to deseasonalize by before its
+    thresholds mean anything. r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²
+    over the contiguous day spine from min to max day, MISSING DAYS
+    COUNT AS ZERO events (a gap is real signal for an ingest series,
+    and without the spine the lag operator would silently compare
+    non-adjacent days).
+
+    Output: (lag, n_days, r) with r at 6 dp, NULL when the series is
+    constant or shorter than lag+1 days. Scale shape: the corpus
+    collapses to (day, n) in one groupBy; the spine, the single-series
+    lag window and the final sums all run on the day table (thousands
+    of rows for years of data) — the one-partition window is over
+    days, never events.
+    """
+    if max_lag < 1:
+        raise ValueError("daily_autocorrelation needs max_lag >= 1")
+    from pyspark.sql.window import Window
+
+    daily = events.groupBy(
+        F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count("*").cast("double").alias("n"))
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0.0)).alias("x")
+    )
+    mu_tot = series.agg(
+        F.avg("x").alias("mu"),
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("x").alias("sx"),
+    )
+    w = Window.orderBy("day")
+    lagged = series.select(
+        "x",
+        *[
+            F.lag("x", k).over(w).alias(f"x_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    # numerator sums per lag in one agg over the day table
+    num = lagged.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"x_{k}").isNotNull(),
+                    F.col("x") * F.col(f"x_{k}"),
+                )
+            ).alias(f"sxy_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.sum(F.when(F.col(f"x_{k}").isNotNull(), F.col("x"))).alias(
+                f"sa_{k}"
+            )
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.sum(
+                F.when(F.col(f"x_{k}").isNotNull(), F.col(f"x_{k}"))
+            ).alias(f"sb_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.count(F.when(F.col(f"x_{k}").isNotNull(), 1)).alias(
+                f"np_{k}"
+            )
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    rows = []
+    for k in range(1, max_lag + 1):
+        # Σ(x_t−μ)(x_{t−k}−μ) over the n−k overlapping terms, expanded
+        # to sums so both engines do identical algebra
+        numer = (
+            F.col(f"sxy_{k}")
+            - F.col("mu") * F.col(f"sa_{k}")
+            - F.col("mu") * F.col(f"sb_{k}")
+            + F.col(f"np_{k}") * F.col("mu") * F.col("mu")
+        )
+        denom = (
+            F.col("sxx")
+            - F.lit(2.0) * F.col("mu") * F.col("sx")
+            + F.col("n_days") * F.col("mu") * F.col("mu")
+        )
+        rows.append(
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col("n_days").alias("n_days"),
+                F.round(
+                    F.when(
+                        (F.col(f"np_{k}") >= 1) & (denom > 0),
+                        numer / denom,
+                    ),
+                    6,
+                ).alias("r"),
+            )
+        )
+    return (
+        num.crossJoin(F.broadcast(mu_tot))
+        .select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("lag")
+    )
