@@ -3862,6 +3862,67 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy histogram of the phash LSH bands (4 x 15-bit keys over
+    the 60-bit code): bucket_size -> n_buckets / n_rows / shares with
+    the heavy-tail cumulative — the flood-guard planning view."""
+    from corpusama_spark.operators.skew import bucket_size_histogram
+
+    pop = _phash_population(_t(spark, sf_dir, "documents"))
+    banded = pop.select(
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("bnd"), "code"
+    ).select(
+        "bnd",
+        F.expr("shiftright(code, cast(15 * bnd as int)) & 32767").alias(
+            "bkey"
+        ),
+    )
+    return bucket_size_histogram(banded, ["bnd", "bkey"])
+
+
+def q_caption_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same image, different caption: phash-hamming near-dup pairs
+    (banded LSH, pigeonhole-complete at k=3 < 4 bands) whose caption
+    token Jaccard is below tau — the labeling-noise re-adjudication
+    worklist. Oracle is brute-force O(n^2) hamming + list_intersect."""
+    from corpusama_spark.operators.dedup import near_dup_caption_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    # captions for the twin rows (+1000000 ids): id%20==0 keeps the base
+    # caption (non-divergent), the rest get a 12-char prefix (divergent)
+    twin_caps = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 20 == 0, F.col("text")
+        ).otherwise(F.substring("text", 1, 12)).alias("text"),
+    )
+    caps = docs.select("doc_id", "text").unionByName(twin_caps)
+    return near_dup_caption_divergence(
+        _phash_population(docs), caps, "text", "doc_id",
+        bands=4, hamming_k=3, tau=0.5,
+    )
+
+
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree distribution of the exact k=5 cosine neighbor graph
+    over the embeddings table, zero-degree vectors included — the
+    hub/anti-hub audit run before any similarity-based curation."""
+    from corpusama_spark.operators.similarity import knn_hubness
+
+    return knn_hubness(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion + nearest confusable label + margin
+    (linear silhouette stand-in); centroids pinned at 6 dp so engines
+    agree."""
+    from corpusama_spark.operators.similarity import label_cohesion
+
+    return label_cohesion(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -4010,6 +4071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar_rules": q_mcnemar_rules,
         "template_prefix": q_template_prefix,
         "acf_daily": q_acf_daily,
+        "band_occupancy": q_band_occupancy,
+        "caption_divergence": q_caption_divergence,
+        "knn_hubness": q_knn_hubness,
+        "label_cohesion": q_label_cohesion,
         # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
@@ -8879,4 +8944,129 @@ def oracle_sql() -> dict[str, str]:
                               / (sxx - 2*mu*sx + n_days*mu*mu)
                          END, 6) AS r
             FROM num CROSS JOIN tot t''')
+
+    out["band_occupancy"] = f"""
+        WITH pop AS ({_SQL_PHASH_POP}),
+        banded AS (
+            SELECT b.bnd, (code >> (15 * b.bnd)) & 32767 AS bkey
+            FROM pop CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) b),
+        sizes AS (SELECT bnd, bkey, count(*) AS sz
+                  FROM banded GROUP BY 1, 2),
+        hist AS (SELECT sz AS bucket_size,
+                        CAST(count(*) AS BIGINT) AS n_buckets,
+                        CAST(count(*) * sz AS BIGINT) AS n_rows
+                 FROM sizes GROUP BY sz),
+        tot AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM hist)
+        SELECT bucket_size, n_buckets, n_rows,
+               round(n_rows / total, 6) AS row_share,
+               round(sum(n_rows) OVER (ORDER BY bucket_size DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / total, 6) AS row_share_cum
+        FROM hist CROSS JOIN tot ORDER BY bucket_size
+    """
+    out["caption_divergence"] = f"""
+        WITH pop AS ({_SQL_PHASH_POP}),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.code, b.code)) AS INTEGER)
+                       AS hamming
+            FROM pop a JOIN pop b ON a.id < b.id
+            WHERE bit_count(xor(a.code, b.code)) <= 3),
+        caps AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   CASE WHEN doc_id % 20 = 0 THEN text
+                        ELSE substr(text, 1, 12) END
+            FROM documents WHERE doc_id % 10 = 0),
+        toks AS (
+            SELECT doc_id AS tid,
+                   list_distinct(list_filter(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\\s+'),
+                       t -> len(t) > 0)) AS tk
+            FROM caps),
+        j AS (
+            SELECT p.id_a, p.id_b, p.hamming,
+                   len(list_intersect(ta.tk, tb.tk)) AS inter,
+                   len(ta.tk) + len(tb.tk)
+                   - len(list_intersect(ta.tk, tb.tk)) AS uni
+            FROM pairs p
+            JOIN toks ta ON ta.tid = p.id_a
+            JOIN toks tb ON tb.tid = p.id_b)
+        SELECT id_a, id_b, hamming,
+               round(CASE WHEN uni > 0
+                     THEN inter / CAST(uni AS DOUBLE)
+                     ELSE 1.0 END, 6) AS caption_jaccard,
+               round(CASE WHEN uni > 0
+                     THEN inter / CAST(uni AS DOUBLE)
+                     ELSE 1.0 END, 6) < 0.5 AS divergent
+        FROM j ORDER BY id_a, id_b
+    """
+    out["knn_hubness"] = """
+        WITH graph AS (
+            SELECT query_id, cand_id FROM (
+                SELECT query_id, cand_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, cand_id) AS rnk
+                FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           round(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])), 6)
+                               AS cos_sim
+                    FROM embeddings c, embeddings q
+                    WHERE c.vec_id != q.vec_id))
+            WHERE rnk <= 5),
+        indeg AS (SELECT cand_id AS vid, CAST(count(*) AS BIGINT) AS d
+                  FROM graph GROUP BY 1),
+        deg AS (SELECT e.vec_id AS vid, coalesce(d, 0) AS d
+                FROM embeddings e LEFT JOIN indeg ON indeg.vid = e.vec_id),
+        hist AS (SELECT d AS in_degree,
+                        CAST(count(*) AS BIGINT) AS n_vectors
+                 FROM deg GROUP BY d),
+        tot AS (SELECT CAST(sum(n_vectors) AS DOUBLE) AS nv,
+                       CAST(sum(in_degree * n_vectors) AS DOUBLE) AS ne
+                FROM hist)
+        SELECT in_degree, n_vectors,
+               round(n_vectors / nv, 6) AS node_share,
+               round(CASE WHEN ne > 0
+                     THEN in_degree * n_vectors / ne
+                     ELSE 0.0 END, 6) AS citation_share
+        FROM hist CROSS JOIN tot ORDER BY in_degree
+    """
+    out["label_cohesion"] = """
+        WITH dims AS (
+            SELECT label AS lab,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+        cd AS (SELECT lab, dim, round(avg(v), 6) AS c
+               FROM dims GROUP BY lab, dim),
+        cent AS (SELECT lab, list(c ORDER BY dim) AS cvec
+                 FROM cd GROUP BY lab),
+        coh AS (
+            SELECT e.label AS lab,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   round(avg(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), cent.cvec)), 6)
+                       AS cohesion
+            FROM embeddings e JOIN cent ON cent.lab = e.label
+            GROUP BY e.label),
+        near AS (
+            SELECT lab, lab_b AS nearest_label, ccos AS nearest_cos
+            FROM (
+                SELECT a.lab, b.lab AS lab_b,
+                       round(list_cosine_similarity(a.cvec, b.cvec), 6)
+                           AS ccos,
+                       row_number() OVER (PARTITION BY a.lab
+                           ORDER BY round(list_cosine_similarity(
+                               a.cvec, b.cvec), 6) DESC, b.lab) AS rn
+                FROM cent a JOIN cent b ON a.lab != b.lab)
+            WHERE rn = 1)
+        SELECT coh.lab AS label, n_members, cohesion,
+               nearest_label, nearest_cos,
+               round(cohesion - nearest_cos, 6) AS margin
+        FROM coh LEFT JOIN near ON near.lab = coh.lab
+        ORDER BY label
+    """
     return out

@@ -1108,3 +1108,62 @@ def dedup_burden_by_group(
         )
         .orderBy(group_col)
     )
+
+
+def near_dup_caption_divergence(
+    pop: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 4,
+    hamming_k: int = 3,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Labeling-noise audit for image+caption corpora: visually
+    near-identical pairs (phash hamming ≤ k via banded LSH) whose
+    CAPTIONS disagree (token Jaccard < tau) — the "same image, different
+    caption" set that survives text dedup and phash dedup separately
+    because each signal on its own says "keep both". Output per
+    candidate pair: hamming distance, caption jaccard, and the
+    divergent flag; divergent pairs are the rows a labeling pipeline
+    should re-adjudicate rather than train on.
+
+    ``pop`` is the (id, code) phash table; captions come from ``docs``
+    joined by id. Scale shape: hamming_band_pairs does the banded
+    candidate generation (codes shuffle, not pixels); the caption join
+    touches only pair ids (2 joins on the pair table); the Jaccard is
+    a JVM array intersection over the two token sets of a PAIR, never
+    an all-pairs text comparison.
+    """
+    pairs = hamming_band_pairs(
+        pop, "id", "code", bands=bands, hamming_k=hamming_k
+    ).select("id_a", "id_b", "hamming")
+    toks = docs.select(
+        F.col(id_col).alias("tid"),
+        F.array_distinct(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                ),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("toks"),
+    )
+    a = toks.select(F.col("tid").alias("id_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("tid").alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.round(jac, 6).alias("caption_jaccard"),
+            (F.round(jac, 6) < tau).alias("divergent"),
+        )
+        .orderBy("id_a", "id_b")
+    )

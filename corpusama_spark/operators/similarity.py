@@ -730,3 +730,152 @@ def label_centroid_similarity(
             F.col("_dot") / F.sqrt(F.col("_na") * F.col("_nb")), 6
         ).alias("cosine"),
     )
+
+
+def knn_hubness(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    graph: DataFrame | None = None,
+) -> DataFrame:
+    """Hubness audit of the k-NN graph: the in-degree distribution —
+    in_degree → how many vectors are cited that often as a neighbor,
+    with node and citation shares. High-dimensional embedding spaces
+    grow "hubs" (a few vectors appear in everyone's top-k) that poison
+    dedup and retrieval; a heavy tail here is the signal to re-normalize
+    or re-embed before any similarity-based curation runs.
+
+    Every vector appears, including in-degree 0 (never anyone's
+    neighbor — the anti-hubs that indicate isolated/noise regions).
+
+    ``graph`` may supply a precomputed neighbor table (query_id,
+    cand_id, rank) — at scale the ANN output (ann_topk / ivf_topk) IS
+    that table, so the audit costs one edge-sized groupBy. The default
+    builds the exact graph via brute_force_topk, which broadcasts the
+    query side: correct for audits on a bounded sample, not a 10^12-row
+    default — pass the ANN graph there.
+    """
+    if graph is None:
+        graph = brute_force_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    indeg = graph.where(F.col("rank") <= k).groupBy(
+        F.col("cand_id").alias("vid")
+    ).agg(F.count("*").cast("long").alias("d"))
+    allv = emb.select(F.col(id_col).alias("vid"))
+    deg = allv.join(indeg, "vid", "left").select(
+        "vid", F.coalesce("d", F.lit(0)).alias("d")
+    )
+    hist = deg.groupBy(F.col("d").alias("in_degree")).agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    tot = hist.agg(
+        F.sum("n_vectors").cast("double").alias("nv"),
+        F.sum(F.col("in_degree") * F.col("n_vectors"))
+        .cast("double")
+        .alias("ne"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "in_degree",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("nv"), 6).alias("node_share"),
+            F.round(
+                F.when(
+                    F.col("ne") > 0,
+                    F.col("in_degree") * F.col("n_vectors") / F.col("ne"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("citation_share"),
+        )
+        .orderBy("in_degree")
+    )
+
+
+def label_cohesion(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding cohesion audit — the centroid-based
+    silhouette stand-in that stays linear: for each label, the mean
+    cosine of members to their OWN centroid (cohesion), the nearest
+    OTHER label by centroid cosine (the confusable neighbor), and the
+    margin between them. A label whose cohesion barely beats its
+    nearest-neighbor centroid similarity is a cluster the curation
+    pipeline should not treat as a unit.
+
+    Centroid per-dim means are ROUNDED to 6 dp (pinning order-sensitive
+    float sums — the kmeans/label_centroid_similarity trick) so both
+    engines see identical centroids before any cosine.
+
+    Scale shape: corpus → (label × dim) in one map-side-combinable
+    groupBy; centroids rebuild as arrays (labels-sized, broadcast);
+    member→centroid cosine is one broadcast join + zip_with dot — the
+    corpus is touched exactly twice (centroid pass, scoring pass) and
+    nothing n² exists anywhere: the label×label table is tiny.
+    """
+    dims = emb.select(
+        F.col(label_col).alias("lab"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("lab", "dim", F.col("v").cast("double").alias("v"))
+    cent = (
+        dims.groupBy("lab", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .groupBy("lab")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+    member = emb.select(
+        F.col(label_col).alias("lab"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("mvec"),
+    )
+    coh = (
+        member.join(F.broadcast(cent), "lab")
+        .select("lab", cosine(F.col("mvec"), F.col("cvec")).alias("cos"))
+        .groupBy("lab")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.round(F.avg("cos"), 6).alias("cohesion"),
+        )
+    )
+    ca = cent.select(F.col("lab").alias("lab"), F.col("cvec").alias("va"))
+    cb = cent.select(F.col("lab").alias("lab_b"), F.col("cvec").alias("vb"))
+    from pyspark.sql.window import Window
+
+    wnear = Window.partitionBy("lab").orderBy(
+        F.desc("ccos"), F.asc("lab_b")
+    )
+    near = (
+        ca.join(F.broadcast(cb), F.col("lab") != F.col("lab_b"))
+        .select(
+            "lab",
+            "lab_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(wnear))
+        .where(F.col("rn") == 1)
+        .select(
+            "lab",
+            F.col("lab_b").alias("nearest_label"),
+            F.col("ccos").alias("nearest_cos"),
+        )
+    )
+    return (
+        coh.join(near, "lab", "left")
+        .select(
+            F.col("lab").alias(label_col),
+            "n_members",
+            "cohesion",
+            "nearest_label",
+            "nearest_cos",
+            F.round(F.col("cohesion") - F.col("nearest_cos"), 6).alias(
+                "margin"
+            ),
+        )
+        .orderBy(label_col)
+    )

@@ -342,3 +342,50 @@ def vocab_richness(
         )
         .orderBy(group_col)
     )
+
+
+def bucket_size_histogram(
+    df: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Occupancy histogram of a bucketing scheme (LSH bands, phash
+    prefixes, salt buckets): bucket_size → how many buckets have that
+    size, how many rows they hold, and the row share. THE planning view
+    for flood guards — "what max_bucket cutoff loses how many rows?"
+    reads straight off the cumulative column (row_share_cum sums the
+    heavy tail from the LARGEST buckets down, so the value at size s is
+    the fraction of rows a max_bucket=s-1 guard would drop from pairing).
+
+    Scale shape: one groupBy(keys) count (the pass any bucketed join
+    already pays), then a size-keyed re-aggregation over the bucket
+    table (distinct-key sized) and a window over the size histogram
+    (at most |distinct sizes| rows). Nothing re-reads the corpus.
+    """
+    if not key_cols:
+        raise ValueError("bucket_size_histogram needs key columns")
+    from pyspark.sql.window import Window
+
+    sizes = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").alias("sz")
+    )
+    hist = sizes.groupBy(F.col("sz").alias("bucket_size")).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        (F.count("*") * F.first("sz")).cast("long").alias("n_rows"),
+    )
+    tot = hist.agg(F.sum("n_rows").cast("double").alias("total"))
+    w = Window.orderBy(F.desc("bucket_size")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_size",
+            "n_buckets",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("row_share"),
+            F.round(
+                F.sum("n_rows").over(w) / F.col("total"), 6
+            ).alias("row_share_cum"),
+        )
+        .orderBy("bucket_size")
+    )
