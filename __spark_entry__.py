@@ -3923,6 +3923,78 @@ def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ess_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective-sample-size audit per event_type over a derived
+    weight (value - 1.0, so negative weights exercise the n_bad path)
+    with the weighted mean of the props payload length — the sanity
+    gate any weighted pipeline stage (DSIR, temperature mixing, HT
+    estimates) runs before trusting its weighted numbers."""
+    from corpusama_spark.operators.stats import weighted_ess
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("w", F.col("value") - F.lit(1.0))
+        .withColumn("vlen", F.length("props").cast("double"))
+    )
+    return weighted_ess(ev, "event_type", "w", value_col="vlen")
+
+
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day content novelty over the events stream (key = user_id):
+    share of each day's rows carrying a key first seen that day, plus
+    the cumulative distinct-key count — the "is this crawl still
+    finding anything new?" curve. Day is an ISO string so the result
+    is dtype-stable across engines."""
+    from corpusama_spark.operators.drift import novelty_rate
+
+    ev = _t(spark, sf_dir, "events")
+    return novelty_rate(
+        ev, "user_id", F.date_format("ts", "yyyy-MM-dd"), "event_id"
+    )
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + uncertainty coefficients between source and
+    language over documents — the effect-size companion to
+    chi2_lang_source ("HOW MUCH does source predict language?" on a
+    0-1 scale)."""
+    from corpusama_spark.operators.stats import mutual_information
+
+    return mutual_information(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance of the embedding column via
+    the Arrow-batched Gram accumulation (one numpy matmul per batch;
+    only O(d^2) partial sums shuffle). Oracle is the brute-force unnest
+    self-join."""
+    from corpusama_spark.operators.embdiag import embed_covariance
+
+    return embed_covariance(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+def q_embed_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row embedding-collapse audit (anisotropy = energy in the
+    mean direction / second moment, covariance trace, max axis-aligned
+    variance share) — run before any cosine-based curation trusts its
+    distances. Pure JVM posexplode plan."""
+    from corpusama_spark.operators.embdiag import embed_collapse
+
+    return embed_collapse(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+def q_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by fixed-
+    iteration power method (distributed covariance reduce + driver-side
+    d x d eigen step). Eigenvectors are not ANSI-SQL-expressible: the
+    pytest oracle is numpy.linalg.eigh; rows-only here."""
+    from corpusama_spark.operators.embdiag import top_principal_component
+
+    return top_principal_component(
+        _t(spark, sf_dir, "embeddings"), "embedding", iters=100
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -4146,6 +4218,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        # -- X176-X180: weighting/novelty/MI + embedding-health audits -------
+        "ess_audit": q_ess_audit,
+        "novelty": q_novelty,
+        "mutual_info": q_mutual_info,
+        "embed_covariance": q_embed_covariance,
+        "embed_collapse": q_embed_collapse,
+        "top_pc": q_top_pc,
     }
 
 
@@ -9068,5 +9147,138 @@ def oracle_sql() -> dict[str, str]:
                round(cohesion - nearest_cos, 6) AS margin
         FROM coh LEFT JOIN near ON near.lab = coh.lab
         ORDER BY label
+    """
+    out["ess_audit"] = """
+        WITH base AS (
+            SELECT event_type AS g, value - 1.0 AS w,
+                   CAST(length(props) AS DOUBLE) AS v
+            FROM events),
+        a AS (
+            SELECT g,
+                CAST(count(CASE WHEN w IS NOT NULL AND w >= 0
+                           THEN 1 END) AS BIGINT) AS n,
+                CAST(count(CASE WHEN w IS NULL OR w < 0
+                           THEN 1 END) AS BIGINT) AS n_bad,
+                sum(CASE WHEN w >= 0 THEN w END) AS sw,
+                sum(CASE WHEN w >= 0 THEN w * w END) AS sww,
+                max(CASE WHEN w >= 0 THEN w END) AS wmax,
+                sum(CASE WHEN w >= 0 THEN w * v END) AS swv
+            FROM base GROUP BY g)
+        SELECT g AS event_type, n, n_bad,
+               round(sw, 6) AS sum_w,
+               round(CASE WHEN sww > 0 THEN sw * sw / sww END, 6) AS ess,
+               round(CASE WHEN n > 0 AND sww > 0
+                     THEN sw * sw / sww / n END, 6) AS ess_ratio,
+               round(CASE WHEN sw > 0 THEN wmax / sw END, 6)
+                   AS max_w_share,
+               round(CASE WHEN sw > 0 THEN swv / sw END, 6)
+                   AS weighted_mean
+        FROM a ORDER BY event_type
+    """
+    out["novelty"] = """
+        WITH k AS (SELECT event_id AS id, strftime(ts, '%Y-%m-%d') AS b,
+                          user_id AS k
+                   FROM events),
+        pb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(count(CASE WHEN k IS NULL THEN 1 END)
+                           AS BIGINT) AS n_null
+               FROM k GROUP BY b),
+        fb AS (SELECT min(b) AS b FROM k
+               WHERE k IS NOT NULL GROUP BY k),
+        nv AS (SELECT b, CAST(count(*) AS BIGINT) AS n_novel
+               FROM fb GROUP BY b)
+        SELECT pb.b AS batch, n_rows, n_null,
+               CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+               CAST(n_rows - n_null - coalesce(n_novel, 0) AS BIGINT)
+                   AS n_repost,
+               round(CASE WHEN n_rows - n_null > 0
+                     THEN coalesce(n_novel, 0)
+                          / CAST(n_rows - n_null AS DOUBLE) END, 6)
+                   AS novelty,
+               CAST(sum(coalesce(n_novel, 0)) OVER (ORDER BY pb.b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS distinct_cum
+        FROM pb LEFT JOIN nv ON nv.b = pb.b ORDER BY batch
+    """
+    out["mutual_info"] = """
+        WITH obs AS (
+            SELECT source AS a, lang AS b,
+                   CAST(count(*) AS DOUBLE) AS o
+            FROM documents
+            WHERE source IS NOT NULL AND lang IS NOT NULL
+            GROUP BY 1, 2),
+        ra AS (SELECT a, sum(o) AS ta FROM obs GROUP BY a),
+        cb AS (SELECT b, sum(o) AS tb FROM obs GROUP BY b),
+        tot AS (SELECT sum(o) AS n FROM obs),
+        agg AS (
+            SELECT n,
+                   sum((o / n) * ln(o * n / (ta * tb))) AS mi,
+                   sum((o / n) * -ln(ta / n)) AS ha,
+                   sum((o / n) * -ln(tb / n)) AS hb
+            FROM obs JOIN ra USING (a) JOIN cb USING (b)
+                 CROSS JOIN tot
+            GROUP BY n)
+        SELECT CAST(n AS BIGINT) AS n,
+               round(mi, 6) AS mi_nats,
+               round(ha, 6) AS entropy_a,
+               round(hb, 6) AS entropy_b,
+               round(CASE WHEN ha > 0 THEN mi / ha END, 6)
+                   AS u_a_given_b,
+               round(CASE WHEN hb > 0 THEN mi / hb END, 6)
+                   AS u_b_given_a
+        FROM agg
+    """
+    out["embed_covariance"] = """
+        WITH d AS (
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) - 1
+                        AS INTEGER) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        m AS (SELECT i, sum(v) AS s FROM d GROUP BY i),
+        p AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+              FROM d a JOIN d b
+                   ON a.vec_id = b.vec_id AND b.i >= a.i
+              GROUP BY a.i, b.i)
+        SELECT p.i, p.j,
+               round(p.s / n.n - (mi.s / n.n) * (mj.s / n.n), 6) + 0.0
+                   AS cov
+        FROM p CROSS JOIN n
+             JOIN m mi ON mi.i = p.i
+             JOIN m mj ON mj.i = p.j
+        ORDER BY p.i, p.j
+    """
+    out["embed_collapse"] = """
+        WITH d AS (
+            SELECT CAST(generate_subscripts(embedding, 1) - 1
+                        AS INTEGER) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        bad AS (SELECT CAST(count(CASE WHEN embedding IS NULL
+                            OR len(embedding) <> 64 THEN 1 END)
+                            AS BIGINT) AS n_bad
+                FROM embeddings),
+        pd AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt,
+                      avg(v) AS m, avg(v * v) AS m2
+               FROM d GROUP BY i),
+        roll AS (SELECT max(cnt) AS n, sum(m2) AS mns,
+                        sum(m * m) AS cns,
+                        max(m2 - m * m) AS maxvar
+                 FROM pd)
+        SELECT CAST(n AS BIGINT) AS n, n_bad,
+               CAST(64 AS INTEGER) AS dim,
+               round(mns, 6) AS mean_norm_sq,
+               round(cns, 6) AS centroid_norm_sq,
+               round(CASE WHEN mns > 0 THEN cns / mns END, 6)
+                   AS anisotropy,
+               round(mns - cns, 6) AS trace_cov,
+               round(CASE WHEN mns - cns > 0
+                     THEN maxvar / (mns - cns) END, 6)
+                   AS top_dim_var_share
+        FROM roll CROSS JOIN bad
     """
     return out

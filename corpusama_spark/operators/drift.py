@@ -38,6 +38,7 @@ __all__ = [
     "js_divergence",
     "bootstrap_mean_ci",
     "wasserstein_1d",
+    "novelty_rate",
 ]
 
 _LN2 = math.log(2.0)
@@ -445,4 +446,75 @@ def bootstrap_mean_ci(
         F.col("n_boot").cast("long").alias("n_boot"),
         "ci_lo",
         "ci_hi",
+    )
+
+
+def novelty_rate(
+    df: DataFrame,
+    key_col: Column | str,
+    batch_col: Column | str,
+    id_col: str,
+) -> DataFrame:
+    """Per-batch content novelty: what share of each ingest batch is
+    NEW vs a re-post of content first seen in an EARLIER batch — the
+    "is this crawl still finding anything?" curve. A key (content hash,
+    phash, url) is novel in the batch where its FIRST row (min id)
+    lives; later batches carrying the same key count as re-posts.
+    Within-batch duplicates beyond the first row count as re-posts too
+    (they bring no new content). NULL keys are excluded and counted.
+
+    Output per batch: n_rows, n_null, n_novel, n_repost, novelty (6 dp)
+    and the cumulative distinct-content count through that batch.
+
+    Scale shape: ONE groupBy(key) carries (first-batch = min over the
+    orderable (batch, id) pair) — key-sized shuffle, the pass exact
+    dedup already pays; per-batch rollups and the running total window
+    operate on batch-sized tables.
+    """
+    keyed = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        (F.col(batch_col) if isinstance(batch_col, str) else batch_col)
+        .alias("b"),
+        (F.col(key_col) if isinstance(key_col, str) else key_col)
+        .alias("k"),
+    )
+    per_batch = keyed.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_null"),
+    )
+    first = (
+        keyed.where(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.min(F.struct("b", "id")).alias("f"))
+        .select(F.col("f.b").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_batch.join(first, "b", "left")
+        .select(
+            F.col("b").alias("batch"),
+            "n_rows",
+            "n_null",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            (
+                F.col("n_rows")
+                - F.col("n_null")
+                - F.coalesce("n_novel", F.lit(0))
+            ).alias("n_repost"),
+            F.round(
+                F.when(
+                    F.col("n_rows") - F.col("n_null") > 0,
+                    F.coalesce("n_novel", F.lit(0))
+                    / (F.col("n_rows") - F.col("n_null")),
+                ),
+                6,
+            ).alias("novelty"),
+            F.sum(F.coalesce("n_novel", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("distinct_cum"),
+        )
+        .orderBy("batch")
     )

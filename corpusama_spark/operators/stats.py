@@ -35,6 +35,8 @@ __all__ = [
     "welch_ttest",
     "benford_first_digit",
     "mcnemar_gates",
+    "weighted_ess",
+    "mutual_information",
 ]
 
 
@@ -428,4 +430,111 @@ def mcnemar_gates(
             ),
             6,
         ).alias("mcnemar_chi2"),
+    )
+
+
+def weighted_ess(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Importance-weight diagnostics per group: Kish effective sample
+    size ESS = (Σw)²/Σw², its ratio to n, the max single-row weight
+    share, and (optionally) the weighted mean of a metric. The sanity
+    gate on ANY weighted pipeline stage (DSIR reweighting, temperature
+    mixing, Horvitz–Thompson estimates): an ESS ratio near 0 means a
+    few rows dominate and the weighted estimate is noise wearing a
+    sample-size costume. Rows with NULL or negative weights are
+    excluded and counted (n_bad). One map-side-combinable aggregate;
+    output is group-sized.
+    """
+    w = F.col(weight_col).cast("double")
+    ok = w.isNotNull() & (w >= 0)
+    wv = F.when(ok, w)
+    aggs = [
+        F.count(wv).cast("long").alias("n"),
+        F.count(F.when(~ok, 1)).cast("long").alias("n_bad"),
+        F.sum(wv).alias("_sw"),
+        F.sum(wv * wv).alias("_sww"),
+        F.max(wv).alias("_wmax"),
+    ]
+    if value_col is not None:
+        v = F.col(value_col).cast("double")
+        aggs.append(F.sum(F.when(ok, w * v)).alias("_swv"))
+    out = df.groupBy(F.col(group_col).alias("g")).agg(*aggs)
+    ess = F.when(
+        F.col("_sww") > 0, F.col("_sw") * F.col("_sw") / F.col("_sww")
+    )
+    cols = [
+        F.col("g").alias(group_col),
+        "n",
+        "n_bad",
+        F.round(F.col("_sw"), 6).alias("sum_w"),
+        F.round(ess, 6).alias("ess"),
+        F.round(
+            F.when(F.col("n") > 0, ess / F.col("n")), 6
+        ).alias("ess_ratio"),
+        F.round(
+            F.when(F.col("_sw") > 0, F.col("_wmax") / F.col("_sw")), 6
+        ).alias("max_w_share"),
+    ]
+    if value_col is not None:
+        cols.append(
+            F.round(
+                F.when(F.col("_sw") > 0, F.col("_swv") / F.col("_sw")), 6
+            ).alias("weighted_mean")
+        )
+    return out.select(*cols).orderBy(group_col)
+
+
+def mutual_information(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    the entropies and the normalized uncertainty coefficients U(a|b)
+    and U(b|a) — the effect-size companion to chi2_independence that
+    answers "HOW MUCH does source predict language?" on a 0-1 scale.
+    MI = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) over observed cells (zero
+    cells contribute exactly 0 to MI, unlike chi-square). NULL in
+    either column excludes the row. ONE contingency groupBy; joins are
+    marginal-sized.
+    """
+    obs = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("o"))
+    )
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ta"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("tb"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = (F.col("o") / F.col("n")) * F.log(
+        F.col("o") * F.col("n") / (F.col("ta") * F.col("tb"))
+    )
+    ha_term = (F.col("o") / F.col("n")) * -F.log(F.col("ta") / F.col("n"))
+    hb_term = (F.col("o") / F.col("n")) * -F.log(F.col("tb") / F.col("n"))
+    agg = cells.groupBy("n").agg(
+        F.sum(mi_term).alias("mi"),
+        F.sum(ha_term).alias("ha"),
+        F.sum(hb_term).alias("hb"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("mi", 6).alias("mi_nats"),
+        F.round("ha", 6).alias("entropy_a"),
+        F.round("hb", 6).alias("entropy_b"),
+        F.round(
+            F.when(F.col("ha") > 0, F.col("mi") / F.col("ha")), 6
+        ).alias("u_a_given_b"),
+        F.round(
+            F.when(F.col("hb") > 0, F.col("mi") / F.col("hb")), 6
+        ).alias("u_b_given_a"),
     )
