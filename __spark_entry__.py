@@ -3995,6 +3995,103 @@ def q_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) t-closeness over bucketed caption length
+    (EMD with ordered distance vs the global distribution; Li et al.
+    2007) — the release gate k-anonymity and l-diversity both miss
+    ("everyone in this class has tiny captions"). doc_id%50 rows get a
+    NULL sensitive value to exercise the n_null path."""
+    from corpusama_spark.operators.privacy import t_closeness
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.when(
+            F.col("doc_id") % 50 != 0,
+            F.floor(F.col("n_chars") / 500).cast("long"),
+        ).alias("svbin"),
+    )
+    return t_closeness(docs, ["lang", "source"], "svbin")
+
+
+def q_header_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image header-consistency gate: REAL binary containers (PNG
+    signature + IHDR, QIMG magic + dims) are constructed from `part`
+    arithmetic, with deterministic metadata lies injected (w off by 3
+    for pk%7, h off for pk%11, mislabeled fmt for pk%13, truncated
+    bytes for pk%17) — Spark must parse the big-endian header fields
+    out of the bytes to reproduce the oracle, which computes expected
+    outputs from the same arithmetic without touching binary."""
+    from corpusama_spark.functions.images import header_audit
+
+    pk = F.col("p_partkey")
+
+    def be32(c):  # big-endian uint32 -> 4 bytes
+        return F.unhex(F.lpad(F.hex(c.cast("long")), 8, "0"))
+
+    w0 = (F.lit(8) + F.pmod(pk * 97, F.lit(500))).cast("long")
+    h0 = (F.lit(8) + F.pmod(pk * 61, F.lit(400))).cast("long")
+    qfmt = F.when(pk % 2 == 0, F.lit("jpeg")).otherwise(F.lit("webp"))
+    png_bytes = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        be32(F.lit(13)),
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        be32(w0),
+        be32(h0),
+        F.lit(b"\x08\x02\x00\x00\x00"),
+    )
+    qimg_bytes = F.concat(
+        F.lit(b"QIMG"),
+        F.encode(F.rpad(qfmt, 4, " "), "UTF-8"),
+        be32(w0),
+        be32(h0),
+        F.lit(b"\x04"),
+    )
+    true_fmt = F.when(pk % 3 == 0, F.lit("png")).otherwise(qfmt)
+    rows = _t(spark, sf_dir, "part").select(
+        pk.alias("image_id"),
+        F.when(pk % 17 == 0, F.lit(b"QI"))
+        .when(pk % 3 == 0, png_bytes)
+        .otherwise(qimg_bytes)
+        .alias("bytes"),
+        (w0 + F.when(pk % 7 == 0, 3).otherwise(0))
+        .cast("int")
+        .alias("w"),
+        (h0 + F.when(pk % 11 == 0, 1).otherwise(0))
+        .cast("int")
+        .alias("h"),
+        F.when(
+            pk % 13 == 0,
+            F.when(pk % 3 == 0, F.lit("jpeg")).otherwise(F.lit("png")),
+        )
+        .otherwise(true_fmt)
+        .alias("fmt"),
+    )
+    # parsed dims are NULL for unparseable containers; the contract
+    # materializes a -1 sentinel because the driver's pandas compare
+    # can't represent nullable int64 on the DuckDB side
+    return header_audit(rows).select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        "fmt_sniffed",
+        F.coalesce("w_parsed", F.lit(-1)).cast("long").alias("w_parsed"),
+        F.coalesce("h_parsed", F.lit(-1)).cast("long").alias("h_parsed"),
+        "header_ok",
+    )
+
+
+def q_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel dataset normalization statistics (rows-only: decode
+    UDF) — the numbers that become transforms.Normalize(mean, std);
+    decode happens only in Arrow batches, partial sums shuffle."""
+    from corpusama_spark.functions.imageops import channel_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return channel_stats(captions_from_documents(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -4225,6 +4322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_covariance": q_embed_covariance,
         "embed_collapse": q_embed_collapse,
         "top_pc": q_top_pc,
+        # -- X181-X183: privacy EMD gate + image header/pixel audits ---------
+        "t_close": q_t_close,
+        "header_consistency": q_header_consistency,
+        "channel_stats": q_channel_stats,
     }
 
 
@@ -9280,5 +9381,83 @@ def oracle_sql() -> dict[str, str]:
                      THEN maxvar / (mns - cns) END, 6)
                    AS top_dim_var_share
         FROM roll CROSS JOIN bad
+    """
+    out["t_close"] = """
+        WITH sel AS (
+            SELECT lang, source,
+                   CASE WHEN doc_id % 50 <> 0
+                        THEN CAST(floor(n_chars / 500.0) AS BIGINT)
+                   END AS sv
+            FROM documents),
+        obs AS (SELECT lang, source, sv,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM sel WHERE sv IS NOT NULL GROUP BY 1, 2, 3),
+        nulls AS (SELECT lang, source,
+                         CAST(count(CASE WHEN sv IS NULL THEN 1 END)
+                              AS BIGINT) AS n_null
+                  FROM sel GROUP BY 1, 2),
+        sup AS (SELECT sv, sum(c) AS gc,
+                       row_number() OVER (ORDER BY sv) AS rk
+                FROM obs GROUP BY sv),
+        tot AS (SELECT sum(gc) AS gn, CAST(count(*) AS BIGINT) AS m
+                FROM sup),
+        cls AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS n
+                FROM obs GROUP BY 1, 2),
+        grid AS (
+            SELECT cls.lang, cls.source, cls.n, sup.rk, tot.m,
+                   coalesce(obs.c, 0) / cls.n - sup.gc / tot.gn AS d
+            FROM cls CROSS JOIN sup CROSS JOIN tot
+            LEFT JOIN obs ON obs.lang IS NOT DISTINCT FROM cls.lang
+                 AND obs.source IS NOT DISTINCT FROM cls.source
+                 AND obs.sv = sup.sv),
+        cum AS (
+            SELECT lang, source, n, rk, m,
+                   sum(d) OVER (PARTITION BY lang, source ORDER BY rk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS cumv
+            FROM grid),
+        pc AS (SELECT lang, source, n, m,
+                      sum(CASE WHEN rk < m THEN abs(cumv) END) AS s
+               FROM cum GROUP BY 1, 2, 3, 4)
+        SELECT pc.lang, pc.source, pc.n,
+               CAST(coalesce(n_null, 0) AS BIGINT) AS n_null,
+               round(CASE WHEN m > 1 THEN coalesce(s, 0) / (m - 1)
+                     ELSE 0.0 END, 6) + 0.0 AS t_close
+        FROM pc LEFT JOIN nulls
+             ON nulls.lang IS NOT DISTINCT FROM pc.lang
+             AND nulls.source IS NOT DISTINCT FROM pc.source
+        ORDER BY t_close DESC, pc.lang, pc.source
+    """
+    out["header_consistency"] = """
+        WITH base AS (
+            SELECT p_partkey AS image_id,
+                   CAST(8 + (p_partkey * 97) % 500 AS BIGINT) AS w0,
+                   CAST(8 + (p_partkey * 61) % 400 AS BIGINT) AS h0,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'jpeg'
+                        ELSE 'webp' END AS qfmt,
+                   p_partkey % 17 = 0 AS corrupt,
+                   p_partkey % 3 = 0 AS is_png
+            FROM part),
+        derived AS (
+            SELECT image_id, w0, h0, corrupt,
+                   CASE WHEN is_png THEN 'png' ELSE qfmt END
+                       AS true_fmt,
+                   CAST(w0 + CASE WHEN image_id % 7 = 0 THEN 3
+                             ELSE 0 END AS INTEGER) AS w,
+                   CAST(h0 + CASE WHEN image_id % 11 = 0 THEN 1
+                             ELSE 0 END AS INTEGER) AS h,
+                   CASE WHEN image_id % 13 = 0 THEN
+                        CASE WHEN is_png THEN 'jpeg' ELSE 'png' END
+                        ELSE CASE WHEN is_png THEN 'png'
+                             ELSE qfmt END END AS fmt
+            FROM base)
+        SELECT image_id, w, h, fmt,
+               CASE WHEN corrupt THEN 'unknown'
+                    ELSE true_fmt END AS fmt_sniffed,
+               CASE WHEN corrupt THEN -1 ELSE w0 END AS w_parsed,
+               CASE WHEN corrupt THEN -1 ELSE h0 END AS h_parsed,
+               (NOT corrupt) AND true_fmt = fmt
+                   AND w0 = w AND h0 = h AS header_ok
+        FROM derived ORDER BY image_id
     """
     return out

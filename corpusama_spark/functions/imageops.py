@@ -400,3 +400,107 @@ def video_rules(
     return df.withColumn("video_drop_reason", reason).withColumn(
         "video_keep", F.col("video_drop_reason").isNull()
     )
+
+
+def channel_stats(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Dataset-level per-channel pixel statistics — the classic
+    "compute the normalization mean/std before training" job (the
+    numbers that become `transforms.Normalize(mean, std)`): 3 rows
+    (r, g, b) with n_pixels, mean, std (population) over every
+    decodable image, plus the global image / corrupt counts.
+
+    Scale shape mirrors embed_covariance: decode happens ONLY inside
+    Arrow batches in the scan stage; each batch emits 4 tiny partial
+    rows (per-channel sum / sum-of-squares / pixel count + a counts
+    row), so the shuffle carries O(partitions) rows and the bytes
+    column never crosses it. Corrupt images count toward n_corrupt and
+    contribute no pixels (tolerated-failure path, reference
+    corpusama/source/pdf.py:91-105).
+    """
+    from corpusama_spark.io.imagecodec import decode_image as _dec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            s = np.zeros(3)
+            s2 = np.zeros(3)
+            npx = 0
+            nimg = 0
+            ncorrupt = 0
+            for data, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                nimg += 1
+                try:
+                    arr = _dec(bytes(data), str(fmt)).astype("float64")
+                except Exception:
+                    ncorrupt += 1
+                    continue
+                s += arr.sum(axis=(0, 1))
+                s2 += (arr * arr).sum(axis=(0, 1))
+                npx += arr.shape[0] * arr.shape[1]
+            out = pd.DataFrame(
+                {
+                    "ch": np.arange(3, dtype="int32"),
+                    "s": s,
+                    "s2": s2,
+                    "npx": np.full(3, npx, dtype="int64"),
+                    "nimg": np.zeros(3, dtype="int64"),
+                    "ncorrupt": np.zeros(3, dtype="int64"),
+                }
+            )
+            counts = pd.DataFrame(
+                {
+                    "ch": np.array([-1], dtype="int32"),
+                    "s": [0.0],
+                    "s2": [0.0],
+                    "npx": np.array([0], dtype="int64"),
+                    "nimg": np.array([nimg], dtype="int64"),
+                    "ncorrupt": np.array([ncorrupt], dtype="int64"),
+                }
+            )
+            yield pd.concat([out, counts], ignore_index=True)
+
+    parts = df.select(bytes_col, fmt_col).mapInPandas(
+        gen,
+        schema="ch int, s double, s2 double, npx long, nimg long,"
+        " ncorrupt long",
+    )
+    agg = parts.groupBy("ch").agg(
+        F.sum("s").alias("s"),
+        F.sum("s2").alias("s2"),
+        F.sum("npx").cast("long").alias("npx"),
+        F.sum("nimg").cast("long").alias("nimg"),
+        F.sum("ncorrupt").cast("long").alias("ncorrupt"),
+    )
+    tot = agg.where(F.col("ch") == -1).select(
+        F.col("nimg").alias("n_images"),
+        F.col("ncorrupt").alias("n_corrupt"),
+    )
+    mean = F.col("s") / F.col("npx")
+    var = F.col("s2") / F.col("npx") - mean * mean
+    return (
+        agg.where(F.col("ch") >= 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.element_at(
+                F.array(F.lit("r"), F.lit("g"), F.lit("b")),
+                F.col("ch") + 1,
+            ).alias("channel"),
+            "n_images",
+            "n_corrupt",
+            F.col("npx").alias("n_pixels"),
+            F.round(F.when(F.col("npx") > 0, mean), 6).alias("mean"),
+            F.round(
+                F.when(
+                    F.col("npx") > 0,
+                    F.sqrt(F.greatest(var, F.lit(0.0))),
+                ),
+                6,
+            ).alias("std"),
+        )
+        .orderBy("channel")
+    )

@@ -145,3 +145,67 @@ def magic_gate(df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt") ->
     return df.withColumn("fmt_sniffed", sniffed).withColumn(
         "magic_ok", F.col("fmt_sniffed") == F.col(fmt_col)
     )
+
+
+def _be32(bytes_col: Column, pos: int) -> Column:
+    """Big-endian uint32 from a 1-indexed byte offset, pure JVM:
+    hex of the 4-byte slice (binary hex keeps leading zeros) -> base-16
+    conv -> long. NULL when the slice is short."""
+    hx = F.hex(F.substring(bytes_col, pos, 4))
+    return F.when(
+        F.length(hx) == 8, F.conv(hx, 16, 10).cast("long")
+    )
+
+
+def header_audit(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    w_col: str = "w",
+    h_col: str = "h",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Declared-metadata vs container-header truth, WITHOUT decoding:
+    appends ``fmt_sniffed`` (magic bytes), ``w_parsed`` / ``h_parsed``
+    (big-endian dims read straight out of the PNG IHDR / QIMG header)
+    and ``header_ok`` — true only when the sniffed format matches the
+    declared one AND both parsed dimensions equal the metadata columns.
+
+    Catalog metadata lies at crawl scale (upstream resizes, mislabeled
+    content-types); size gates keyed on declared w/h silently pass rows
+    the decoder will reject. This tier catches that for the cost of a
+    64-byte prefix read — pure-JVM substring/conv, no Python, bytes
+    never shuffle. Formats whose dims need a full parse (real JPEG
+    entropy-coded segments) keep NULL parsed dims and header_ok=false,
+    deferring to the decode tier (functions/images.py verify path;
+    reference's tolerated-failure analogue corpusama/source/pdf.py).
+
+    PNG: dims live at fixed offsets 17/21 after the 8-byte signature +
+    IHDR length/tag (the chunk layout encode_png emits and any spec
+    PNG shares). QIMG: 'QIMG' + 4-char fmt + w/h at offsets 9/13
+    (io/imagecodec.py:147).
+    """
+    b = F.col(bytes_col)
+    sniffed = sniffed_format(bytes_col)
+    is_png = (
+        (sniffed == F.lit("png"))
+        & (F.length(b) >= 24)
+        & (F.decode(F.substring(b, 13, 4), "UTF-8") == F.lit("IHDR"))
+    )
+    is_qimg = (
+        F.upper(F.hex(F.substring(b, 1, 4))) == F.lit("51494D47")
+    ) & (F.length(b) >= 16)
+    w_parsed = F.when(is_png, _be32(b, 17)).when(is_qimg, _be32(b, 9))
+    h_parsed = F.when(is_png, _be32(b, 21)).when(is_qimg, _be32(b, 13))
+    return (
+        df.withColumn("fmt_sniffed", sniffed)
+        .withColumn("w_parsed", w_parsed)
+        .withColumn("h_parsed", h_parsed)
+        .withColumn(
+            "header_ok",
+            (F.col("fmt_sniffed") == F.col(fmt_col))
+            & F.col("w_parsed").isNotNull()
+            & (F.col("w_parsed") == F.col(w_col))
+            & F.col("h_parsed").isNotNull()
+            & (F.col("h_parsed") == F.col(h_col)),
+        )
+    )

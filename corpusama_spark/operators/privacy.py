@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity", "l_diversity"]
+__all__ = ["k_anonymity", "l_diversity", "t_closeness"]
 
 
 def k_anonymity(
@@ -113,4 +113,118 @@ def l_diversity(
         )
         .where(~F.col("k_anon") | ~F.col("l_diverse"))
         .orderBy("n", "n_sensitive", *names)
+    )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str | Column],
+    sensitive_col: str,
+) -> DataFrame:
+    """Per-equivalence-class t-closeness (Li, Li & Venkatasubramanian
+    2007) over an ORDERED sensitive attribute: the Earth-Mover's
+    Distance with ordered distance between the class' sensitive-value
+    distribution p and the global distribution q,
+
+        t = (1 / (m - 1)) * sum_{i=1..m-1} | sum_{j<=i} (p_j - q_j) |
+
+    where the support v_1 < ... < v_m is the global set of observed
+    sensitive values. A class leaking "everyone here has tiny captions"
+    passes k-anonymity and l-diversity yet fails this gate. Rows with a
+    NULL sensitive value are excluded and reported per class (n_null).
+
+    Callers must bucket continuous attributes first (m is the support
+    size; the zero-completed class x support grid is m rows per class).
+    Output per class: n, n_null, t_close (6dp), ordered worst-first.
+
+    Scale shape: one (class, value) contingency groupBy (map-side
+    combinable), support + marginals are m-row broadcasts, and the
+    cumulative sum is a per-class window over m rows — no corpus-sized
+    shuffle beyond the contingency collapse.
+    """
+    from pyspark.sql.window import Window
+
+    sel = df.select(*quasi_cols, F.col(sensitive_col).alias("_sv"))
+    names = sel.columns[:-1]
+
+    obs = sel.where(F.col("_sv").isNotNull()).groupBy(*names, "_sv").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    nulls = (
+        sel.withColumn("_isnull", F.col("_sv").isNull())
+        .groupBy(*names)
+        .agg(
+            F.count(F.when(F.col("_isnull"), 1)).cast("long").alias("n_null")
+        )
+    )
+    support = (
+        obs.groupBy("_sv")
+        .agg(F.sum("_c").alias("_gc"))
+        .select(
+            "_sv",
+            "_gc",
+            F.row_number().over(Window.orderBy("_sv")).alias("_rk"),
+        )
+    )
+    tot = support.agg(
+        F.sum("_gc").alias("_gn"), F.count("*").alias("_m")
+    )
+    classes = obs.groupBy(*names).agg(F.sum("_c").cast("long").alias("n"))
+
+    grid = (
+        classes.crossJoin(F.broadcast(support))
+        .join(obs, [*names, "_sv"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            *names,
+            "n",
+            "_rk",
+            "_m",
+            (
+                F.coalesce(F.col("_c"), F.lit(0)) / F.col("n")
+                - F.col("_gc") / F.col("_gn")
+            ).alias("_d"),
+        )
+    )
+    w = (
+        Window.partitionBy(*names)
+        .orderBy("_rk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("_cum", F.sum("_d").over(w))
+    # the EMD sum runs over the first m-1 prefix terms; aggregate with a
+    # conditional (not a filter) so single-support corpora (m == 1, t = 0
+    # for every class) keep their classes in the output
+    per_class = cum.groupBy(*names, "n", "_m").agg(
+        F.sum(
+            F.when(F.col("_rk") < F.col("_m"), F.abs(F.col("_cum")))
+        ).alias("_s")
+    )
+    # null-safe equi-join: NULL quasi-identifier values form their own
+    # class (same groupBy semantics as k_anonymity) and must still pick
+    # up their n_null count
+    cond = None
+    for nm in names:
+        c = per_class[nm].eqNullSafe(nulls[nm])
+        cond = c if cond is None else (cond & c)
+    return (
+        per_class.join(nulls, cond, "left")
+        .drop(*[nulls[nm] for nm in names])
+        .select(
+            *names,
+            "n",
+            F.coalesce("n_null", F.lit(0)).cast("long").alias("n_null"),
+            (
+                F.round(
+                    F.when(
+                        F.col("_m") > 1,
+                        F.coalesce("_s", F.lit(0.0))
+                        / (F.col("_m") - 1),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("t_close"),
+        )
+        .orderBy(F.desc("t_close"), *names)
     )
