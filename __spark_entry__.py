@@ -4092,6 +4092,32 @@ def q_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return channel_stats(captions_from_documents(docs))
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (X184, Jégou 2011): per-subspace
+    deterministic Lloyd codebook (lowest-id init, 2 fixed iterations,
+    6-dp-pinned centroids) then nearest-centroid code per (vector,
+    subspace) — the 8-bytes-per-vector layout that makes a 10^12-row
+    ANN index storable. m=4 subspaces of 16 dims, k=4 centroids."""
+    from corpusama_spark.operators.pq import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_codes(emb, m=4, k=4, iters=2).orderBy("vec_id", "sub")
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 (X184): queries vec_id<8 against the
+    whole corpus THROUGH the code table — the query-side lookup table is
+    the only place real vector components appear; candidates contribute
+    m looked-up partials each. Oracle replays the identical train→encode→
+    LUT→rank pipeline in SQL (every float pinned to 6 dp)."""
+    from corpusama_spark.operators.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.where(F.col("vec_id") < 8), m=4, k=4, iters=2, topk=5
+    ).orderBy("query_id", "rnk")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -4326,6 +4352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_close": q_t_close,
         "header_consistency": q_header_consistency,
         "channel_stats": q_channel_stats,
+        # -- X184: product quantization (memory-bounded ANN tier) ------------
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -9459,5 +9488,92 @@ def oracle_sql() -> dict[str, str]:
                (NOT corrupt) AND true_fmt = fmt
                    AND w0 = w AND h0 = h AS header_ok
         FROM derived ORDER BY image_id
+    """
+    # X184 product quantization: shared train→encode CTE prefix (per-subspace
+    # Lloyd, lowest-id init, 2 iterations, 6-dp pins — mirrors operators/pq.py
+    # exactly; m=4 subspaces of 16 dims, k=4 centroids).
+    _pq_prefix = """
+        WITH dims AS (
+            SELECT vec_id AS id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings),
+        sdims AS (
+            SELECT id, dim // 16 AS sub, dim, v FROM dims),
+        seeds AS (
+            SELECT vec_id AS id,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings QUALIFY cluster < 4),
+        c0 AS (
+            SELECT d.sub, s.cluster, d.dim, round(d.v, 6) AS c
+            FROM sdims d JOIN seeds s USING (id)),
+        d1 AS (
+            SELECT d.id, d.sub, c.cluster,
+                   round(sum((d.v - c.c) * (d.v - c.c)), 6) AS d2
+            FROM sdims d JOIN c0 c USING (dim)
+            GROUP BY d.id, d.sub, c.cluster),
+        a1 AS (
+            SELECT id, sub, cluster FROM (
+                SELECT id, sub, cluster,
+                       row_number() OVER (PARTITION BY id, sub
+                                          ORDER BY d2, cluster) AS rnk
+                FROM d1) WHERE rnk = 1),
+        c1 AS (
+            SELECT d.sub, a.cluster, d.dim, round(avg(d.v), 6) AS c
+            FROM sdims d JOIN a1 a ON a.id = d.id AND a.sub = d.sub
+            GROUP BY d.sub, a.cluster, d.dim),
+        d2t AS (
+            SELECT d.id, d.sub, c.cluster,
+                   round(sum((d.v - c.c) * (d.v - c.c)), 6) AS d2
+            FROM sdims d JOIN c1 c USING (dim)
+            GROUP BY d.id, d.sub, c.cluster),
+        a2 AS (
+            SELECT id, sub, cluster FROM (
+                SELECT id, sub, cluster,
+                       row_number() OVER (PARTITION BY id, sub
+                                          ORDER BY d2, cluster) AS rnk
+                FROM d2t) WHERE rnk = 1),
+        c2 AS (
+            SELECT d.sub, a.cluster, d.dim, round(avg(d.v), 6) AS c
+            FROM sdims d JOIN a2 a ON a.id = d.id AND a.sub = d.sub
+            GROUP BY d.sub, a.cluster, d.dim),
+        d3 AS (
+            SELECT d.id, d.sub, c.cluster,
+                   round(sum((d.v - c.c) * (d.v - c.c)), 6) AS d2
+            FROM sdims d JOIN c2 c USING (dim)
+            GROUP BY d.id, d.sub, c.cluster),
+        codes AS (
+            SELECT id, sub, cluster, d2 FROM (
+                SELECT id, sub, cluster, d2,
+                       row_number() OVER (PARTITION BY id, sub
+                                          ORDER BY d2, cluster) AS rnk
+                FROM d3) WHERE rnk = 1)
+    """
+    out["pq_codes"] = _pq_prefix + """
+        SELECT id AS vec_id, CAST(sub AS INTEGER) AS sub,
+               CAST(cluster AS BIGINT) AS code, d2
+        FROM codes ORDER BY vec_id, sub
+    """
+    out["pq_topk"] = _pq_prefix + """,
+        qdims AS (
+            SELECT id AS query_id, sub, dim, v FROM sdims WHERE id < 8),
+        lut AS (
+            SELECT q.query_id, q.sub, c.cluster AS code,
+                   round(sum((q.v - c.c) * (q.v - c.c)), 6) AS pd
+            FROM qdims q JOIN c2 c USING (dim)
+            GROUP BY q.query_id, q.sub, c.cluster),
+        adc AS (
+            SELECT l.query_id, k.id AS cand_id,
+                   round(sum(l.pd), 6) AS adc_d2
+            FROM codes k JOIN lut l
+                 ON l.sub = k.sub AND l.code = k.cluster
+            WHERE k.id <> l.query_id
+            GROUP BY l.query_id, k.id)
+        SELECT query_id, cand_id, adc_d2, CAST(rnk AS INTEGER) AS rnk FROM (
+            SELECT query_id, cand_id, adc_d2,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, cand_id) AS rnk
+            FROM adc) WHERE rnk <= 5
+        ORDER BY query_id, rnk
     """
     return out

@@ -1,0 +1,212 @@
+"""Product quantization for embedding search at 10^12-vector scale
+(Jégou, Douze & Schmid 2011, "Product Quantization for Nearest
+Neighbor Search").
+
+The IVF tier (similarity.py) solves the *scan* problem — probe a few
+inverted lists instead of the whole corpus. PQ solves the *memory*
+problem: a 64-dim float32 embedding is 256 bytes; its PQ code at
+m=8 subspaces × 256 centroids is 8 bytes — a 10^12-vector index that
+fits on a modest cluster's disks, with distance computed against the
+codes alone (asymmetric distance computation, ADC), never the vectors.
+
+Spark-first shape, same determinism contract as operators/kmeans.py:
+
+- train: per-subspace Lloyd with deterministic lowest-id init, fixed
+  iteration count, centroids pinned to 6 dp after every update — the
+  whole train→encode→search round trip is therefore DuckDB-oracle-
+  checkable, which no RNG-seeded MLlib pipeline is;
+- encode: one broadcast join (codebook is m·k·d_sub rows, always tiny)
+  + one groupBy — each vector collapses to (vec_id, sub, code);
+- search: the query-side lookup table (LUT) is nq·m·k rows, broadcast;
+  ADC distance is a groupBy-sum over m partial distances per
+  (query, candidate) pair — codes are the ONLY corpus-sized thing that
+  moves, m small-int rows per vector (bytes, in the packed layout).
+
+Scale shape (10^12 rows): training reads a bounded sample in
+deployment (the IVF operator's deterministic hash-sample pattern,
+similarity.py); here it trains on the full contract table so the
+oracle sees the identical trajectory. Encode and ADC are scan-stage
+after one broadcast each. The relational exploded form below is the
+oracle tier; packing codes to an array<tinyint> column and folding the
+broadcast LUT with F.aggregate is a mechanical narrowing that keeps
+the same numbers (pinned by test_pq.py's packed-parity case).
+
+Reference anchor: corpusama has no ANN tier (its dedup is exact SQL,
+corpusama/util/util.py dedupe paths); this extends the engine's
+similarity family (SURVEY §2.10 X7–X11) with the standard
+memory-bounded search layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pq_codebook", "pq_codes", "pq_topk"]
+
+
+def _dims(emb: DataFrame, id_col: str, vec_col: str, dsub: int) -> DataFrame:
+    """(id, sub, dim, v): the exploded component table. ``dim`` stays
+    absolute (a component belongs to exactly one subspace) so centroid
+    joins key on ``dim`` alone and ``sub`` rides along."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select(
+        "id",
+        F.floor(F.col("dim") / dsub).cast("int").alias("sub"),
+        "dim",
+        F.col("v").cast("double").alias("v"),
+    )
+
+
+def _infer_dim(emb: DataFrame, vec_col: str) -> int:
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).where(
+        F.col("d") > 0
+    ).head(1)
+    if not row:
+        raise ValueError("pq: no non-empty vectors to infer dim from")
+    return int(row[0]["d"])
+
+
+def pq_codebook(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """(sub, cluster, dim, c): per-subspace centroids after ``iters``
+    Lloyd rounds from the deterministic lowest-id init, every update
+    rounded to 6 dp (the cross-engine pin — see operators/kmeans.py)."""
+    m, k, iters = int(m), int(k), int(iters)
+    dim = _infer_dim(emb, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"pq: dim={dim} not divisible by m={m}")
+    dims = _dims(emb, id_col, vec_col, dim // m)
+
+    seed_w = Window.orderBy(F.asc("id"))
+    seeds = (
+        emb.select(F.col(id_col).alias("id"))
+        .withColumn("cluster", F.row_number().over(seed_w) - 1)
+        .where(F.col("cluster") < k)
+    )
+    centroids = dims.join(F.broadcast(seeds), "id").select(
+        "sub", "cluster", "dim", F.round(F.col("v"), 6).alias("c")
+    )
+    for _ in range(iters):
+        d2 = (
+            dims.join(F.broadcast(centroids.drop("sub")), "dim")
+            .groupBy("id", "sub", "cluster")
+            .agg(
+                F.round(
+                    F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
+                    6,
+                ).alias("d2")
+            )
+        )
+        pick = Window.partitionBy("id", "sub").orderBy(
+            F.asc("d2"), F.asc("cluster")
+        )
+        assign = (
+            d2.withColumn("rnk", F.row_number().over(pick))
+            .where(F.col("rnk") == 1)
+            .select("id", "sub", "cluster")
+        )
+        centroids = (
+            dims.join(assign, ["id", "sub"])
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+        )
+    return centroids
+
+
+def pq_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, sub, code, d2): the PQ encoding — per subspace, the
+    nearest trained centroid (ties: lowest cluster id) and the squared
+    residual at the pipeline's native 6 dp (re-rounding to fewer digits
+    is engine-divergent on exact halves — Spark's BigDecimal HALF_UP vs
+    DuckDB's correctly-rounded double disagree on e.g. 0.27795). m rows
+    per vector; in the packed deployment layout this is one
+    array<tinyint> column of length m."""
+    dim = _infer_dim(emb, vec_col)
+    if codebook is None:
+        codebook = pq_codebook(emb, id_col, vec_col, m=m, k=k, iters=iters)
+    dims = _dims(emb, id_col, vec_col, dim // int(m))
+    d2 = (
+        dims.join(F.broadcast(codebook.drop("sub")), "dim")
+        .groupBy("id", "sub", "cluster")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6
+            ).alias("d2")
+        )
+    )
+    pick = Window.partitionBy("id", "sub").orderBy(F.asc("d2"), F.asc("cluster"))
+    return (
+        d2.withColumn("rnk", F.row_number().over(pick))
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("sub").cast("int").alias("sub"),
+            F.col("cluster").cast("long").alias("code"),
+            F.col("d2").alias("d2"),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """(query_id, cand_id, adc_d2, rnk): asymmetric-distance top-k.
+
+    The query never meets a corpus vector: distances go through the
+    lookup table lut(query, sub, cluster) = ||q_sub − c_{sub,cluster}||²
+    (6 dp), and a candidate's ADC distance is the sum of its m looked-up
+    partials. Corpus-side traffic is the code table only. Ties break
+    (adc_d2, cand_id) — the repo-standard cross-engine ordering."""
+    codebook = pq_codebook(corpus, id_col, vec_col, m=m, k=k, iters=iters)
+    codes = pq_codes(
+        corpus, id_col, vec_col, m=m, k=k, iters=iters, codebook=codebook
+    )
+    dim = _infer_dim(corpus, vec_col)
+    qdims = _dims(queries, id_col, vec_col, dim // int(m))
+    lut = (
+        qdims.join(F.broadcast(codebook.drop("sub")), "dim")
+        .groupBy(
+            F.col("id").alias("query_id"), "sub", F.col("cluster").alias("code")
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6
+            ).alias("pd")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("cand_id"))
+        .agg(F.round(F.sum("pd"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(topk))
+        .select("query_id", "cand_id", "adc_d2", F.col("rnk").cast("int").alias("rnk"))
+    )
