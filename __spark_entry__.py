@@ -4118,6 +4118,39 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH recall gain at constant index memory (X185, Lv
+    2007): per query, recall@5 of the single-probe axis-sign tier vs the
+    Hamming-1 multi-probe tier at the SAME (nbits=8, ntables=4) — the
+    corpus-side bucket table is identical, only the broadcast query side
+    fans out 9×. Both candidate sets are arithmetic-free, so DuckDB
+    replays the whole comparison bit-exactly."""
+    from corpusama_spark.operators.similarity import (
+        ann_recall,
+        axis_lsh_topk,
+        multiprobe_lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 8)
+    brute = q_topk_cosine(spark, sf_dir).select("query_id", "cand_id")
+    single = ann_recall(
+        axis_lsh_topk(emb, qs, k=5, nbits=8, ntables=4), brute, k=5
+    ).select(
+        "query_id",
+        F.col("n_hit").alias("n_hit_single"),
+        F.col("recall_at_5").alias("recall_single"),
+    )
+    multi = ann_recall(
+        multiprobe_lsh_topk(emb, qs, k=5, nbits=8, ntables=4), brute, k=5
+    ).select(
+        "query_id",
+        F.col("n_hit").alias("n_hit_multi"),
+        F.col("recall_at_5").alias("recall_multi"),
+    )
+    return single.join(multi, "query_id").orderBy("query_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -4355,6 +4388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- X184: product quantization (memory-bounded ANN tier) ------------
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
+        # -- X185: multi-probe LSH (recall at constant index memory) ---------
+        "multiprobe_recall": q_multiprobe_recall,
     }
 
 
@@ -4633,6 +4668,25 @@ def _sql_axis_buckets(
             for b in range(nbits)
         )
         keys.append(f"'{t}:' || {bits}")
+    return "[" + ", ".join(keys) + "]"
+
+
+def _sql_axis_probes(
+    nbits: int = 6, ntables: int = 8, col: str = "embedding"
+) -> str:
+    """DuckDB list literal of the multi-probe key set — bit-exact twin of
+    similarity.axis_sign_probes: per table the exact key plus every
+    single-bit flip ((nbits+1)·ntables keys)."""
+    keys = []
+    for t in range(ntables):
+        for flip in range(-1, nbits):
+            bits = " || ".join(
+                f"CASE WHEN {col}[{t * nbits + b + 1}] > 0"
+                f" THEN '{'0' if b == flip else '1'}'"
+                f" ELSE '{'1' if b == flip else '0'}' END"
+                for b in range(nbits)
+            )
+            keys.append(f"'{t}:' || {bits}")
     return "[" + ", ".join(keys) + "]"
 
 
@@ -9575,5 +9629,76 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY adc_d2, cand_id) AS rnk
             FROM adc) WHERE rnk <= 5
         ORDER BY query_id, rnk
+    """
+    out["multiprobe_recall"] = f"""
+        WITH cb AS (
+            SELECT vec_id, embedding,
+                   unnest({_sql_axis_buckets(8, 4)}) AS bucket
+            FROM embeddings),
+        qp AS (
+            SELECT vec_id, embedding,
+                   unnest({_sql_axis_probes(8, 4)}) AS bucket
+            FROM embeddings WHERE vec_id < 8),
+        cand_s AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+            FROM cb c JOIN cb q USING (bucket)
+            WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+        cand_m AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+            FROM cb c JOIN qp q USING (bucket)
+            WHERE c.vec_id != q.vec_id),
+        ann_s AS (
+            SELECT query_id, cand_id FROM (
+                SELECT cand_s.query_id, cand_s.cand_id,
+                       row_number() OVER (
+                           PARTITION BY cand_s.query_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(qe.embedding AS DOUBLE[]),
+                               CAST(ce.embedding AS DOUBLE[])), 6) DESC,
+                               cand_s.cand_id) AS rnk
+                FROM cand_s
+                JOIN embeddings qe ON qe.vec_id = cand_s.query_id
+                JOIN embeddings ce ON ce.vec_id = cand_s.cand_id)
+            WHERE rnk <= 5),
+        ann_m AS (
+            SELECT query_id, cand_id FROM (
+                SELECT cand_m.query_id, cand_m.cand_id,
+                       row_number() OVER (
+                           PARTITION BY cand_m.query_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(qe.embedding AS DOUBLE[]),
+                               CAST(ce.embedding AS DOUBLE[])), 6) DESC,
+                               cand_m.cand_id) AS rnk
+                FROM cand_m
+                JOIN embeddings qe ON qe.vec_id = cand_m.query_id
+                JOIN embeddings ce ON ce.vec_id = cand_m.cand_id)
+            WHERE rnk <= 5),
+        brute AS (
+            SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                               c.vec_id) AS rnk
+                FROM embeddings c, embeddings q
+                WHERE q.vec_id < 8 AND c.vec_id != q.vec_id)
+            WHERE rnk <= 5),
+        rs AS (
+            SELECT b.query_id, count(a.cand_id) AS n_hit_single,
+                   round(count(a.cand_id) / 5.0, 4) AS recall_single
+            FROM brute b LEFT JOIN ann_s a
+                 ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+            GROUP BY b.query_id),
+        rm AS (
+            SELECT b.query_id, count(a.cand_id) AS n_hit_multi,
+                   round(count(a.cand_id) / 5.0, 4) AS recall_multi
+            FROM brute b LEFT JOIN ann_m a
+                 ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+            GROUP BY b.query_id)
+        SELECT query_id, n_hit_single, recall_single,
+               n_hit_multi, recall_multi
+        FROM rs JOIN rm USING (query_id) ORDER BY query_id
     """
     return out
