@@ -4118,6 +4118,19 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-of-Laplacian blur gate over the synthesized captions
+    table (X186; rows-only: decode UDF). Pixels decode only inside
+    Arrow batches; only (id, lap_var, keep, reason) rows shuffle."""
+    from corpusama_spark.functions.imageops import sharpness_gate
+    from corpusama_spark.sources.synth import captions_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return sharpness_gate(
+        captions_from_documents(docs), min_lap_var=1.0
+    ).orderBy("image_id")
+
+
 def q_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH recall gain at constant index memory (X185, Lv
     2007): per query, recall@5 of the single-probe axis-sign tier vs the
@@ -4390,6 +4403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         # -- X185: multi-probe LSH (recall at constant index memory) ---------
         "multiprobe_recall": q_multiprobe_recall,
+        # -- X186: blur gate (rows-only: decode UDF) -------------------------
+        "sharpness": q_sharpness,
     }
 
 

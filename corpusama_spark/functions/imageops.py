@@ -504,3 +504,83 @@ def channel_stats(
         )
         .orderBy("channel")
     )
+
+
+def sharpness_gate(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    min_lap_var: float = 1.0,
+) -> DataFrame:
+    """Variance-of-Laplacian blur gate (X186) — the standard "is this
+    image in focus?" keep/drop signal for image training data (Pech-
+    Pacheco et al. 2000; the cv2.Laplacian(...).var() folklore check):
+    per image, the population variance of the 3×3 Laplacian of the
+    ITU-R 601 luma, and keep = lap_var >= min_lap_var.
+
+    Output: (id, lap_var double — 4 dp, sharp_keep boolean,
+    sharp_reason string|NULL). Corrupt/undecodable images and images
+    smaller than 3×3 fail with an explicit reason instead of raising
+    (the tolerated-failure contract of functions/images.py).
+
+    Scale shape: decode happens ONLY inside Arrow batches (mapInPandas
+    in the scan stage); the emitted rows are (id, lap_var, reason) —
+    pixels and bytes never shuffle. The Laplacian is pure-numpy slice
+    arithmetic (no convolution library), one vectorized pass per image.
+    """
+    from corpusama_spark.io.imagecodec import decode_image as _dec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, lvs, reasons = [], [], []
+            for iid, data, fmt in zip(
+                pdf[id_col], pdf[bytes_col], pdf[fmt_col]
+            ):
+                ids.append(iid)
+                try:
+                    arr = _dec(bytes(data), str(fmt)).astype("float64")
+                except Exception as e:  # noqa: BLE001 - tolerated-failure path
+                    lvs.append(None)
+                    reasons.append(f"decode_error:{type(e).__name__}")
+                    continue
+                if arr.shape[0] < 3 or arr.shape[1] < 3:
+                    lvs.append(None)
+                    reasons.append("too_small_for_laplacian")
+                    continue
+                luma = (
+                    0.299 * arr[:, :, 0]
+                    + 0.587 * arr[:, :, 1]
+                    + 0.114 * arr[:, :, 2]
+                )
+                lap = (
+                    luma[:-2, 1:-1]
+                    + luma[2:, 1:-1]
+                    + luma[1:-1, :-2]
+                    + luma[1:-1, 2:]
+                    - 4.0 * luma[1:-1, 1:-1]
+                )
+                lvs.append(float(np.round(lap.var(), 4)))
+                reasons.append(None)
+            yield pd.DataFrame(
+                {"id": ids, "lap_var": lvs, "reason": reasons}
+            )
+
+    parts = df.select(
+        F.col(id_col).cast("string").alias(id_col), bytes_col, fmt_col
+    ).mapInPandas(gen, schema="id string, lap_var double, reason string")
+    return parts.select(
+        F.col("id").alias(id_col),
+        "lap_var",
+        F.when(F.col("reason").isNotNull(), F.lit(False))
+        .otherwise(F.col("lap_var") >= F.lit(float(min_lap_var)))
+        .alias("sharp_keep"),
+        F.when(F.col("reason").isNotNull(), F.col("reason"))
+        .when(
+            F.col("lap_var") < F.lit(float(min_lap_var)),
+            F.lit("blurry"),
+        )
+        .alias("sharp_reason"),
+    )
