@@ -4118,6 +4118,32 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_shapley_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley attribution of drops to quality rules (X187): each
+    dropped doc splits its unit drop equally among its failing rules
+    (the closed form of the v(S)=1{S∩T≠∅} game — null player +
+    symmetry + efficiency), accumulated in integer micro-units so both
+    engines agree bit-exactly. Same 5-rule chain as rule_ablation/
+    drop_waterfall; the three tables together give over-count,
+    order-biased, and axiomatic attributions of the same gates."""
+    from corpusama_spark.functions.textrules import (
+        caps_ratio_col,
+        digit_ratio_col,
+    )
+    from corpusama_spark.operators.ablation import shapley_drop_attribution
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    rules = {
+        "short": F.length(t) < 50,
+        "caps": caps_ratio_col(t) > 0.5,
+        "alpha": alpha_ratio_col(t) < 0.6,
+        "digit": digit_ratio_col(t) > 0.2,
+        "nanlike": is_nanlike(F.col("text")),
+    }
+    return shapley_drop_attribution(docs, rules, "doc_id").orderBy("rule")
+
+
 def q_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance-of-Laplacian blur gate over the synthesized captions
     table (X186; rows-only: decode UDF). Pixels decode only inside
@@ -4405,6 +4431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiprobe_recall": q_multiprobe_recall,
         # -- X186: blur gate (rows-only: decode UDF) -------------------------
         "sharpness": q_sharpness,
+        # -- X187: axiomatic (Shapley) drop attribution ----------------------
+        "shapley_rules": q_shapley_rules,
     }
 
 
@@ -9715,5 +9743,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, n_hit_single, recall_single,
                n_hit_multi, recall_multi
         FROM rs JOIN rm USING (query_id) ORDER BY query_id
+    """
+    out["shapley_rules"] = r"""
+        WITH fl AS (
+            SELECT doc_id,
+                   CASE WHEN length(coalesce(text, '')) < 50
+                        THEN 1 ELSE 0 END AS r_short,
+                   CASE WHEN length(regexp_replace(coalesce(text, ''),
+                                                   '[^\p{L}]', '', 'g')) > 0
+                             AND length(regexp_replace(coalesce(text, ''),
+                                                       '[^\p{Lu}]', '', 'g'))
+                                 / CAST(length(regexp_replace(
+                                       coalesce(text, ''), '[^\p{L}]', '',
+                                       'g')) AS DOUBLE) > 0.5
+                        THEN 1 ELSE 0 END AS r_caps,
+                   CASE WHEN length(coalesce(text, '')) = 0
+                             OR length(regexp_replace(coalesce(text, ''),
+                                                      '[^\p{L}]', '', 'g'))
+                                / CAST(length(coalesce(text, '')) AS DOUBLE)
+                                < 0.6
+                        THEN 1 ELSE 0 END AS r_alpha,
+                   CASE WHEN length(coalesce(text, '')) > 0
+                             AND length(regexp_replace(coalesce(text, ''),
+                                                       '[^0-9]', '', 'g'))
+                                 / CAST(length(coalesce(text, '')) AS DOUBLE)
+                                 > 0.2
+                        THEN 1 ELSE 0 END AS r_digit,
+                   CASE WHEN text IS NULL OR regexp_matches(text,
+                            '(?i)^[\s\x0b]*(none|null|nan)?[\s\x0b]*$')
+                        THEN 1 ELSE 0 END AS r_nanlike
+            FROM documents),
+        t AS (SELECT fl.*,
+                     r_short + r_caps + r_alpha + r_digit + r_nanlike
+                         AS nfail
+              FROM fl),
+        u AS (
+            SELECT 'short' AS rule, r_short AS fail, nfail FROM t
+            UNION ALL SELECT 'caps', r_caps, nfail FROM t
+            UNION ALL SELECT 'alpha', r_alpha, nfail FROM t
+            UNION ALL SELECT 'digit', r_digit, nfail FROM t
+            UNION ALL SELECT 'nanlike', r_nanlike, nfail FROM t),
+        a AS (
+            SELECT rule,
+                   CAST(sum(fail) AS BIGINT) AS n_fail,
+                   CAST(sum(CASE WHEN fail = 1 AND nfail > 0
+                            THEN CAST(60 / nfail AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS units,
+                   CAST(sum(CASE WHEN nfail > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped,
+                   count(*) AS n_docs
+            FROM u GROUP BY rule)
+        SELECT rule, n_fail,
+               round(units / 60.0, 6) AS shapley,
+               round(CASE WHEN n_dropped > 0
+                     THEN units / (60.0 * n_dropped) ELSE 0.0 END, 6)
+                   AS shap_share,
+               n_dropped, n_docs
+        FROM a ORDER BY rule
     """
     return out
