@@ -4118,6 +4118,25 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rnk")
 
 
+def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic low-discrepancy mixing schedule (X188): weights
+    1+(src_idx%3) over the 20 sources; first 200 positions of the
+    compiled global training order with the per-prefix discrepancy
+    audit. Global rank is the pack_shards distributed prefix-sum, not a
+    single-partition window; the oracle's plain row_number() over the
+    same total order must agree exactly."""
+    from corpusama_spark.operators.curation import interleave_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        F.lit(1)
+        + F.substring(F.col("source"), 4, 10).cast("int") % 3
+    ).cast("double")
+    return interleave_schedule(docs, w, "source", "doc_id", limit=200).orderBy(
+        "global_rank"
+    )
+
+
 def q_shapley_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Shapley attribution of drops to quality rules (X187): each
     dropped doc splits its unit drop equally among its failing rules
@@ -4433,6 +4452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharpness": q_sharpness,
         # -- X187: axiomatic (Shapley) drop attribution ----------------------
         "shapley_rules": q_shapley_rules,
+        # -- X188: deterministic low-discrepancy mixing schedule -------------
+        "interleave": q_interleave,
     }
 
 
@@ -9800,5 +9821,33 @@ def oracle_sql() -> dict[str, str]:
                    AS shap_share,
                n_dropped, n_docs
         FROM a ORDER BY rule
+    """
+    out["interleave"] = """
+        WITH keyed AS (
+            SELECT source, doc_id,
+                   CAST(1 + (CAST(substr(source, 4) AS INT) % 3) AS DOUBLE)
+                       AS w,
+                   CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY doc_id) AS BIGINT)
+                       AS src_rank
+            FROM documents),
+        k2 AS (
+            SELECT keyed.*, (src_rank - 0.5) / w AS mix_key FROM keyed),
+        tot AS (
+            SELECT sum(w) AS w_total FROM (
+                SELECT source, any_value(w) AS w FROM k2 GROUP BY source)),
+        ranked AS (
+            SELECT k2.*,
+                   CAST(row_number() OVER (ORDER BY mix_key, source, doc_id)
+                        AS BIGINT) AS global_rank
+            FROM k2)
+        SELECT global_rank, source, doc_id, src_rank,
+               round(mix_key, 6) AS mix_key,
+               round(src_rank / CAST(global_rank AS DOUBLE), 6) AS src_share,
+               round(w / w_total, 6) AS target_share,
+               round(src_rank / CAST(global_rank AS DOUBLE) - w / w_total, 6)
+                   AS disc
+        FROM ranked, tot WHERE global_rank <= 200
+        ORDER BY global_rank
     """
     return out

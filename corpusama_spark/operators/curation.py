@@ -1048,3 +1048,102 @@ def template_prefix(
         )
         .orderBy(group_col)
     )
+
+
+def interleave_schedule(
+    df: DataFrame,
+    weight_col: Column,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    limit: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic low-discrepancy source interleave (X188): the
+    GLOBAL TRAINING ORDER a mixture recipe compiles to. The i-th doc of
+    source s (id order) gets mix_key = (i − 0.5) / w_s; sorting by
+    mix_key interleaves sources so that every prefix of the schedule
+    holds each source in proportion to its weight to within one doc —
+    the deterministic counterpart of sampling-without-replacement
+    mixture draws (same mechanism as weighted round-robin / WFQ's
+    virtual finishing times, and the stride schedules used for
+    data-mixing in LLM training). temperature_mixing (X47) chooses the
+    weights; this operator turns weights into an order.
+
+    Output per scheduled doc: global_rank, source, doc_id, src_rank
+    (rank within source), mix_key (6 dp), src_share (source's share of
+    the prefix ending here), target_share (w_s/Σw), disc = src_share −
+    target_share — the discrepancy audit column; |disc| stays O(1/rank).
+
+    Scale shape (10^12 rows): per-source rank is one source-keyed
+    window (a giant source serializes one task — pre-split by coarse id
+    bucket and offset, as sessions.presplit does, if one source is 50%
+    of the corpus). The GLOBAL rank is NOT a single-partition window:
+    range-repartition on (mix_key, source, id) → per-partition counts
+    (one driver row per partition) → broadcast exclusive offsets →
+    per-partition row_number + offset, the pack_shards prefix-sum
+    pattern. The ranged stage is persisted so the count job and the
+    rank job see identical boundaries; caller releases via
+    plans.caching.release.
+    """
+    from pyspark.sql.window import Window as W
+
+    from corpusama_spark.plans.caching import own_caches
+
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    w_src = W.partitionBy(group_col).orderBy(id_col)
+    keyed = (
+        df.select(
+            F.col(group_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            weight_col.cast("double").alias("w"),
+        )
+        .withColumn("src_rank", F.row_number().over(w_src).cast("long"))
+        .withColumn(
+            "mix_key", (F.col("src_rank") - F.lit(0.5)) / F.col("w")
+        )
+    )
+    tot = (
+        keyed.groupBy("source")
+        .agg(F.first("w").alias("w"))
+        .agg(F.sum("w").alias("w_total"))
+    )
+    ranged = (
+        keyed.repartitionByRange(n_parts, "mix_key", "source", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = sorted(
+        (r.pid, r.n)
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, running = [], 0
+    for pid, n in psums:
+        offsets.append((pid, running))
+        running += n
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
+    w_pid = W.partitionBy("pid").orderBy("mix_key", "source", "doc_id")
+    ranked = (
+        ranged.join(F.broadcast(off), "pid")
+        .withColumn(
+            "global_rank",
+            (F.col("offset") + F.row_number().over(w_pid)).cast("long"),
+        )
+    )
+    if limit is not None:
+        ranked = ranked.where(F.col("global_rank") <= int(limit))
+    out = ranked.crossJoin(F.broadcast(tot)).select(
+        "global_rank",
+        "source",
+        "doc_id",
+        "src_rank",
+        F.round("mix_key", 6).alias("mix_key"),
+        F.round(F.col("src_rank") / F.col("global_rank"), 6).alias("src_share"),
+        F.round(F.col("w") / F.col("w_total"), 6).alias("target_share"),
+        F.round(
+            F.col("src_rank") / F.col("global_rank")
+            - F.col("w") / F.col("w_total"),
+            6,
+        ).alias("disc"),
+    )
+    return own_caches(out, ranged)
