@@ -4137,6 +4137,30 @@ def q_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-5 (X189): coarse quantizer (4 cells) prunes the scan,
+    residual PQ (m=4, k=4) bounds memory — FAISS's IVF-PQ layout as one
+    relational plan. Queries vec_id<8 probe their 2 nearest cells; the
+    oracle replays coarse train -> final assignment -> residual PQ ->
+    probe -> per-(query,cell) LUT -> ADC rank in SQL at the same 6-dp
+    pins."""
+    from corpusama_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 8),
+        kc=4,
+        citers=2,
+        m=4,
+        k=4,
+        iters=2,
+        nprobe=2,
+        topk=5,
+    ).orderBy("query_id", "rnk")
+
+
+
 def q_shapley_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Shapley attribution of drops to quality rules (X187): each
     dropped doc splits its unit drop equally among its failing rules
@@ -4454,6 +4478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapley_rules": q_shapley_rules,
         # -- X188: deterministic low-discrepancy mixing schedule -------------
         "interleave": q_interleave,
+        # -- X189: IVFADC (IVF + residual PQ) ANN tier ----------------------
+        "ivfpq_topk": q_ivfpq_topk,
     }
 
 
@@ -4554,6 +4580,154 @@ _SQL_PERTURBED_SRC = """(
     UNION ALL
     SELECT doc_id + 200000, regexp_replace(text, '^\\S+', 'xqzyv')
     FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0)"""
+
+
+def _sql_ivfpq(
+    kc: int = 4,
+    citers: int = 2,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 5,
+    dim: int = 64,
+    nq: int = 8,
+) -> str:
+    """DuckDB replay of operators/pq.py ivfpq_topk: the coarse-Lloyd and
+    residual-PQ iteration chains are unrolled into CTEs (fixed iteration
+    counts ARE the determinism contract, so unrolling is faithful)."""
+    dsub = dim // m
+    parts = [
+        """dims AS (
+            SELECT vec_id AS id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings)""",
+        f"""cseeds AS (
+            SELECT vec_id AS id,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS cell
+            FROM embeddings QUALIFY cell < {kc})""",
+        """cc0 AS (
+            SELECT s.cell, d.dim, round(d.v, 6) AS c
+            FROM dims d JOIN cseeds s USING (id))""",
+    ]
+    for i in range(1, citers + 1):
+        parts += [
+            f"""cd{i} AS (
+            SELECT d.id, c.cell,
+                   round(sum((d.v - c.c) * (d.v - c.c)), 6) AS d2
+            FROM dims d JOIN cc{i - 1} c USING (dim)
+            GROUP BY d.id, c.cell)""",
+            f"""ca{i} AS (
+            SELECT id, cell FROM (
+                SELECT id, cell,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY d2, cell) AS rnk
+                FROM cd{i}) WHERE rnk = 1)""",
+            f"""cc{i} AS (
+            SELECT a.cell, d.dim, round(avg(d.v), 6) AS c
+            FROM dims d JOIN ca{i} a USING (id)
+            GROUP BY a.cell, d.dim)""",
+        ]
+    cf = f"cc{citers}"
+    parts += [
+        f"""fd AS (
+            SELECT d.id, c.cell,
+                   round(sum((d.v - c.c) * (d.v - c.c)), 6) AS d2
+            FROM dims d JOIN {cf} c USING (dim)
+            GROUP BY d.id, c.cell)""",
+        """fa AS (
+            SELECT id, cell FROM (
+                SELECT id, cell,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY d2, cell) AS rnk
+                FROM fd) WHERE rnk = 1)""",
+        f"""rdims AS (
+            SELECT d.id, a.cell, d.dim // {dsub} AS sub, d.dim,
+                   round(d.v - c.c, 6) AS v
+            FROM dims d JOIN fa a USING (id)
+            JOIN {cf} c ON c.cell = a.cell AND c.dim = d.dim)""",
+        f"""pseeds AS (
+            SELECT vec_id AS id,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings QUALIFY cluster < {k})""",
+        """pb0 AS (
+            SELECT r.sub, s.cluster, r.dim, round(r.v, 6) AS c
+            FROM rdims r JOIN pseeds s USING (id))""",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"""pd{i} AS (
+            SELECT r.id, r.sub, c.cluster,
+                   round(sum((r.v - c.c) * (r.v - c.c)), 6) AS d2
+            FROM rdims r JOIN pb{i - 1} c USING (dim)
+            GROUP BY r.id, r.sub, c.cluster)""",
+            f"""pa{i} AS (
+            SELECT id, sub, cluster FROM (
+                SELECT id, sub, cluster,
+                       row_number() OVER (PARTITION BY id, sub
+                                          ORDER BY d2, cluster) AS rnk
+                FROM pd{i}) WHERE rnk = 1)""",
+            f"""pb{i} AS (
+            SELECT r.sub, a.cluster, r.dim, round(avg(r.v), 6) AS c
+            FROM rdims r JOIN pa{i} a ON a.id = r.id AND a.sub = r.sub
+            GROUP BY r.sub, a.cluster, r.dim)""",
+        ]
+    pf = f"pb{iters}"
+    parts += [
+        f"""ed AS (
+            SELECT r.id, r.cell, r.sub, c.cluster,
+                   round(sum((r.v - c.c) * (r.v - c.c)), 6) AS d2
+            FROM rdims r JOIN {pf} c USING (dim)
+            GROUP BY r.id, r.cell, r.sub, c.cluster)""",
+        """codes AS (
+            SELECT id, cell, sub, cluster AS code FROM (
+                SELECT id, cell, sub, cluster,
+                       row_number() OVER (PARTITION BY id, sub
+                                          ORDER BY d2, cluster) AS rnk
+                FROM ed) WHERE rnk = 1)""",
+        f"""qdims AS (
+            SELECT id AS query_id, dim, v FROM dims WHERE id < {nq})""",
+        f"""qcd AS (
+            SELECT q.query_id, c.cell,
+                   round(sum((q.v - c.c) * (q.v - c.c)), 6) AS d2
+            FROM qdims q JOIN {cf} c USING (dim)
+            GROUP BY q.query_id, c.cell)""",
+        f"""probes AS (
+            SELECT query_id, cell FROM (
+                SELECT query_id, cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d2, cell) AS rnk
+                FROM qcd) WHERE rnk <= {nprobe})""",
+        f"""rq AS (
+            SELECT q.query_id, p.cell, q.dim // {dsub} AS sub, q.dim,
+                   round(q.v - c.c, 6) AS v
+            FROM qdims q JOIN probes p USING (query_id)
+            JOIN {cf} c ON c.cell = p.cell AND c.dim = q.dim)""",
+        f"""lut AS (
+            SELECT r.query_id, r.cell, r.sub, c.cluster AS code,
+                   round(sum((r.v - c.c) * (r.v - c.c)), 6) AS pd
+            FROM rq r JOIN {pf} c USING (dim)
+            GROUP BY r.query_id, r.cell, r.sub, c.cluster)""",
+        """adc AS (
+            SELECT l.query_id, k.id AS cand_id, k.cell,
+                   round(sum(l.pd), 6) AS adc_d2
+            FROM codes k JOIN lut l
+                 ON l.cell = k.cell AND l.sub = k.sub AND l.code = k.code
+            WHERE k.id <> l.query_id
+            GROUP BY l.query_id, k.id, k.cell)""",
+    ]
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT query_id, cand_id, CAST(cell AS BIGINT) AS cell, adc_d2,
+               CAST(rnk AS INTEGER) AS rnk FROM (
+            SELECT query_id, cand_id, cell, adc_d2,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, cand_id) AS rnk
+            FROM adc) WHERE rnk <= {topk}
+        ORDER BY query_id, rnk
+    """
 
 
 def _sql_jaccard_exact(
@@ -9850,4 +10024,7 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked, tot WHERE global_rank <= 200
         ORDER BY global_rank
     """
+    out["ivfpq_topk"] = _sql_ivfpq(
+        kc=4, citers=2, m=4, k=4, iters=2, nprobe=2, topk=5, dim=64, nq=8
+    )
     return out

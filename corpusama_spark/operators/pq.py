@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pq_codebook", "pq_codes", "pq_topk"]
+__all__ = ["pq_codebook", "pq_codes", "pq_topk", "ivf_coarse", "ivfpq_topk"]
 
 
 def _dims(emb: DataFrame, id_col: str, vec_col: str, dsub: int) -> DataFrame:
@@ -210,3 +210,250 @@ def pq_topk(
         .where(F.col("rnk") <= int(topk))
         .select("query_id", "cand_id", "adc_d2", F.col("rnk").cast("int").alias("rnk"))
     )
+
+def ivf_coarse(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kc: int = 4,
+    citers: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse quantizer for IVFADC: full-dimension deterministic Lloyd
+    (lowest-id init, ``citers`` rounds, 6 dp pin — operators/kmeans.py's
+    contract), then one FINAL assignment pass against the trained
+    centroids, because the inverted lists must be consistent with the
+    centroid table the search side probes (kmeans_assign's return is the
+    pre-update assignment, which is the right *clustering* answer but
+    the wrong *index* answer).
+
+    Returns (centroids (cell, dim, c), assign (id, cell))."""
+    kc, citers = int(kc), int(citers)
+    dims = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("id", "dim", F.col("v").cast("double").alias("v"))
+
+    seed_w = Window.orderBy(F.asc("id"))
+    seeds = (
+        emb.select(F.col(id_col).alias("id"))
+        .withColumn("cell", F.row_number().over(seed_w) - 1)
+        .where(F.col("cell") < kc)
+    )
+    centroids = dims.join(F.broadcast(seeds), "id").select(
+        "cell", "dim", F.round(F.col("v"), 6).alias("c")
+    )
+    for _ in range(citers):
+        d2 = (
+            dims.join(F.broadcast(centroids), "dim")
+            .groupBy("id", "cell")
+            .agg(
+                F.round(
+                    F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
+                    6,
+                ).alias("d2")
+            )
+        )
+        pick = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell"))
+        assign = (
+            d2.withColumn("rnk", F.row_number().over(pick))
+            .where(F.col("rnk") == 1)
+            .select("id", "cell")
+        )
+        centroids = (
+            dims.join(assign, "id")
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+        )
+    final_d2 = (
+        dims.join(F.broadcast(centroids), "dim")
+        .groupBy("id", "cell")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6
+            ).alias("d2")
+        )
+    )
+    pick = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell"))
+    assign = (
+        final_d2.withColumn("rnk", F.row_number().over(pick))
+        .where(F.col("rnk") == 1)
+        .select("id", "cell")
+    )
+    return centroids, assign
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kc: int = 4,
+    citers: int = 2,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """IVFADC (Jégou 2011 §V): coarse quantizer prunes the scan, residual
+    PQ codes bound the memory — the layout every production 10^12-vector
+    index (FAISS IVF-PQ) ships. A query probes its ``nprobe`` nearest
+    cells; within a probed cell, distance is ADC over the RESIDUAL
+    (vector − cell centroid) codes via a per-(query, cell) lookup table.
+
+    Scale shape: corpus-sized traffic is the (id, cell, sub, code) table
+    — m small ints per vector, partitionable by cell so a probe touches
+    only its inverted lists; centroids, codebooks and LUTs are broadcast
+    (kc·d + m·k·d_sub + nq·nprobe·m·k rows). Residuals are computed once
+    at index-build, exactly like FAISS's add(); nothing query-side ever
+    joins the raw corpus vectors.
+
+    Determinism contract: every trained float and distance pinned to
+    6 dp; ties break on lowest cell/cluster/cand_id — the whole
+    train → encode → probe → ADC pipeline replays exactly in SQL.
+
+    Returns (query_id, cand_id, cell, adc_d2, rnk), rnk ≤ topk over the
+    union of probed cells."""
+    m, k, nprobe = int(m), int(k), int(nprobe)
+    dim = _infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"ivfpq: dim={dim} not divisible by m={m}")
+    dsub = dim // m
+
+    centroids, assign = ivf_coarse(corpus, id_col, vec_col, kc, citers)
+    # the Lloyd loops below re-reference these lineages many times; without
+    # a persist each reference replays the whole coarse training
+    centroids = centroids.persist()
+    assign = assign.persist()
+
+    # residual table: (id, cell, sub, dim, v) with v = vector − centroid
+    cdims = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("id", "dim", F.col("v").cast("double").alias("v"))
+    rdims = (
+        cdims.join(assign, "id")
+        .join(F.broadcast(centroids), ["cell", "dim"])
+        .select(
+            "id",
+            "cell",
+            F.floor(F.col("dim") / dsub).cast("int").alias("sub"),
+            "dim",
+            F.round(F.col("v") - F.col("c"), 6).alias("v"),
+        )
+    ).persist()
+
+    # per-subspace PQ codebook on residuals (same loop as pq_codebook,
+    # over the residual dims; seeds are the kc-independent lowest ids)
+    seed_w = Window.orderBy(F.asc("id"))
+    seeds = (
+        corpus.select(F.col(id_col).alias("id"))
+        .withColumn("cluster", F.row_number().over(seed_w) - 1)
+        .where(F.col("cluster") < k)
+    )
+    codebook = rdims.join(F.broadcast(seeds), "id").select(
+        "sub", "cluster", "dim", F.round(F.col("v"), 6).alias("c")
+    )
+    for _ in range(int(iters)):
+        d2 = (
+            rdims.join(F.broadcast(codebook.drop("sub")), "dim")
+            .groupBy("id", "sub", "cluster")
+            .agg(
+                F.round(
+                    F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))),
+                    6,
+                ).alias("d2")
+            )
+        )
+        pick = Window.partitionBy("id", "sub").orderBy(
+            F.asc("d2"), F.asc("cluster")
+        )
+        pq_assign = (
+            d2.withColumn("rnk", F.row_number().over(pick))
+            .where(F.col("rnk") == 1)
+            .select("id", "sub", "cluster")
+        )
+        codebook = (
+            rdims.join(pq_assign, ["id", "sub"])
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+        )
+
+    # encode: nearest residual centroid per (id, sub)
+    enc_d2 = (
+        rdims.join(F.broadcast(codebook.drop("sub")), "dim")
+        .groupBy("id", "cell", "sub", "cluster")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6
+            ).alias("d2")
+        )
+    )
+    pick = Window.partitionBy("id", "sub").orderBy(F.asc("d2"), F.asc("cluster"))
+    codes = (
+        enc_d2.withColumn("rnk", F.row_number().over(pick))
+        .where(F.col("rnk") == 1)
+        .select("id", "cell", "sub", F.col("cluster").alias("code"))
+    )
+
+    # query side: probe nprobe nearest cells, residual LUT per probe
+    qdims = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("query_id", "dim", F.col("v").cast("double").alias("v"))
+    probe_d2 = (
+        qdims.join(F.broadcast(centroids), "dim")
+        .groupBy("query_id", "cell")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6
+            ).alias("d2")
+        )
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        probe_d2.withColumn("rnk", F.row_number().over(pw))
+        .where(F.col("rnk") <= nprobe)
+        .select("query_id", "cell")
+    )
+    rq = (
+        qdims.join(F.broadcast(probes), "query_id")
+        .join(F.broadcast(centroids), ["cell", "dim"])
+        .select(
+            "query_id",
+            "cell",
+            F.floor(F.col("dim") / dsub).cast("int").alias("sub"),
+            "dim",
+            F.round(F.col("v") - F.col("c"), 6).alias("v"),
+        )
+    )
+    lut = (
+        rq.join(F.broadcast(codebook.drop("sub")), "dim")
+        .groupBy("query_id", "cell", "sub", F.col("cluster").alias("code"))
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6
+            ).alias("pd")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("cand_id"), "cell")
+        .agg(F.round(F.sum("pd"), 6).alias("adc_d2"))
+    )
+    from corpusama_spark.plans.caching import own_caches
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("cand_id"))
+    out = (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(topk))
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("cell").cast("long").alias("cell"),
+            "adc_d2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+    return own_caches(out, centroids, assign, rdims)
