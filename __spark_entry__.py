@@ -1121,6 +1121,23 @@ def _perturbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(copies).unionByName(perturbed)
 
 
+def q_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT threshold-Jaccard join WITHOUT a df-cap (X190, PPJoin —
+    Xiao 2008 prefix + positional filters, Bayardo 2007 length filter):
+    only each doc's rarest |x|−⌈t|x|⌉+1 shingles are indexed, so hot
+    boilerplate shingles never reach the join and exactness needs no
+    max_df escape hatch. Same output contract as jaccard_exact."""
+    from corpusama_spark.operators.fuzzy import ppjoin_pairs
+
+    return ppjoin_pairs(
+        _perturbed_docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        threshold=0.5,
+        shingle_n=3,
+    )
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4480,6 +4497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave": q_interleave,
         # -- X189: IVFADC (IVF + residual PQ) ANN tier ----------------------
         "ivfpq_topk": q_ivfpq_topk,
+        # -- X190: PPJoin exact prefix-filtered Jaccard join -----------------
+        "ppjoin": q_ppjoin,
     }
 
 
@@ -10026,5 +10045,10 @@ def oracle_sql() -> dict[str, str]:
     """
     out["ivfpq_topk"] = _sql_ivfpq(
         kc=4, citers=2, m=4, k=4, iters=2, nprobe=2, topk=5, dim=64, nq=8
+    )
+    # X190: PPJoin is EXACT with no df-cap, so its twin is the brute
+    # inverted-index derivation with the cap effectively disabled.
+    out["ppjoin"] = _sql_jaccard_exact(
+        threshold=0.5, shingle_n=3, max_df=10**9
     )
     return out

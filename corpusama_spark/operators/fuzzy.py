@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["edit_near_pairs", "bleu_pairs"]
+__all__ = ["edit_near_pairs", "bleu_pairs", "ppjoin_pairs"]
 
 
 def edit_near_pairs(
@@ -226,3 +226,128 @@ def bleu_pairs(
             6,
         ).alias("bleu2"),
     ).orderBy("id_a", "id_b")
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT threshold-Jaccard self-join via prefix filtering (PPJoin,
+    Xiao et al. 2008, with the AllPairs length filter of Bayardo et al.
+    2007): every pair at word-``shingle_n``-gram Jaccard ≥ ``threshold``,
+    no df-cap and no approximation. Output (id_a, id_b, jaccard) —
+    schema- and value-identical to ``exact_jaccard_pairs(max_df=None)``.
+
+    Why a second exact tier exists: ``exact_jaccard_pairs`` joins the
+    FULL inverted index, so it needs ``max_df`` to survive hot shingles —
+    which silently trades exactness for safety. PPJoin keeps exactness
+    AND bounds the index by construction: shingles are ordered globally
+    by ascending document frequency, and only each doc's PREFIX — the
+    first |x| − ⌈t·|x|⌉ + 1 shingles under that order — is indexed. The
+    prefix-filtering theorem says any pair with J ≥ t shares at least
+    one prefix shingle, and because prefixes hold each doc's RAREST
+    shingles, hot boilerplate shingles are exactly the ones that never
+    reach the index. Two more sound prunes run on the candidate stream:
+    the length filter (J ≤ min/max ⇒ min(|x|,|y|) ≥ t·max(|x|,|y|)) and
+    the positional filter (1 + min(|x|−pₓ, |y|−p_y) ≥ ⌈t/(1+t)·(|x|+|y|)⌉
+    must hold for a shared prefix shingle at 1-based ordered positions
+    pₓ/p_y; applied per occurrence then distinct'd, which keeps a
+    superset of PPJoin's survivors — the first common prefix shingle
+    always passes). All bound arithmetic carries a 1e-9 slack in the
+    candidate-KEEPING direction, so float rounding can only admit extra
+    candidates; the exact verify decides.
+
+    Scale shape (10^12 rows): index size is Σ prefix lengths — a
+    (1−t)-fraction of the full index — and candidate blocks are keyed by
+    LOW-df shingles, so no block goes quadratic without a cap. The
+    verify joins the full per-doc shingle lists only for surviving
+    candidate pairs (Σ_pairs |x| work, never corpus²). Everything is
+    JVM relational: one explode, one df groupBy, one array_sort per doc,
+    two equi-joins.
+    """
+    from corpusama_spark.operators.dedup import shingles
+
+    t = float(threshold)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    dfreq = inv.groupBy("g").agg(F.count("*").alias("dfreq"))
+    ordered = (
+        inv.join(dfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dfreq", "g"))
+            ).alias("arr")
+        )
+        .select(
+            "id",
+            F.transform("arr", lambda s: s["g"]).alias("ws"),
+            F.size("arr").alias("sz"),
+        )
+    )
+    # prefix length |x| − ⌈t·|x|⌉ + 1; the −1e-9 can only LENGTHEN it
+    plen = (
+        F.col("sz")
+        - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
+    prefix = ordered.select(
+        "id",
+        "sz",
+        F.posexplode(F.slice("ws", 1, plen)).alias("pos0", "g"),
+    ).select("id", "sz", "g", (F.col("pos0") + 1).alias("p"))
+    pa = prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        "g",
+        F.col("p").alias("p_a"),
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        "g",
+        F.col("p").alias("p_b"),
+    )
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b")) - F.lit(1e-9)
+    )
+    cand = (
+        pa.join(pb, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.least("sz_a", "sz_b")
+            >= F.lit(t) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+        )
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("sz_a") - F.col("p_a"), F.col("sz_b") - F.col("p_b")
+            )
+            >= alpha
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    ia = inv.select(F.col("id").alias("id_a"), "g")
+    ib = inv.select(F.col("id").alias("id_b"), "g")
+    return (
+        cand.join(ia, "id_a")
+        .join(ib, ["id_b", "g"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
