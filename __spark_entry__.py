@@ -1138,6 +1138,44 @@ def q_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation MinHash accuracy audit (X191, Li/Owen/Zhang 2012;
+    Shrivastava & Li 2014): md5 shingle hashes binned once (not K
+    affine permutations — 1 pass over text instead of 16), rotation
+    densification of empty bins, estimator-vs-exact-Jaccard on the
+    deterministic near-dup pairs of the perturbed corpus. The DuckDB
+    twin replays hash, bins, densification lattice and estimator."""
+    from corpusama_spark.operators.dedup import oph_accuracy_pairs
+
+    docs = _perturbed_docs(spark, sf_dir)
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 10 == 0))
+        .select("doc_id")
+    )
+    pairs = (
+        base.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .unionByName(
+            base.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+        .unionByName(
+            base.select(
+                (F.col("doc_id") + 100000).alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+    )
+    return oph_accuracy_pairs(
+        docs, pairs, "text", "doc_id", k=16, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4499,6 +4537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         # -- X190: PPJoin exact prefix-filtered Jaccard join -----------------
         "ppjoin": q_ppjoin,
+        # -- X191: one-permutation MinHash + rotation densification ----------
+        "oph_minhash": q_oph_minhash,
     }
 
 
@@ -4782,6 +4822,69 @@ def _sql_jaccard_exact(
                 JOIN nz sa ON sa.id = inter.id_a
                 JOIN nz sb ON sb.id = inter.id_b)
         SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
+    """
+
+
+def _sql_oph_minhash(k: int = 16, shingle_n: int = 3) -> str:
+    """DuckDB twin of oph_accuracy_pairs over the perturbed corpus:
+    identical md5 shingle hash, h%k binning, per-bin mins, the k²
+    rotation-densification coalesce lattice, slot-agreement estimator
+    and exact list_intersect Jaccard."""
+    p = 2147483647
+    kgram = shingle_n - 1
+    pivot = ", ".join(
+        f"min(CASE WHEN b = {i} THEN mn END) AS m{i}" for i in range(k)
+    )
+    filled = ", ".join(
+        "coalesce("
+        + ", ".join(f"m{(i + j) % k} + {j}::BIGINT * {p}" for j in range(k))
+        + f") AS f{i}"
+        for i in range(k)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.f{i} = b.f{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+        WITH srcx AS (SELECT * FROM {_SQL_PERTURBED_SRC} s(doc_id, text)),
+        tok AS (SELECT doc_id AS id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM srcx),
+        sh AS (SELECT id, list_distinct(list_filter(
+                 list_transform(
+                     generate_series(1, greatest(len(ws) - {kgram}, 1)),
+                     i -> array_to_string(ws[i:i+{kgram}], ' ')),
+                 s -> len(s) > 0)) AS sg FROM tok),
+        nz AS (SELECT id, sg FROM sh WHERE len(sg) > 0),
+        bins AS (SELECT id, hv % {k} AS b, min(hv) AS mn FROM (
+                     SELECT id, unnest(list_transform(sg, s ->
+                         ('0x' || substr(md5(s), 1, 8))::BIGINT % {p})) AS hv
+                     FROM nz)
+                 GROUP BY id, hv % {k}),
+        slots AS (SELECT id, {pivot} FROM bins GROUP BY id),
+        sig AS (SELECT id, {filled} FROM slots),
+        base AS (SELECT doc_id FROM documents
+                 WHERE text IS NOT NULL AND doc_id % 10 = 0),
+        pairs AS (
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM base
+            UNION ALL
+            SELECT doc_id, doc_id + 200000 FROM base
+            UNION ALL
+            SELECT doc_id + 100000, doc_id + 200000 FROM base),
+        est AS (
+            SELECT pairs.id_a, pairs.id_b,
+                   round(({agree}) / {k}.0, 6) AS est_j,
+                   round(len(list_intersect(sa.sg, sb.sg)) /
+                         CAST(len(sa.sg) + len(sb.sg)
+                              - len(list_intersect(sa.sg, sb.sg))
+                              AS DOUBLE), 6) AS exact_j
+            FROM pairs
+            JOIN sig a ON a.id = pairs.id_a
+            JOIN sig b ON b.id = pairs.id_b
+            JOIN nz sa ON sa.id = pairs.id_a
+            JOIN nz sb ON sb.id = pairs.id_b)
+        SELECT id_a, id_b, est_j, exact_j,
+               round(abs(est_j - exact_j), 6) AS abs_err
+        FROM est ORDER BY id_a, id_b
     """
 
 
@@ -10051,4 +10154,5 @@ def oracle_sql() -> dict[str, str]:
     out["ppjoin"] = _sql_jaccard_exact(
         threshold=0.5, shingle_n=3, max_df=10**9
     )
+    out["oph_minhash"] = _sql_oph_minhash()
     return out

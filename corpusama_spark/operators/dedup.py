@@ -1167,3 +1167,125 @@ def near_dup_caption_divergence(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def oph_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One-permutation MinHash signatures with rotation densification
+    (Li, Owen & Zhang 2012; Shrivastava & Li 2014): ONE md5 hash per
+    shingle assigns it to bin ``h % k`` and the signature slot is the
+    bin's min hash; empty bins borrow circularly from the nearest
+    non-empty bin to the right, offset by ``hops · C`` so borrowed
+    values stay distinct across hop distances. Classic K-permutation
+    minhash hashes every shingle K times (O(dK) per doc — the measured
+    hot stage of minhash_signatures); OPH hashes each shingle ONCE and
+    still yields an unbiased k-slot Jaccard estimator, which is the
+    difference between 16 passes and 1 pass over 10^12 rows of text.
+
+    md5 (not xxhash) so any engine replays the signature bit-exactly:
+    h = int(md5(shingle)[:8], 16) % (2³¹−1), the hash family the
+    md5-twin LSH tier already pins.
+
+    Scale shape: one explode → (id, bin) groupBy MIN (map-side
+    combinable, k·|docs| result rows) → one constant-width conditional
+    agg per doc; densification is a k² coalesce lattice of JVM
+    expressions, no Python, no second pass over text. Returns
+    (id, sig array<long> of length k, nbins_filled).
+    """
+    k = int(k)
+    if k < 2:
+        raise ValueError("k must be ≥ 2")
+    h = lambda s: (  # noqa: E731 — the md5-family shingle hash
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % F.lit(MERSENNE)
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    bins = (
+        sh.select("id", F.explode(F.transform("sh", h)).alias("hv"))
+        .groupBy("id", (F.col("hv") % k).alias("b"))
+        .agg(F.min("hv").alias("mn"))
+    )
+    slots = bins.groupBy("id").agg(
+        *[
+            F.min(F.when(F.col("b") == i, F.col("mn"))).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    filled = [
+        F.coalesce(
+            *[
+                F.col(f"m{(i + j) % k}") + F.lit(j * MERSENNE)
+                for j in range(k)
+            ]
+        )
+        for i in range(k)
+    ]
+    return slots.select(
+        "id",
+        F.array(*filled).alias("sig"),
+        sum(
+            (F.col(f"m{i}").isNotNull().cast("int") for i in range(k)),
+            F.lit(0),
+        ).alias("nbins_filled"),
+    )
+
+
+def oph_accuracy_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-pair OPH estimate vs exact Jaccard: (id_a, id_b, est_j,
+    exact_j, abs_err). ``pairs`` carries (id_a, id_b). The estimator is
+    the share of the k densified slots where the two signatures agree.
+    The audit that says what ``k`` buys before a deployment swaps the
+    K-permutation tier for the one-pass tier.
+
+    Scale shape: signatures and shingle sets are built once from the
+    corpus; both joins are pair-bounded equi-joins.
+    """
+    sig = oph_signatures(df, text_col, id_col, k=k, shingle_n=shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    ta = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    tb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.lit(float(k))
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_j"),
+            F.round(
+                inter
+                / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
+                6,
+            ).alias("exact_j"),
+        )
+        .withColumn("abs_err", F.round(F.abs(F.col("est_j") - F.col("exact_j")), 6))
+    )
