@@ -1176,6 +1176,17 @@ def q_oph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding auto-tuner (X192): FP/FN S-curve areas + s50 for
+    every factorization b·r = 16 at target Jaccard 0.5 on a 500-point
+    midpoint grid — the measured answer to the (b, r) folklore."""
+    from corpusama_spark.operators.dedup import lsh_band_plan
+
+    return lsh_band_plan(
+        spark, num_hashes=16, threshold=0.5, grid=500
+    )
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4539,6 +4550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin": q_ppjoin,
         # -- X191: one-permutation MinHash + rotation densification ----------
         "oph_minhash": q_oph_minhash,
+        # -- X192: LSH (b,r) S-curve auto-tuner ------------------------------
+        "lsh_band_plan": q_lsh_band_plan,
     }
 
 
@@ -10155,4 +10168,31 @@ def oracle_sql() -> dict[str, str]:
         threshold=0.5, shingle_n=3, max_df=10**9
     )
     out["oph_minhash"] = _sql_oph_minhash()
+    out["lsh_band_plan"] = """
+        WITH facs AS (
+            SELECT CAST(r AS INT) AS r, CAST(16 / r AS INT) AS b
+            FROM generate_series(1, 16) t(r) WHERE 16 % r = 0),
+        pts AS (
+            SELECT b, r, (i + 0.5) / 500.0 AS s
+            FROM facs, generate_series(0, 499) g(i)),
+        terms AS (
+            SELECT b, r,
+                   CASE WHEN s < 0.5
+                        THEN 1.0 - pow(1.0 - pow(s, r), b)
+                        ELSE 0.0 END AS fp_term,
+                   CASE WHEN s >= 0.5
+                        THEN pow(1.0 - pow(s, r), b)
+                        ELSE 0.0 END AS fn_term
+            FROM pts),
+        areas AS (
+            SELECT b, r, sum(fp_term) / 500.0 AS fp_raw,
+                   sum(fn_term) / 500.0 AS fn_raw
+            FROM terms GROUP BY b, r)
+        SELECT b, r,
+               round(pow(1.0 - pow(2.0, -1.0 / b), 1.0 / r), 6) AS s50,
+               round(fp_raw, 6) AS fp_area,
+               round(fn_raw, 6) AS fn_area,
+               round(fp_raw + fn_raw, 6) AS cost
+        FROM areas ORDER BY cost, b
+    """
     return out

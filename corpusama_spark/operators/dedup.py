@@ -1289,3 +1289,79 @@ def oph_accuracy_pairs(
         )
         .withColumn("abs_err", F.round(F.abs(F.col("est_j") - F.col("exact_j")), 6))
     )
+
+
+def lsh_band_plan(
+    spark,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+    grid: int = 500,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+) -> DataFrame:
+    """(bands, rows_per_band) planning table for a minhash-LSH tier: for
+    every exact factorization b·r = ``num_hashes``, the collision curve
+    P(s) = 1 − (1 − sʳ)ᵇ is integrated on a ``grid``-point midpoint rule
+    to get the expected FALSE-POSITIVE area ∫₀ᵗ P(s) ds (pairs below the
+    target Jaccard ``threshold`` that still collide → wasted verifies)
+    and FALSE-NEGATIVE area ∫ₜ¹ (1 − P(s)) ds (qualifying pairs the
+    banding misses → lost recall), plus s50 — the similarity where
+    collision probability crosses ½, (1 − 2^(−1/b))^(1/r) (Leskovec,
+    Rajaraman & Ullman, Mining of Massive Datasets ch. 3). ``cost`` is
+    the weighted sum; row 1 of the output is the banding the deployment
+    should run. Turns the (b, r) folklore into a measured, oracled
+    query — at 10^12 rows a mis-set banding either floods the verify
+    join (FP) or silently under-dedups (FN), and this is the number
+    that says which way.
+
+    Scale shape: |divisors(K)| × grid rows total (a few thousand) —
+    driver-free, data-free, pure relational math; joins nothing.
+    """
+    t = float(threshold)
+    g = int(grid)
+    facs = (
+        spark.range(1, int(num_hashes) + 1)
+        .select(F.col("id").cast("int").alias("r"))
+        .where(F.lit(int(num_hashes)) % F.col("r") == 0)
+        .select("r", (F.lit(int(num_hashes)) / F.col("r")).cast("int").alias("b"))
+    )
+    pts = facs.select(
+        "b", "r", F.explode(F.sequence(F.lit(0), F.lit(g - 1))).alias("i")
+    ).select(
+        "b",
+        "r",
+        ((F.col("i") + 0.5) / F.lit(float(g))).alias("s"),
+    )
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+    areas = (
+        pts.select(
+            "b",
+            "r",
+            F.when(F.col("s") < t, p).otherwise(F.lit(0.0)).alias("fp_term"),
+            F.when(F.col("s") >= t, 1.0 - p)
+            .otherwise(F.lit(0.0))
+            .alias("fn_term"),
+        )
+        .groupBy("b", "r")
+        .agg(
+            (F.sum("fp_term") / F.lit(float(g))).alias("fp_raw"),
+            (F.sum("fn_term") / F.lit(float(g))).alias("fn_raw"),
+        )
+    )
+    cost = F.lit(float(fp_weight)) * F.col("fp_raw") + F.lit(
+        float(fn_weight)
+    ) * F.col("fn_raw")
+    s50 = F.pow(
+        1.0 - F.pow(F.lit(2.0), -1.0 / F.col("b")), 1.0 / F.col("r")
+    )
+    return (
+        areas.select(
+            "b",
+            "r",
+            F.round(s50, 6).alias("s50"),
+            F.round("fp_raw", 6).alias("fp_area"),
+            F.round("fn_raw", 6).alias("fn_area"),
+            F.round(cost, 6).alias("cost"),
+        )
+        .orderBy("cost", "b")
+    )

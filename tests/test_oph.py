@@ -98,3 +98,38 @@ def test_oph_estimator_tracks_exact_jaccard(spark):
     r13 = out[(1, 3)]
     assert 0.0 < r13.exact_j < 1.0
     assert abs(r13.est_j - r13.exact_j) <= 2 / 16 + 1e-9
+
+
+def test_lsh_band_plan_matches_python_integration(spark):
+    """X192: numeric mirror of the S-curve integrals + known shape
+    facts (more rows/band -> higher s50; b=K,r=1 floods FPs)."""
+    from corpusama_spark.operators.dedup import lsh_band_plan
+
+    K, t, g = 16, 0.5, 500
+    out = {(r.b, r.r): r for r in lsh_band_plan(spark, K, t, g).collect()}
+    assert set(out) == {(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)}
+
+    def mirror(b, r):
+        fp = fn = 0.0
+        for i in range(g):
+            s = (i + 0.5) / g
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < t:
+                fp += p
+            else:
+                fn += 1.0 - p
+        return fp / g, fn / g
+
+    for (b, r), row in out.items():
+        fp, fn = mirror(b, r)
+        assert abs(row.fp_area - fp) < 1e-6, (b, r)
+        assert abs(row.fn_area - fn) < 1e-6, (b, r)
+        assert abs(row.s50 - (1 - 2 ** (-1 / b)) ** (1 / r)) < 1e-6
+    # s50 grows with rows-per-band; single-row bands collide on anything
+    s50s = [out[(16 // r, r)].s50 for r in (1, 2, 4, 8, 16)]
+    assert s50s == sorted(s50s)
+    assert out[(16, 1)].fp_area > out[(4, 4)].fp_area
+    assert out[(16, 1)].fn_area < out[(4, 4)].fn_area
+    # the balanced banding should win the equal-weight cost at t=0.5
+    best = min(out.values(), key=lambda r: (r.cost, r.b))
+    assert (best.b, best.r) == (4, 4)
