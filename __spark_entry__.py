@@ -1187,6 +1187,20 @@ def q_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash reshuffle audit (X193, Thaler & Ravishankar
+    1998): HRW shard assignment of every doc at 8 and at 10 shards,
+    (old, new) transition counts — the restartable-job shard map where
+    growing the shard count moves only ~(10−8)/10 of rows instead of
+    hash-mod's 9/10. Scan-stage greatest() over md5 scores, no shuffle
+    until the constant-width audit groupBy."""
+    from corpusama_spark.operators.layout import rendezvous_moves
+
+    return rendezvous_moves(
+        _t(spark, sf_dir, "documents"), "doc_id", n_old=8, n_new=10
+    )
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4552,6 +4566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oph_minhash": q_oph_minhash,
         # -- X192: LSH (b,r) S-curve auto-tuner ------------------------------
         "lsh_band_plan": q_lsh_band_plan,
+        # -- X193: rendezvous (HRW) sharding + minimal-move audit ------------
+        "rendezvous": q_rendezvous,
     }
 
 
@@ -10168,6 +10184,25 @@ def oracle_sql() -> dict[str, str]:
         threshold=0.5, shingle_n=3, max_df=10**9
     )
     out["oph_minhash"] = _sql_oph_minhash()
+    def _hrw(n: int, alias: str) -> str:
+        packed = ", ".join(
+            f"('0x' || substr(md5(doc_id::VARCHAR || '|{s}'), 1, 8))"
+            f"::BIGINT * 1024 + {1023 - s}"
+            for s in range(n)
+        )
+        return f"CAST(1023 - greatest({packed}) % 1024 AS INT) AS {alias}"
+
+    out["rendezvous"] = f"""
+        WITH a AS (
+            SELECT doc_id, {_hrw(8, "old_shard")}, {_hrw(10, "new_shard")}
+            FROM documents),
+        g AS (SELECT old_shard, new_shard, CAST(count(*) AS BIGINT) AS n
+              FROM a GROUP BY old_shard, new_shard)
+        SELECT old_shard, new_shard, n,
+               old_shard <> new_shard AS moved,
+               round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
+        FROM g ORDER BY old_shard, new_shard
+    """
     out["lsh_band_plan"] = """
         WITH facs AS (
             SELECT CAST(r AS INT) AS r, CAST(16 / r AS INT) AS b

@@ -33,7 +33,13 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_buckets"]
+__all__ = [
+    "zorder_key",
+    "zorder_buckets",
+    "rendezvous_score",
+    "rendezvous_assign",
+    "rendezvous_moves",
+]
 
 
 def zorder_key(k1: Column, k2: Column, bits: int = 16) -> Column:
@@ -74,4 +80,88 @@ def zorder_buckets(
     w = Window.orderBy(F.asc("zval"), F.asc(F.col(id_col)))
     return df.select(F.col(id_col), z).withColumn(
         "bucket", F.ntile(int(nbuckets)).over(w).cast("long")
+    )
+
+
+def rendezvous_score(key: Column, shard: int) -> Column:
+    """The HRW hash score of ``key`` for integer ``shard``: the md5
+    family (int(md5(key ∥ '|' ∥ shard)[:8], 16)) so any engine replays
+    it bit-exactly."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f"|{int(shard)}"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+) -> DataFrame:
+    """``df`` plus ``out_col`` = the rendezvous (highest-random-weight)
+    shard for each key (Thaler & Ravishankar 1998): shard s maximizes
+    hash(key ∥ s), ties broken toward the smaller shard id. The shard
+    map every RESTARTABLE 10^12-row job wants: unlike ``hash(key) % n``,
+    growing n_shards → n' moves only the keys whose argmax lands on a
+    NEW shard — an expected (n' − n)/n' of rows — instead of rehashing
+    (n' − 1)/n' of the whole table; checkpointed per-shard progress
+    stays valid across a resize.
+
+    Scale shape: ``greatest`` over n_shards packed (score ≪ 10 | tie)
+    BIGINTs — one constant-width scan-stage JVM expression per row; NO
+    explode, NO join, NO shuffle. The 32-bit score and the 10-bit
+    tiebreak (1023 − shard, so equal scores resolve to the SMALLER
+    shard id) share one integer because every engine's ``greatest``
+    orders plain BIGINTs; n_shards is capped at 1024 by the packing —
+    beyond that, explode+max.
+    """
+    n = int(n_shards)
+    if not 1 <= n <= 1024:
+        raise ValueError("n_shards must be in [1, 1024]")
+    key = F.col(key_col)
+    if n == 1:
+        return df.withColumn(out_col, F.lit(0))
+    best = F.greatest(
+        *[
+            rendezvous_score(key, s) * F.lit(1024) + F.lit(1023 - s)
+            for s in range(n)
+        ]
+    )
+    return df.withColumn(
+        out_col, (F.lit(1023) - best % 1024).cast("int")
+    )
+
+
+def rendezvous_moves(
+    df: DataFrame,
+    key_col: str,
+    n_old: int,
+    n_new: int,
+) -> DataFrame:
+    """Reshuffle audit for a shard-count change: (old_shard, new_shard,
+    n, moved) counts plus each cell's share of all rows — the evidence
+    that HRW moves only ~(n_new − n_old)/n_new of the data where
+    ``hash % n`` would move (n_new − 1)/n_new. One scan (both
+    assignments are scan-stage expressions), one constant-width
+    groupBy."""
+    a = rendezvous_assign(df, key_col, n_old, "old_shard")
+    b = rendezvous_assign(a, key_col, n_new, "new_shard")
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        b.groupBy("old_shard", "new_shard")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "old_shard",
+            "new_shard",
+            "n",
+            (F.col("old_shard") != F.col("new_shard")).alias("moved"),
+            F.round(F.col("n") / total, 6).alias("share"),
+        )
+        .orderBy("old_shard", "new_shard")
     )
