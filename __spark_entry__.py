@@ -1201,6 +1201,22 @@ def q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal gate calibration (X194): per-language thresholds
+    on the doc-length score at α ∈ {.05, .1, .2} via the ⌈(n+1)(1−α)⌉
+    calibration order statistic, with realized test-half coverage next
+    to the nominal guarantee. md5-parity split, exact rank selection."""
+    from corpusama_spark.operators.quantiles import conformal_thresholds
+
+    return conformal_thresholds(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        "doc_id",
+        [0.05, 0.1, 0.2],
+        group_col="lang",
+    )
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4568,6 +4584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_plan": q_lsh_band_plan,
         # -- X193: rendezvous (HRW) sharding + minimal-move audit ------------
         "rendezvous": q_rendezvous,
+        # -- X194: split-conformal gate calibration + coverage audit ---------
+        "conformal": q_conformal,
     }
 
 
@@ -10202,6 +10220,41 @@ def oracle_sql() -> dict[str, str]:
                old_shard <> new_shard AS moved,
                round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
         FROM g ORDER BY old_shard, new_shard
+    """
+    out["conformal"] = """
+        WITH base AS (
+            SELECT lang AS g, n_chars AS s, doc_id AS id
+            FROM documents WHERE n_chars IS NOT NULL),
+        split AS (
+            SELECT *, ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT
+                      % 2 = 0 AS is_cal
+            FROM base),
+        cal AS (
+            SELECT g, s,
+                   row_number() OVER (PARTITION BY g ORDER BY s, id) AS rn
+            FROM split WHERE is_cal),
+        grid AS (
+            SELECT g, n_cal, alpha,
+                   CAST(ceil((n_cal + 1) * (1 - alpha) - 1e-9) AS BIGINT)
+                       AS k
+            FROM (SELECT g, CAST(count(*) AS BIGINT) AS n_cal
+                  FROM split WHERE is_cal GROUP BY g),
+                 (SELECT unnest([0.05, 0.1, 0.2]) AS alpha)),
+        thr AS (
+            SELECT grid.g, grid.alpha, grid.n_cal, grid.k,
+                   CAST(cal.s AS DOUBLE) AS threshold
+            FROM grid LEFT JOIN cal ON cal.g = grid.g AND cal.rn = grid.k),
+        test AS (SELECT g, s FROM split WHERE NOT is_cal),
+        cov AS (
+            SELECT t.g, alpha, n_cal, k, threshold,
+                   CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(sum(CASE WHEN threshold IS NULL OR s <= threshold
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+            FROM test t JOIN thr ON thr.g = t.g
+            GROUP BY 1, 2, 3, 4, 5)
+        SELECT g AS lang, alpha, n_cal, k, threshold, n_test,
+               round(n_cov / CAST(n_test AS DOUBLE), 6) AS coverage
+        FROM cov ORDER BY lang, alpha
     """
     out["lsh_band_plan"] = """
         WITH facs AS (

@@ -237,3 +237,125 @@ def trimmed_stats(
         F.round(F.col("_s") / kept.cast("double"), 6).alias("trimmed_mean"),
         F.round(wins, 6).alias("winsorized_mean"),
     )
+
+
+def conformal_thresholds(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    alphas: list[float],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Split-conformal calibration of a keep/drop score threshold
+    (Vovk et al. 2005; Angelopoulos & Bates 2023 tutorial form): rows
+    are hash-split into a CALIBRATION and a TEST half (md5 parity of
+    the id — deterministic, engine-reproducible); for each miscoverage
+    target α the threshold is the k-th smallest calibration score with
+    k = ⌈(n_cal + 1)(1 − α)⌉, which carries the finite-sample
+    guarantee P(new score ≤ threshold) ≥ 1 − α for exchangeable data —
+    no distributional assumption on the quality score at all. The TEST
+    half then measures realized coverage next to the nominal target,
+    so the output is simultaneously the calibrated gate AND its audit:
+    (group?, alpha, n_cal, k, threshold, n_test, coverage). k > n_cal
+    (tiny calibration sets / aggressive α) yields a NULL threshold =
+    "keep everything", coverage 1 by convention.
+
+    Why this belongs in a 10^12-row curation engine: every score-based
+    gate here (perplexity buckets, NB quality, caption alignment) needs
+    a cut point, and picking it as a plain quantile of TRAINING scores
+    silently miscovers new data; the +1 in ⌈(n+1)(1−α)⌉ is the entire
+    difference between folklore and a guarantee, and it costs nothing.
+
+    Scale shape: one window exchange on the calibration half (the
+    irreducible exact-selection sort, same as group_quantiles_exact),
+    one constant-width agg on the test half, and a |groups|·|alphas|
+    broadcast join between them. Ties in the score fill adjacent ranks,
+    so thresholds are deterministic.
+    """
+    gcol = group_col or "_g"
+    base = df.select(
+        (F.col(group_col) if group_col else F.lit("all")).alias(gcol),
+        F.col(score_col).alias("_s"),
+        F.col(id_col).alias("_id"),
+    ).where(F.col("_s").isNotNull())
+    # deterministic split: md5 low nibble parity of the id
+    is_cal = (
+        F.conv(F.substring(F.md5(F.col("_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0
+    )
+    cal = base.where(is_cal)
+    test = base.where(~is_cal)
+
+    part = Window.partitionBy(gcol)
+    ranked = cal.select(
+        gcol,
+        "_s",
+        F.row_number().over(part.orderBy("_s", "_id")).alias("_rn"),
+        F.count("*").over(part).alias("_n"),
+    )
+    aarr = F.array(*[F.lit(float(a)) for a in alphas])
+    hits = F.filter(
+        aarr,
+        lambda a: F.ceil((F.col("_n") + 1) * (1.0 - a) - F.lit(1e-9))
+        == F.col("_rn"),
+    )
+    thr = ranked.select(
+        gcol,
+        F.explode(hits).alias("alpha"),
+        F.col("_n").alias("n_cal"),
+        F.col("_rn").alias("k"),
+        F.col("_s").alias("threshold"),
+    )
+    # alphas whose k exceeds n_cal never match a rank: rebuild the full
+    # (group, alpha) grid so they surface with a NULL threshold.
+    grid = (
+        cal.groupBy(gcol)
+        .agg(F.count("*").alias("n_cal"))
+        .select(
+            gcol,
+            "n_cal",
+            F.explode(F.array(*[F.lit(float(a)) for a in alphas])).alias(
+                "alpha"
+            ),
+        )
+        .withColumn(
+            "k",
+            F.ceil((F.col("n_cal") + 1) * (1.0 - F.col("alpha")) - 1e-9)
+            .cast("long"),
+        )
+    )
+    thr_full = grid.join(
+        thr.select(gcol, "alpha", F.col("threshold")),
+        [gcol, "alpha"],
+        "left",
+    )
+    tstats = test.groupBy(gcol).agg(F.count("*").alias("n_test"))
+    cov = (
+        test.join(F.broadcast(thr_full), gcol)
+        .groupBy(gcol, "alpha", "n_cal", "k", "threshold")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("threshold").isNull()
+                    | (F.col("_s") <= F.col("threshold")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_covered")
+        )
+        .join(tstats, gcol)
+        .select(
+            F.col(gcol).alias(group_col or "group"),
+            "alpha",
+            "n_cal",
+            "k",
+            F.col("threshold").cast("double").alias("threshold"),
+            "n_test",
+            F.round(F.col("n_covered") / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy(group_col or "group", "alpha")
+    )
+    return cov
