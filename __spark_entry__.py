@@ -1217,6 +1217,46 @@ def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newton-IRLS logistic quality classifier (X195, the GPT-3
+    Appendix-A shape): 8 exact Newton steps where each step is ONE
+    constant-width agg of scan-stage JVM sums (XᵀWX, Xᵀ(y−p)) and a
+    driver d×d solve; scoring is a pure sigmoid expression. Rows-only
+    (matrix solve has no ANSI-SQL twin); numpy-mirror pytest pins the
+    whole trajectory at rtol 1e-8."""
+    from corpusama_spark.operators.classifier import (
+        score_logistic,
+        train_logistic,
+    )
+    from corpusama_spark.functions.textrules import (
+        caps_ratio_col,
+        digit_ratio_col,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("n_chars") / 1000.0).alias("kchars"),
+            caps_ratio_col(F.col("text")).alias("caps"),
+            digit_ratio_col(F.col("text")).alias("digits"),
+            (F.col("lang") == "en").cast("double").alias("y"),
+        )
+    )
+    feats = ["kchars", "caps", "digits"]
+    beta = train_logistic(docs, feats, "y", iters=8)
+    scored = score_logistic(docs, feats, beta)
+    return (
+        scored.groupBy((F.round("p_keep", 1)).alias("p_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("y"), 4).alias("empirical_rate"),
+        )
+        .orderBy("p_bucket")
+    )
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4586,6 +4626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous": q_rendezvous,
         # -- X194: split-conformal gate calibration + coverage audit ---------
         "conformal": q_conformal,
+        # -- X195: Newton-IRLS logistic quality classifier (rows-only) -------
+        "logreg_quality": q_logreg_quality,
     }
 
 

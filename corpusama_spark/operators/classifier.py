@@ -373,3 +373,93 @@ def cohen_kappa(
             F.lit(0.0),
         ).alias("kappa"),
     )
+
+
+def train_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 8,
+    ridge: float = 1e-6,
+) -> list[float]:
+    """Newton-IRLS logistic regression over numeric quality features:
+    returns [intercept, coef_0, ..., coef_{d−1}] after ``iters`` exact
+    Newton steps from β = 0 (Brown et al. 2020 Appendix A trains this
+    exact shape — a logistic quality classifier — over curated-vs-crawl
+    labels; McCullagh & Nelder 1989 for IRLS itself).
+
+    Distribution contract: each Newton step needs only XᵀWX (a (d+1)²
+    matrix) and Xᵀ(y − p) (a (d+1) vector), both SUMS over rows — so
+    the corpus-side work per step is one scan computing (d+1)(d+2)/2 +
+    (d+1) scan-stage JVM products (sigmoid included) and ONE
+    constant-width agg; the driver solves the (d+1)×(d+1) system
+    (numpy) and broadcasts β back as plain literals. No gradient
+    descent hyperparameters, no Python on the row path, deterministic
+    given fixed ``iters`` (float-sum ordering wiggles ~1e-12 — round
+    before pinning). ``ridge`` keeps the Hessian invertible on
+    separable data.
+
+    10^12-row shape: ``iters`` scans of the feature columns (column-
+    pruned parquet reads), each reducing to ONE row of doubles. The
+    d×d solve is nanoseconds. This is the honest big-data logistic
+    trainer — no per-executor model state, no parameter server.
+    """
+    import numpy as np
+
+    d = len(feature_cols) + 1
+    xs = [F.lit(1.0)] + [
+        F.col(c).cast("double") for c in feature_cols
+    ]
+    y = F.col(label_col).cast("double")
+    beta = np.zeros(d)
+    base = df.where(
+        F.col(label_col).isNotNull()
+        & ~sum(
+            (F.col(c).isNull().cast("int") for c in feature_cols), F.lit(0)
+        ).cast("boolean")
+    )
+    for _ in range(int(iters)):
+        eta = sum(
+            (float(beta[i]) * xs[i] for i in range(1, d)),
+            F.lit(float(beta[0])),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (1.0 - p)
+        aggs = []
+        for i in range(d):
+            for j in range(i, d):
+                aggs.append(
+                    F.sum(w * xs[i] * xs[j]).alias(f"h_{i}_{j}")
+                )
+            aggs.append(F.sum((y - p) * xs[i]).alias(f"g_{i}"))
+        row = base.agg(*aggs).collect()[0].asDict()
+        H = np.zeros((d, d))
+        g = np.zeros(d)
+        for i in range(d):
+            g[i] = row[f"g_{i}"]
+            for j in range(i, d):
+                H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
+        H += float(ridge) * np.eye(d)
+        beta = beta + np.linalg.solve(H, g)
+    return [float(b) for b in beta]
+
+
+def score_logistic(
+    df: DataFrame,
+    feature_cols: list[str],
+    beta: list[float],
+    out_col: str = "p_keep",
+) -> DataFrame:
+    """``df`` plus σ(β·x) from ``train_logistic``'s coefficients —
+    a pure scan-stage JVM expression (the broadcast is d+1 literals);
+    rows with any NULL feature get NULL."""
+    eta = sum(
+        (
+            float(beta[i + 1]) * F.col(c).cast("double")
+            for i, c in enumerate(feature_cols)
+        ),
+        F.lit(float(beta[0])),
+    )
+    return df.withColumn(
+        out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    )
