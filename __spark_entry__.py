@@ -1257,6 +1257,19 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (X196, Gonzalez 1985 / Sener &
+    Savarese 2018): 6 farthest-point picks over the embeddings table
+    with the exact covering-radius curve; 6-dp distance pinning keeps
+    the trajectory engine-exact. The DuckDB twin unrolls the 6
+    selection stages as CTEs."""
+    from corpusama_spark.operators.kmeans import kcenter_select
+
+    return kcenter_select(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=6
+    ).orderBy("rank")
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4628,6 +4641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal": q_conformal,
         # -- X195: Newton-IRLS logistic quality classifier (rows-only) -------
         "logreg_quality": q_logreg_quality,
+        # -- X196: greedy k-center coreset selection --------------------------
+        "kcenter": q_kcenter,
     }
 
 
@@ -4975,6 +4990,54 @@ def _sql_oph_minhash(k: int = 16, shingle_n: int = 3) -> str:
                round(abs(est_j - exact_j), 6) AS abs_err
         FROM est ORDER BY id_a, id_b
     """
+
+
+def _sql_kcenter(k: int = 6) -> str:
+    """DuckDB twin of kcenter_select: the k−1 farthest-point stages
+    unrolled as CTEs over the exploded dims table, identical 6-dp
+    distance pinning and (mind desc, id asc) argmax tie-break."""
+    parts = [
+        """dims AS (
+            SELECT vec_id AS id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings)""",
+        "s1 AS (SELECT min(vec_id) AS id FROM embeddings)",
+        """m1 AS (
+            SELECT d.id, round(sum((d.v - c.v) * (d.v - c.v)), 6) AS mind
+            FROM dims d
+            JOIN dims c ON c.dim = d.dim AND c.id = (SELECT id FROM s1)
+            GROUP BY d.id)""",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""s{r} AS (
+            SELECT id, mind FROM m{r - 1}
+            ORDER BY mind DESC, id LIMIT 1)"""
+        )
+        if r < k:
+            parts.append(
+                f"""m{r} AS (
+                SELECT m.id, least(m.mind, n.d2) AS mind
+                FROM m{r - 1} m JOIN (
+                    SELECT d.id,
+                           round(sum((d.v - c.v) * (d.v - c.v)), 6) AS d2
+                    FROM dims d
+                    JOIN dims c ON c.dim = d.dim
+                         AND c.id = (SELECT id FROM s{r})
+                    GROUP BY d.id) n USING (id))"""
+            )
+    selects = [
+        "SELECT 1 AS rank, (SELECT id FROM s1) AS id,"
+        " CAST(0.0 AS DOUBLE) AS radius"
+    ] + [
+        f"SELECT {r}, id, mind FROM s{r}" for r in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY rank"
+    )
 
 
 def _sql_simhash_md5(bands: int = 4, hamming_k: int = 3, max_bucket: int = 1024) -> str:
@@ -10263,6 +10326,7 @@ def oracle_sql() -> dict[str, str]:
                round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
         FROM g ORDER BY old_shard, new_shard
     """
+    out["kcenter"] = _sql_kcenter(k=6)
     out["conformal"] = """
         WITH base AS (
             SELECT lang AS g, n_chars AS s, doc_id AS id

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_assign"]
+__all__ = ["kmeans_assign", "kcenter_select"]
 
 
 def kmeans_assign(
@@ -134,4 +134,80 @@ def kmeans_quality(
             "mean_d2",
         )
         .orderBy("cluster")
+    )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 6,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the 2-approximation to the NP-hard k-center optimum;
+    Sener & Savarese 2018 use exactly this as the active-learning /
+    data-selection coreset): start from the lowest-id vector, then k−1
+    times pick the point FARTHEST from the selected set (max over rows
+    of min-distance-to-centers, squared L2, ties to the lower id).
+    Returns (rank, id, radius): the selection order plus each pick's
+    distance-to-cover at selection time — rank r's radius is the exact
+    covering radius of the first r−1 centers (0.0 for the seed), so the
+    output doubles as the coverage curve that says what k buys.
+
+    Determinism contract: distances are ROUNDED to 6 dp before the
+    argmax (same load-bearing pin as the Lloyd centroids above), so two
+    engines and two partitionings walk identical trajectories.
+
+    Scale shape (10^9 vectors): each of the k−1 rounds is one
+    scan-stage JVM distance expression against the NEWEST center
+    (broadcast as d literals — mind is updated incrementally, so only
+    ONE center's distances are computed per round, not r) + one 1-row
+    max agg. Driver state is k ids and one d-vector per round. k
+    Spark jobs total; the corpus never re-shuffles.
+    """
+    k = int(k)
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    first = base.orderBy("id").limit(1).collect()[0]
+    out_rows = [(1, first.id, 0.0)]
+    centre = [float(x) for x in first.vec]
+
+    def _dist_to(vals: list[float]) -> F.Column:
+        carr = F.array(*[F.lit(v) for v in vals])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec"), carr, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    # persist each round's mind column: the plan is built incrementally,
+    # and without the persist every round's action would lazily REPLAY
+    # all prior rounds' distance updates (O(k²) scans instead of O(k)).
+    cur = base.withColumn("mind", _dist_to(centre)).persist()
+    for rank in range(2, k + 1):
+        # argmax(mind), ties to the LOWER id: max over (mind, -id)
+        top = cur.agg(
+            F.max(F.struct(F.col("mind"), (-F.col("id")).alias("nid")))
+        ).collect()[0][0]
+        sel_id = -top.nid
+        sel = cur.where(F.col("id") == sel_id).select("vec").collect()[0]
+        out_rows.append((rank, sel_id, float(top.mind)))
+        centre = [float(x) for x in sel.vec]
+        nxt = cur.withColumn(
+            "mind", F.least(F.col("mind"), _dist_to(centre))
+        ).persist()
+        nxt.count()  # materialize before dropping the parent cache
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        out_rows, "rank int, id long, radius double"
     )
