@@ -1270,6 +1270,23 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-rule learning (X197, Sennrich 2016): 8
+    merge rounds over the Zipf-bounded word-frequency table — pair
+    counts by adjacent-zip explode, deterministic (count desc, pair)
+    argmax, two-pass regex merge application. The DuckDB twin unrolls
+    the 8 rounds; the two-pass replace semantics are identical in Java
+    regex and RE2 (pinned by pytest on an adversarial 6-run)."""
+    from corpusama_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(
+        _t(spark, sf_dir, "documents"), "text", n_merges=8
+    )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, n long"
+    ).orderBy("rank")
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4643,6 +4660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_quality": q_logreg_quality,
         # -- X196: greedy k-center coreset selection --------------------------
         "kcenter": q_kcenter,
+        # -- X197: distributed BPE merge-rule training ------------------------
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -5032,6 +5051,61 @@ def _sql_kcenter(k: int = 6) -> str:
         " CAST(0.0 AS DOUBLE) AS radius"
     ] + [
         f"SELECT {r}, id, mind FROM s{r}" for r in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY rank"
+    )
+
+
+def _sql_bpe(n_merges: int = 8) -> str:
+    """DuckDB twin of bpe_train: identical word table, pair counting,
+    (cnt desc, p1, p2) argmax and two-pass space-bounded merge
+    application per unrolled round."""
+    parts = [
+        """words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS w
+                FROM documents WHERE text IS NOT NULL)
+            WHERE regexp_matches(w, '^[a-z0-9]+$')
+            GROUP BY w)""",
+        """w0 AS (
+            SELECT wc, trim(regexp_replace(w, '(.)', '\\1 ', 'g'))
+                       || ' </w>' AS s
+            FROM words)""",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+            SELECT z[1] AS p1, z[2] AS p2,
+                   CAST(sum(wc) AS BIGINT) AS cnt FROM (
+                SELECT wc,
+                       unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+                FROM (SELECT wc, string_split(s, ' ') AS l FROM w{r - 1}))
+            GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""b{r} AS (
+            SELECT p1, p2, cnt FROM p{r}
+            ORDER BY cnt DESC, p1, p2 LIMIT 1)"""
+        )
+        if r < n_merges:
+            parts.append(
+                f"""w{r} AS (
+                SELECT wc, trim(regexp_replace(regexp_replace(
+                           ' ' || s || ' ',
+                           ' ' || b.p1 || ' ' || b.p2 || ' ',
+                           ' ' || b.p1 || b.p2 || ' ', 'g'),
+                           ' ' || b.p1 || ' ' || b.p2 || ' ',
+                           ' ' || b.p1 || b.p2 || ' ', 'g')) AS s
+                FROM w{r - 1}, b{r} b)"""
+            )
+    selects = [
+        f'SELECT CAST({r} AS INT) AS rank, p1 AS "left", p2 AS "right",'
+        f" cnt AS n FROM b{r}"
+        for r in range(1, n_merges + 1)
     ]
     return (
         "WITH " + ",\n".join(parts) + "\n"
@@ -10327,6 +10401,7 @@ def oracle_sql() -> dict[str, str]:
         FROM g ORDER BY old_shard, new_shard
     """
     out["kcenter"] = _sql_kcenter(k=6)
+    out["bpe_merges"] = _sql_bpe(n_merges=8)
     out["conformal"] = """
         WITH base AS (
             SELECT lang AS g, n_chars AS s, doc_id AS id
