@@ -4366,6 +4366,32 @@ def q_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grayscale / flat-color gate over the synthesized captions table
+    (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
+    inside Arrow batches; 4 scalars per image shuffle."""
+    from corpusama_spark.functions.imageops import colorfulness_gate
+    from corpusama_spark.sources.synth import captions_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return colorfulness_gate(captions_from_documents(docs)).orderBy(
+        "image_id"
+    )
+
+
+def q_border_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-border / letterbox audit over the synthesized captions
+    table (X199; rows-only: decode UDF): flat-band counts, content crop
+    box, letterbox/pillarbox flags — 11 scalars per image shuffle."""
+    from corpusama_spark.functions.imageops import border_crop_audit
+    from corpusama_spark.sources.synth import captions_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return border_crop_audit(captions_from_documents(docs)).orderBy(
+        "image_id"
+    )
+
+
 def q_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH recall gain at constant index memory (X185, Lv
     2007): per query, recall@5 of the single-probe axis-sign tier vs the
@@ -4662,6 +4688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter": q_kcenter,
         # -- X197: distributed BPE merge-rule training ------------------------
         "bpe_merges": q_bpe_merges,
+        # -- X198/X199: image color + border gates (rows-only: decode UDF) ---
+        "colorfulness": q_colorfulness,
+        "border_audit": q_border_audit,
     }
 
 

@@ -584,3 +584,208 @@ def sharpness_gate(
         )
         .alias("sharp_reason"),
     )
+
+
+def colorfulness_gate(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    gray_tol: float = 2.0,
+    min_colorfulness: float = 5.0,
+) -> DataFrame:
+    """Grayscale / flat-color gate (X198): per image, the Hasler &
+    Süsstrunk 2003 colorfulness metric M = σ_rgyb + 0.3·μ_rgyb over
+    the opponent axes rg = R−G, yb = (R+G)/2 − B, plus the mean
+    channel spread max(R,G,B) − min(R,G,B) and an ``is_gray`` flag
+    (mean spread ≤ ``gray_tol``). Image-caption training corpora are
+    poisoned by scanned documents, logos on white, and single-color
+    placeholders — all near-zero on both signals; photographs score
+    M ≳ 20. keep = decodable AND NOT gray AND M ≥ ``min_colorfulness``.
+
+    Output: (id, is_gray, mean_spread 4 dp, colorfulness 4 dp,
+    color_keep, color_reason|NULL); corrupt images fail with a reason,
+    never raise (tolerated-failure contract).
+
+    Scale shape: decode only inside Arrow batches in the scan stage —
+    per image the batch emits 4 scalars, so pixels/bytes never shuffle;
+    both metrics are single vectorized numpy passes.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, grays, spreads, colors, reasons = [], [], [], [], []
+            for iid, data, fmt in zip(
+                pdf[id_col], pdf[bytes_col], pdf[fmt_col]
+            ):
+                ids.append(iid)
+                try:
+                    arr = decode_image(bytes(data), str(fmt)).astype(
+                        "float64"
+                    )
+                except Exception as e:  # noqa: BLE001 - tolerated failures
+                    grays.append(None)
+                    spreads.append(None)
+                    colors.append(None)
+                    reasons.append(f"decode_error:{type(e).__name__}")
+                    continue
+                r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+                spread = float(
+                    np.round((arr.max(axis=2) - arr.min(axis=2)).mean(), 4)
+                )
+                rg = r - g
+                yb = 0.5 * (r + g) - b
+                sigma = float(np.sqrt(rg.var() + yb.var()))
+                mu = float(
+                    np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+                )
+                m = float(np.round(sigma + 0.3 * mu, 4))
+                grays.append(bool(spread <= gray_tol))
+                spreads.append(spread)
+                colors.append(m)
+                reasons.append(None)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "is_gray": pd.array(grays, dtype="boolean"),
+                    "mean_spread": spreads,
+                    "colorfulness": colors,
+                    "reason": reasons,
+                }
+            )
+
+    parts = df.select(
+        F.col(id_col).cast("string").alias(id_col), bytes_col, fmt_col
+    ).mapInPandas(
+        gen,
+        schema="id string, is_gray boolean, mean_spread double,"
+        " colorfulness double, reason string",
+    )
+    return parts.select(
+        F.col("id").alias(id_col),
+        "is_gray",
+        "mean_spread",
+        "colorfulness",
+        F.when(F.col("reason").isNotNull(), F.lit(False))
+        .otherwise(
+            ~F.col("is_gray")
+            & (F.col("colorfulness") >= F.lit(float(min_colorfulness)))
+        )
+        .alias("color_keep"),
+        F.when(F.col("reason").isNotNull(), F.col("reason"))
+        .when(F.col("is_gray"), F.lit("grayscale"))
+        .when(
+            F.col("colorfulness") < F.lit(float(min_colorfulness)),
+            F.lit("low_colorfulness"),
+        )
+        .alias("color_reason"),
+    )
+
+
+def border_crop_audit(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    flat_tol: float = 4.0,
+    letterbox_frac: float = 0.08,
+) -> DataFrame:
+    """Uniform-border / letterbox audit (X199): per image, count the
+    consecutive FLAT rows from the top/bottom and flat columns from the
+    left/right (a line is flat when every channel's max−min along it is
+    ≤ ``flat_tol``), emit the implied content crop box and flag
+    letterboxing (top AND bottom bands each ≥ ``letterbox_frac`` of the
+    height) / pillarboxing (same on columns). Broadcast-TV rips, padded
+    thumbnails and screenshot chrome are the classic contaminants; the
+    crop box is what a resize stage should consume INSTEAD of the full
+    frame, and content_frac is the wasted-pixel budget.
+
+    Output: (id, top, bottom, left, right — flat line counts,
+    content_w, content_h, content_frac 4 dp, letterbox, pillarbox,
+    border_reason|NULL). Fully-flat images crop to zero content and get
+    reason 'all_flat'; corrupt images a decode reason — neither raises.
+
+    Scale shape: decode only inside Arrow batches; per image the line
+    flatness is two vectorized reductions (axis-1 and axis-0 max−min)
+    and the consecutive-run count is argmin over a boolean vector —
+    O(w+h) after the reduction, no Python loops over pixels, and only
+    11 scalars per image ever shuffle.
+    """
+
+    def _runs(flat: np.ndarray) -> tuple[int, int]:
+        n = len(flat)
+        if flat.all():
+            return n, 0
+        lead = int(np.argmin(flat))  # first non-flat index
+        trail = int(np.argmin(flat[::-1]))
+        return lead, trail
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for iid, data, fmt in zip(
+                pdf[id_col], pdf[bytes_col], pdf[fmt_col]
+            ):
+                try:
+                    arr = decode_image(bytes(data), str(fmt)).astype(
+                        "float64"
+                    )
+                except Exception as e:  # noqa: BLE001 - tolerated failures
+                    rows.append(
+                        (iid, None, None, None, None, None, None, None,
+                         None, None, f"decode_error:{type(e).__name__}")
+                    )
+                    continue
+                h, w = arr.shape[0], arr.shape[1]
+                row_flat = (
+                    arr.max(axis=1) - arr.min(axis=1)
+                ).max(axis=1) <= flat_tol
+                col_flat = (
+                    arr.max(axis=0) - arr.min(axis=0)
+                ).max(axis=1) <= flat_tol
+                top, bottom = _runs(row_flat)
+                left, right = _runs(col_flat)
+                ch = max(h - top - bottom, 0)
+                cw = max(w - left - right, 0)
+                if ch == 0 or cw == 0:
+                    rows.append(
+                        (iid, top, bottom, left, right, 0, 0, 0.0,
+                         False, False, "all_flat")
+                    )
+                    continue
+                rows.append(
+                    (
+                        iid, top, bottom, left, right, cw, ch,
+                        float(np.round(cw * ch / (w * h), 4)),
+                        bool(
+                            top >= letterbox_frac * h
+                            and bottom >= letterbox_frac * h
+                        ),
+                        bool(
+                            left >= letterbox_frac * w
+                            and right >= letterbox_frac * w
+                        ),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "top", "bottom", "left", "right",
+                    "content_w", "content_h", "content_frac",
+                    "letterbox", "pillarbox", "border_reason",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), bytes_col, fmt_col
+    ).mapInPandas(
+        gen,
+        schema="id string, top int, bottom int, left int, right int,"
+        " content_w int, content_h int, content_frac double,"
+        " letterbox boolean, pillarbox boolean, border_reason string",
+    ).withColumnRenamed("id", id_col)
