@@ -1287,6 +1287,20 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def q_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicate-substring spans (X200, Lee et al. 2021 via
+    Manber–Myers prefix doubling): every maximal span covered by a
+    ≥16-char substring occurring ≥2 times anywhere in the perturbed
+    corpus. log₂ 16 = 4 relational rank rounds, distributed dense
+    ranks (no global window), islands merged per doc. The DuckDB twin
+    is brute-force substr grouping — 'exact' is a checked claim."""
+    from corpusama_spark.operators.suffix import duplicate_spans_exact
+
+    return duplicate_spans_exact(
+        _perturbed_docs(spark, sf_dir), "text", "doc_id", min_len=16
+    )
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4691,6 +4705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- X198/X199: image color + border gates (rows-only: decode UDF) ---
         "colorfulness": q_colorfulness,
         "border_audit": q_border_audit,
+        # -- X200: exact duplicate-substring spans (suffix-array ranks) ------
+        "suffix_spans": q_suffix_spans,
     }
 
 
@@ -10431,6 +10447,34 @@ def oracle_sql() -> dict[str, str]:
     """
     out["kcenter"] = _sql_kcenter(k=6)
     out["bpe_merges"] = _sql_bpe(n_merges=8)
+    # X200: the suffix-array tier must equal brute-force substring
+    # grouping — that equivalence IS the exactness claim.
+    out["suffix_spans"] = f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM {_SQL_PERTURBED_SRC} s(doc_id, text)
+            WHERE text IS NOT NULL AND len(text) > 0),
+        pos AS (
+            SELECT doc_id, ip - 1 AS i, substr(text, ip, 16) AS gram
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, len(text) - 15)) AS ip
+                  FROM docs)),
+        grp AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        dup AS (SELECT doc_id, i FROM pos JOIN grp USING (gram)),
+        isl AS (
+            SELECT doc_id, i,
+                   CASE WHEN lag(i) OVER w IS NULL
+                             OR i - lag(i) OVER w > 16
+                        THEN 1 ELSE 0 END AS brk
+            FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        isl2 AS (
+            SELECT doc_id, i,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+            FROM isl)
+        SELECT doc_id, CAST(min(i) AS BIGINT) AS start,
+               CAST(max(i) + 16 - min(i) AS BIGINT) AS span_len
+        FROM isl2 GROUP BY doc_id, island
+        ORDER BY doc_id, start
+    """
     out["conformal"] = """
         WITH base AS (
             SELECT lang AS g, n_chars AS s, doc_id AS id
