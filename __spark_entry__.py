@@ -1301,6 +1301,24 @@ def q_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of the top-100 token co-occurrence graph
+    (X201, Brin & Page 1998): 10 fixed join+groupBy rounds with
+    dangling-mass redistribution and 9-dp trajectory pinning — the
+    template-hub vocabulary detector. The DuckDB twin unrolls all 10
+    rounds over the identical edge derivation."""
+    from corpusama_spark.operators.components import (
+        pagerank,
+        token_cooc_edges,
+    )
+
+    edges = token_cooc_edges(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        top_tokens=100, min_cooc=3,
+    )
+    return pagerank(edges, damping=0.85, iters=10)
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4707,6 +4725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "border_audit": q_border_audit,
         # -- X200: exact duplicate-substring spans (suffix-array ranks) ------
         "suffix_spans": q_suffix_spans,
+        # -- X201: PageRank over the token co-occurrence graph ---------------
+        "token_pagerank": q_token_pagerank,
     }
 
 
@@ -5054,6 +5074,72 @@ def _sql_oph_minhash(k: int = 16, shingle_n: int = 3) -> str:
                round(abs(est_j - exact_j), 6) AS abs_err
         FROM est ORDER BY id_a, id_b
     """
+
+
+def _sql_pagerank(
+    iters: int = 10,
+    d: float = 0.85,
+    top_tokens: int = 100,
+    min_cooc: int = 3,
+) -> str:
+    """DuckDB twin of pagerank(token_cooc_edges(...)): identical graph
+    derivation, then the ``iters`` rounds unrolled with the same 9-dp
+    per-round pin and dangling-mass handling."""
+    parts = [
+        """dt AS MATERIALIZED (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_filter(
+                       string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                       s -> len(s) > 0)) AS tok
+            FROM documents)""",
+        f"""top AS (
+            SELECT tok FROM (
+                SELECT tok,
+                       row_number() OVER (
+                           ORDER BY count(*) DESC, tok ASC) AS rnk
+                FROM dt GROUP BY tok) WHERE rnk <= {top_tokens})""",
+        "capped AS (SELECT dt.id, dt.tok FROM dt JOIN top USING (tok))",
+        f"""und AS (
+            SELECT a.tok AS ta, b.tok AS tb
+            FROM capped a JOIN capped b ON a.id = b.id AND a.tok < b.tok
+            GROUP BY a.tok, b.tok HAVING count(*) >= {min_cooc})""",
+        """e AS MATERIALIZED (SELECT ta AS src, tb AS dst FROM und
+                UNION ALL SELECT tb, ta FROM und)""",
+        """nodes AS MATERIALIZED (
+            SELECT node, CAST(coalesce(o.odeg, 0) AS BIGINT) AS outdeg
+            FROM (SELECT src AS node FROM e
+                  UNION SELECT dst FROM e) n
+            LEFT JOIN (SELECT src AS node, count(*) AS odeg
+                       FROM e GROUP BY src) o USING (node))""",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        """p0 AS (SELECT node, outdeg, 1.0 / n AS p
+                  FROM nodes, nn)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""dang{k} AS (
+            SELECT coalesce(sum(p), 0.0) AS dm FROM p{k - 1}
+            WHERE outdeg = 0)"""
+        )
+        parts.append(
+            f"""c{k} AS (
+            SELECT e.dst AS node, sum(p.p / p.outdeg) AS c
+            FROM e JOIN p{k - 1} p ON p.node = e.src AND p.outdeg > 0
+            GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""p{k} AS (
+            SELECT nodes.node, nodes.outdeg,
+                   round((1.0 - {d}) / n
+                         + {d} * (coalesce(c, 0.0) + dm / n), 9) AS p
+            FROM nodes LEFT JOIN c{k} USING (node), nn, dang{k})"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + f"SELECT node, round(p, 6) AS pr, outdeg FROM p{iters}\n"
+        + "ORDER BY pr DESC, node"
+    )
 
 
 def _sql_kcenter(k: int = 6) -> str:
@@ -10447,6 +10533,9 @@ def oracle_sql() -> dict[str, str]:
     """
     out["kcenter"] = _sql_kcenter(k=6)
     out["bpe_merges"] = _sql_bpe(n_merges=8)
+    out["token_pagerank"] = _sql_pagerank(
+        iters=10, d=0.85, top_tokens=100, min_cooc=3
+    )
     # X200: the suffix-array tier must equal brute-force substring
     # grouping — that equivalence IS the exactness claim.
     out["suffix_spans"] = f"""

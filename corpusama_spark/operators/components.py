@@ -550,3 +550,142 @@ def multi_signal_keeplist(
         )
         .orderBy(id_col)
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank (Brin & Page 1998) over a directed edge table, as pure
+    relational algebra with a FIXED iteration count: per round,
+    contrib(v) = Σ_{u→v} p(u)/outdeg(u) (one equi-join + one groupBy),
+    dangling nodes (outdeg 0) spread their mass uniformly, and
+    p′ = (1−d)/N + d·(contrib + dangling/N), ROUNDED to 9 dp — the same
+    load-bearing pin as the Lloyd centroids: it keeps two engines and
+    two partitionings on bit-identical trajectories. Output (node,
+    pr 6 dp, outdeg) ordered by rank. In curation this is the
+    template-hub detector: on a token co-occurrence graph boilerplate
+    vocabularies form dense cores whose centrality dwarfs topical
+    words, and on a near-dup pair graph it ranks canonical documents.
+
+    Scale shape (10^9 edges): each round is one (src) equi-join that
+    re-uses the edge table's partitioning + one map-side-combinable
+    groupBy; the rank vector is node-sized. Lineage is truncated per
+    round (localCheckpoint) because each round references the previous
+    vector twice — the 2^iters plan-explosion trap the suffix-array and
+    hash-min loops already document. N and the per-round dangling mass
+    are 1-row aggregates (bounded collects).
+    """
+    d = float(damping)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+    base = (
+        nodes.join(deg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint()
+    )
+    n = base.count()
+    if n == 0:
+        return base.select(
+            "node", F.lit(0.0).alias("pr"), "outdeg"
+        )
+    p = base.select("node", "outdeg", F.lit(1.0 / n).alias("p"))
+    for _ in range(int(iters)):
+        dangling = (
+            p.where(F.col("outdeg") == 0).agg(F.sum("p")).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            e.join(
+                p.select(
+                    F.col("node").alias("src"),
+                    # ANSI guard: dangling rows never match an edge but
+                    # the division is evaluated before the join prunes
+                    F.when(
+                        F.col("outdeg") > 0,
+                        F.col("p") / F.col("outdeg"),
+                    ).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("c"))
+        )
+        p = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                "outdeg",
+                F.round(
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    ),
+                    9,
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    return p.select(
+        "node", F.round("p", 6).alias("pr"), "outdeg"
+    ).orderBy(F.desc("pr"), "node")
+
+
+def token_cooc_edges(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_tokens: int = 100,
+    min_cooc: int = 3,
+) -> DataFrame:
+    """Directed BOTH-WAYS edge table of the capped token co-occurrence
+    graph (same construction as cooccurrence_triangles: top-N tokens by
+    doc frequency, edge when two share ≥ min_cooc docs) — the input
+    shape pagerank() consumes. Undirected graph ⇒ emit each edge in
+    both directions so outdeg = undirected degree."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    dt = (
+        docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+        .distinct()
+    )
+    top = (
+        dt.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(int(top_tokens))
+        .select("tok")
+    )
+    capped = dt.join(F.broadcast(top), "tok")
+    a = capped.select("id", F.col("tok").alias("ta"))
+    b = capped.select("id", F.col("tok").alias("tb"))
+    und = (
+        a.join(b, "id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("long").alias("cooc"))
+        .where(F.col("cooc") >= int(min_cooc))
+    )
+    return und.select(
+        F.col("ta").alias("src"), F.col("tb").alias("dst")
+    ).unionByName(
+        und.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
+    )
