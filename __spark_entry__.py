@@ -1319,6 +1319,25 @@ def q_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, damping=0.85, iters=10)
 
 
+def q_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-layout scan-pruning audit (X202): linear (a,b)-sort vs
+    Z-order Morton layout at 16 files, parquet-footer-style min/max
+    pruning under a 2-D predicate — files_scanned / skip_ratio /
+    read_amplification per layout, the OPTIMIZE-ZORDER decision table.
+    Keys: a = n_chars, b = doc_id%97 (deterministic, uncorrelated)."""
+    from corpusama_spark.operators.layout import pruning_audit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("a"),
+        (F.col("doc_id") % 97).alias("b"),
+    )
+    return pruning_audit(
+        docs, "doc_id", "a", "b",
+        a_range=(100.0, 250.0), b_range=(10.0, 30.0), nfiles=16,
+    )
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4727,6 +4746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_spans": q_suffix_spans,
         # -- X201: PageRank over the token co-occurrence graph ---------------
         "token_pagerank": q_token_pagerank,
+        # -- X202: Z-order vs linear layout scan-pruning audit ---------------
+        "pruning_audit": q_pruning_audit,
     }
 
 
@@ -10536,6 +10557,61 @@ def oracle_sql() -> dict[str, str]:
     out["token_pagerank"] = _sql_pagerank(
         iters=10, d=0.85, top_tokens=100, min_cooc=3
     )
+    # the clamp lives only inside the Morton key (as in zorder_key);
+    # stats and the linear layout see raw values
+    morton = " | ".join(
+        f"(((ca >> {i}) & 1) << {2 * i + 1})"
+        f" | (((cb >> {i}) & 1) << {2 * i})"
+        for i in range(16)
+    ).replace("ca", "least(greatest(a, 0), 65535)").replace(
+        "cb", "least(greatest(b, 0), 65535)"
+    )
+    out["pruning_audit"] = f"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id AS id, n_chars AS a, doc_id % 97 AS b
+            FROM documents WHERE n_chars IS NOT NULL),
+        tagged AS MATERIALIZED (
+            SELECT id, a, b,
+                   ntile(16) OVER (ORDER BY a, b, id) AS f_linear,
+                   ntile(16) OVER (ORDER BY ({morton}), id) AS f_zorder,
+                   CASE WHEN a BETWEEN 100.0 AND 250.0
+                             AND b BETWEEN 10.0 AND 30.0
+                        THEN 1 ELSE 0 END AS sel
+            FROM base),
+        lin AS (
+            SELECT f_linear AS f, min(a) AS min_a, max(a) AS max_a,
+                   min(b) AS min_b, max(b) AS max_b,
+                   count(*) AS n, sum(sel) AS n_sel
+            FROM tagged GROUP BY f_linear),
+        zor AS (
+            SELECT f_zorder AS f, min(a) AS min_a, max(a) AS max_a,
+                   min(b) AS min_b, max(b) AS max_b,
+                   count(*) AS n, sum(sel) AS n_sel
+            FROM tagged GROUP BY f_zorder),
+        roll AS (
+            SELECT 'linear' AS layout, * FROM lin
+            UNION ALL SELECT 'zorder', * FROM zor),
+        agg AS (
+            SELECT layout,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN max_a >= 100.0 AND min_a <= 250.0
+                                 AND max_b >= 10.0 AND min_b <= 30.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+                   CAST(sum(n) AS BIGINT) AS rows_total,
+                   CAST(sum(CASE WHEN max_a >= 100.0 AND min_a <= 250.0
+                                 AND max_b >= 10.0 AND min_b <= 30.0
+                            THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+                   CAST(sum(n_sel) AS BIGINT) AS rows_selected
+            FROM roll GROUP BY layout)
+        SELECT layout, n_files, files_scanned, rows_total, rows_scanned,
+               rows_selected,
+               round(1.0 - files_scanned / CAST(n_files AS DOUBLE), 6)
+                   AS skip_ratio,
+               round(rows_scanned /
+                     CAST(greatest(rows_selected, 1) AS DOUBLE), 6)
+                   AS read_amplification
+        FROM agg ORDER BY layout
+    """
     # X200: the suffix-array tier must equal brute-force substring
     # grouping — that equivalence IS the exactness claim.
     out["suffix_spans"] = f"""

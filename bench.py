@@ -117,6 +117,15 @@ BENCH_QUERIES = [
     "wasserstein_drift",
     "source_overlap",
     "bleu_verify",
+    # round-4 continuation (X190-X201): the data-heavy new families.
+    # kcenter / bpe_merges / token_pagerank are deliberately absent for
+    # the same reason as dedup_clusters below: fixed small-round loops
+    # measure the scheduling floor, not data throughput.
+    "ppjoin",
+    "oph_minhash",
+    "conformal",
+    "rendezvous",
+    "suffix_spans",
     # dedup_clusters is deliberately absent: its 12 fixed label-propagation
     # rounds over the tiny sf edge set measure the per-round scheduling
     # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale

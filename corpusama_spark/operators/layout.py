@@ -39,6 +39,7 @@ __all__ = [
     "rendezvous_score",
     "rendezvous_assign",
     "rendezvous_moves",
+    "pruning_audit",
 ]
 
 
@@ -165,3 +166,95 @@ def rendezvous_moves(
         )
         .orderBy("old_shard", "new_shard")
     )
+
+
+def pruning_audit(
+    df: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    a_range: tuple[float, float],
+    b_range: tuple[float, float],
+    nfiles: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Scan-pruning audit of two candidate file layouts under a 2-D
+    predicate — the measured version of the module docstring's claim.
+    Rows are assigned to ``nfiles`` files twice: LINEAR (ntile in
+    (a, b, id) sort order — what a plain ORDER BY write produces) and
+    ZORDER (ntile in Morton order); each file keeps parquet-footer-style
+    min/max stats per key, and a file is SCANNED iff its stats box
+    intersects the predicate rectangle a ∈ [a_lo, a_hi] ∧ b ∈
+    [b_lo, b_hi] — exactly the pruning decision an Iceberg/Delta reader
+    makes from manifests. Output, one row per layout: files_scanned,
+    rows_scanned, rows_selected, skip_ratio (files skipped / files),
+    read_amplification (rows scanned per selected row) — the numbers
+    that decide whether OPTIMIZE ZORDER pays for a workload.
+
+    Scale shape: two window sorts over a 32-bit key (the contract twin
+    of two repartitionByRange writes), one constant-width per-file agg
+    each, and a 2·nfiles-row final table. The audit itself is cheaper
+    than either candidate write.
+    """
+    a_lo, a_hi = float(a_range[0]), float(a_range[1])
+    b_lo, b_hi = float(b_range[0]), float(b_range[1])
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    z = zorder_key(F.col("a"), F.col("b"), bits=bits)
+    w_lin = Window.orderBy("a", "b", "id")
+    w_z = Window.orderBy("zval", "id")
+    tagged = base.withColumn("zval", z).select(
+        "*",
+        F.ntile(int(nfiles)).over(w_lin).alias("f_linear"),
+        F.ntile(int(nfiles)).over(w_z).alias("f_zorder"),
+    )
+    sel = (
+        F.col("a").between(a_lo, a_hi) & F.col("b").between(b_lo, b_hi)
+    ).cast("long")
+
+    def _layout(bucket_col: str, name: str) -> DataFrame:
+        stats = tagged.groupBy(F.col(bucket_col).alias("f")).agg(
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+            F.count("*").alias("n"),
+            F.sum(sel).alias("n_sel"),
+        )
+        scanned = (
+            (F.col("max_a") >= a_lo)
+            & (F.col("min_a") <= a_hi)
+            & (F.col("max_b") >= b_lo)
+            & (F.col("min_b") <= b_hi)
+        ).cast("long")
+        return stats.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(scanned).cast("long").alias("files_scanned"),
+            F.sum("n").cast("long").alias("rows_total"),
+            F.sum(scanned * F.col("n")).cast("long").alias("rows_scanned"),
+            F.sum("n_sel").cast("long").alias("rows_selected"),
+        )
+
+    out = _layout("f_linear", "linear").unionByName(
+        _layout("f_zorder", "zorder")
+    )
+    return out.select(
+        "layout",
+        "n_files",
+        "files_scanned",
+        "rows_total",
+        "rows_scanned",
+        "rows_selected",
+        F.round(
+            1.0 - F.col("files_scanned") / F.col("n_files"), 6
+        ).alias("skip_ratio"),
+        F.round(
+            F.col("rows_scanned")
+            / F.greatest(F.col("rows_selected"), F.lit(1)).cast("double"),
+            6,
+        ).alias("read_amplification"),
+    ).orderBy("layout")
