@@ -1338,6 +1338,21 @@ def q_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters with exact verify (X203): ≤128
+    candidate rows shuffle per partition (never the Zipf tail), the
+    candidate superset guarantee makes the verified output EXACT — so
+    the DuckDB twin is a plain groupBy threshold, and matching it IS
+    the sketch-correctness proof."""
+    from corpusama_spark.operators.sketches import (
+        misra_gries_heavy_hitters,
+    )
+
+    return misra_gries_heavy_hitters(
+        _t(spark, sf_dir, "documents"), "text", k=128, min_share=0.01
+    )
+
+
 def q_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup GROUND TRUTH (X70): every pair at word-3-gram
     Jaccard ≥ 0.5 over the perturbed corpus, via the inverted shingle
@@ -4748,6 +4763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pagerank": q_token_pagerank,
         # -- X202: Z-order vs linear layout scan-pruning audit ---------------
         "pruning_audit": q_pruning_audit,
+        # -- X203: Misra-Gries heavy hitters, exact via candidate verify -----
+        "mg_heavy": q_mg_heavy,
     }
 
 
@@ -10554,6 +10571,21 @@ def oracle_sql() -> dict[str, str]:
     """
     out["kcenter"] = _sql_kcenter(k=6)
     out["bpe_merges"] = _sql_bpe(n_merges=8)
+    # X203: the MG output is EXACT by the candidate-superset guarantee,
+    # so its twin is the plain groupBy it replaces at scale.
+    out["mg_heavy"] = """
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       s -> len(s) > 0)) AS token
+            FROM documents WHERE text IS NOT NULL),
+        tot AS (SELECT count(*) AS n_total FROM toks),
+        c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+              FROM toks GROUP BY token)
+        SELECT token, n, round(n / CAST(n_total AS DOUBLE), 6) AS share
+        FROM c, tot WHERE n >= 0.01 * n_total
+        ORDER BY n DESC, token
+    """
     out["token_pagerank"] = _sql_pagerank(
         iters=10, d=0.85, top_tokens=100, min_cooc=3
     )

@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cms_heavy_hitters", "hll_distinct"]
+__all__ = [
+    "cms_heavy_hitters",
+    "hll_distinct",
+    "misra_gries_heavy_hitters",
+]
 
 
 def cms_heavy_hitters(
@@ -208,4 +212,103 @@ def hll_distinct(
             ),
             use_lc.alias("linear_counting"),
         )
+    )
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 64,
+    min_share: float = 0.01,
+) -> DataFrame:
+    """EXACT heavy hitters with Misra–Gries-bounded shuffle (Misra &
+    Gries 1982): each partition streams its tokens through ≤ ``k``
+    decrement counters inside one Arrow pass and emits at most k
+    candidate rows; the union of candidates PROVABLY contains every
+    token with global frequency > N/(k+1) (if a token's MG estimate
+    were ≤ 0 in every partition, summing the per-partition bounds
+    est_i ≥ f_i − N_i/(k+1) would force f ≤ N/(k+1) — contradiction),
+    so a second exact-count pass over the candidate set alone returns
+    the EXACT set and counts of tokens with share ≥ ``min_share``
+    (which must be > 1/(k+1) for the guarantee to bite — enforced).
+
+    Why not plain groupBy: at 10^12 rows the token shuffle carries the
+    whole Zipf tail (billions of distinct keys); MG caps the exchange
+    at k rows per partition, and the verify join touches only
+    |candidates| keys. Output (token, n, share) is EXACT and therefore
+    partition-count invariant — the sketch bounds WORK, never answers.
+
+    In-pass batching: per Arrow batch, token counts come from a C-speed
+    Counter merge; when the counter table exceeds k, the (size−k)-th
+    smallest count is subtracted from all and non-positives drop — the
+    standard batched MG decrement (equivalent to that many single
+    decrements, same invariant).
+    """
+    import re
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    # Java regex \s is ASCII-only; python str.split() also breaks on
+    # unicode spaces, which would fragment tokens differently and could
+    # void the candidate-superset guarantee — pin the exact same class.
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    k = int(k)
+    if min_share <= 1.0 / (k + 1):
+        raise ValueError(
+            f"min_share {min_share} must exceed 1/(k+1) = {1.0 / (k + 1):.6f}"
+            " for the MG candidate guarantee"
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: Counter = Counter()
+        for pdf in batches:
+            batch = Counter()
+            for t in pdf["t"]:
+                if t:
+                    batch.update(
+                        w for w in ws.split(t.lower().strip()) if w
+                    )
+            state.update(batch)
+            if len(state) > k:
+                cuts = sorted(state.values())
+                m = cuts[len(state) - k - 1]
+                state = Counter(
+                    {t: c - m for t, c in state.items() if c > m}
+                )
+        yield pd.DataFrame({"token": list(state.keys())})
+
+    cands = (
+        df.select(F.col(text_col).alias("t"))
+        .mapInPandas(gen, schema="token string")
+        .distinct()
+    )
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+",
+                ),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("token")
+    )
+    total = toks.agg(F.count("*").alias("n_total"))
+    exact = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n") >= F.lit(float(min_share)) * F.col("n_total"))
+        .select(
+            "token",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), "token")
     )
