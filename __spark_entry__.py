@@ -1338,6 +1338,40 @@ def q_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-fingerprint audio near-dups (X204, Haitsma & Kalker
+    2002; rows-only: FFT decode UDF): deterministic tones with shared
+    seeds at three amplitude levels — re-levelled copies must collide
+    on sign fingerprints while bytes differ. Decode/FFT only in Arrow
+    batches; 12-byte (frame, subfp) keys are the only exchange."""
+    from corpusama_spark.functions.audioops import audio_near_dups
+    from corpusama_spark.io.audiocodec import decode_audio, encode_qaud
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    @F.pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        from corpusama_spark.io.audiocodec import synth_audio
+
+        out = []
+        for i in ids:
+            i = int(i)
+            raw = synth_audio(i % 37, sample_rate=16000, seconds=0.5)
+            _sr, x = decode_audio(raw)
+            scale = 0.5 + 0.25 * (i % 3)
+            out.append(
+                encode_qaud(
+                    (x.astype("float64") * scale).astype("<i2"), 16000
+                )
+            )
+        return pd.Series(out, dtype=object)
+
+    d = docs.withColumn("audio", _gen(F.col("doc_id")))
+    return audio_near_dups(d, min_matches=4)
+
+
 def q_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries heavy hitters with exact verify (X203): ≤128
     candidate rows shuffle per partition (never the Zipf tail), the
@@ -4765,6 +4799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruning_audit": q_pruning_audit,
         # -- X203: Misra-Gries heavy hitters, exact via candidate verify -----
         "mg_heavy": q_mg_heavy,
+        # -- X204: spectral audio fingerprint near-dups (rows-only) ----------
+        "audio_near_dup": q_audio_near_dup,
     }
 
 

@@ -150,3 +150,135 @@ def audio_rules(
     return df.withColumn("audio_drop_reason", reason).withColumn(
         "audio_keep", F.col("audio_drop_reason").isNull()
     )
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "audio",
+    frame: int = 1024,
+    hop: int = 512,
+    bands: int = 9,
+) -> DataFrame:
+    """Per-frame spectral sub-fingerprints in the Haitsma & Kalker 2002
+    ("Philips robust hash") shape: each ``frame``-sample window yields
+    an 8-bit code whose bit b is the SIGN of the time- and band-
+    difference of log-spaced FFT band energies,
+    bit(b) = 1{(E_t[b]−E_t[b+1]) − (E_{t−1}[b]−E_{t−1}[b+1]) > 0} —
+    scale-invariant (amplitude changes multiply every energy, signs
+    survive) and locally robust to noise, which is exactly what a
+    re-encoded / re-levelled duplicate audio clip defeats exact hashing
+    with. First frame has no predecessor → frames emit from t = 1.
+
+    Output (id, frame_idx, subfp int 0..255). Decode and FFT run only
+    inside Arrow batches; per clip only (id, ~n_samples/hop, 1-byte
+    code) rows shuffle — bytes never do. Corrupt clips emit nothing
+    (the tolerated-failure contract; pair them with audio_features for
+    reasons).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        edges = None
+        for pdf in batches:
+            ids, fidx, codes = [], [], []
+            for iid, data in zip(pdf["id"], pdf["b"]):
+                try:
+                    _sr, x = decode_audio(bytes(data))
+                except Exception:  # noqa: BLE001 - tolerated failures
+                    continue
+                x = x.astype("float64")
+                n = (len(x) - frame) // hop + 1
+                if n < 2:
+                    continue
+                if edges is None:
+                    # log-spaced band edges over the rfft bins
+                    edges = np.unique(
+                        np.geomspace(2, frame // 2, bands + 1).astype(int)
+                    )
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    x, frame
+                )[::hop][:n]
+                mags = np.abs(np.fft.rfft(wins, axis=1)) ** 2
+                be = np.stack(
+                    [
+                        mags[:, edges[j]:edges[j + 1]].sum(axis=1)
+                        for j in range(len(edges) - 1)
+                    ],
+                    axis=1,
+                )
+                d_band = be[:, :-1] - be[:, 1:]
+                d_time = d_band[1:] - d_band[:-1]
+                bits = (d_time > 0).astype(np.int64)
+                sub = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+                ids.extend([iid] * len(sub))
+                fidx.extend(range(1, len(sub) + 1))
+                codes.extend(int(v) for v in sub)
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": fidx, "subfp": codes}
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(bytes_col).alias("b"),
+    ).mapInPandas(gen, schema="id long, frame_idx int, subfp long")
+
+
+def audio_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "audio",
+    min_matches: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Audio near-duplicate pairs from fingerprint collisions: clips
+    sharing ≥ ``min_matches`` identical (frame_idx, subfp) cells, with
+    the matched-frame count and the aligned agreement share. The
+    standard LSH discipline of every near-dup family here: the
+    (frame_idx, subfp) equi-join is the bucket join (flood guard
+    ``max_bucket`` drops degenerate cells — e.g. silence frames shared
+    by everything), fingerprints are built once, and only candidate
+    pairs get the full agreement count. Bytes never shuffle; the join
+    key is 12 bytes."""
+    fp = audio_fingerprints(df, id_col, bytes_col)
+    ok = (
+        fp.groupBy("frame_idx", "subfp")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") <= int(max_bucket))
+        .select("frame_idx", "subfp")
+    )
+    fpg = fp.join(ok, ["frame_idx", "subfp"])
+    a = fpg.select(
+        F.col("id").alias("id_a"), "frame_idx", "subfp"
+    )
+    b = fpg.select(
+        F.col("id").alias("id_b"), "frame_idx", "subfp"
+    )
+    pairs = (
+        a.join(b, ["frame_idx", "subfp"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("matched"))
+        .where(F.col("matched") >= int(min_matches))
+    )
+    lens = fp.groupBy("id").agg(F.count("*").alias("n_frames"))
+    return (
+        pairs.join(
+            lens.withColumnsRenamed({"id": "id_a", "n_frames": "fa"}),
+            "id_a",
+        )
+        .join(
+            lens.withColumnsRenamed({"id": "id_b", "n_frames": "fb"}),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("matched").cast("long").alias("matched"),
+            F.round(
+                F.col("matched")
+                / F.least("fa", "fb").cast("double"),
+                6,
+            ).alias("agreement"),
+        )
+        .orderBy("id_a", "id_b")
+    )
