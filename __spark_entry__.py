@@ -1372,6 +1372,46 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dups(d, min_matches=4)
 
 
+def q_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot segmentation (X205, luma-histogram cut detector; rows-only:
+    decode UDF): deterministic multi-scene QVID clips per doc — scene
+    count doc_id%3+1, every 9th container corrupted — one row per shot,
+    frames decoded only in Arrow batches."""
+    from corpusama_spark.functions.imageops import shot_boundaries
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 120
+    ).select("doc_id")
+
+    @F.pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from corpusama_spark.functions.imageops import encode_qvid
+
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 9 == 0:
+                out.append(b"QVIDbad")
+                continue
+            rng = np.random.RandomState(i)
+            frames = []
+            for s in range(i % 3 + 1):
+                color = (40 + 80 * s + i % 40) % 256
+                for _ in range(3 + (i + s) % 4):
+                    fr = np.full((12, 12, 3), color, dtype=np.int16)
+                    fr = (fr + rng.randint(-4, 5, fr.shape)).clip(0, 255)
+                    frames.append(fr.astype(np.uint8))
+            out.append(encode_qvid(frames, fmt="png"))
+        return pd.Series(out, dtype=object)
+
+    d = docs.withColumn("bytes", _gen(F.col("doc_id"))).withColumnRenamed(
+        "doc_id", "video_id"
+    )
+    return shot_boundaries(d).orderBy("video_id", "shot_no")
+
+
 def q_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries heavy hitters with exact verify (X203): ≤128
     candidate rows shuffle per partition (never the Zipf tail), the
@@ -4801,6 +4841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy": q_mg_heavy,
         # -- X204: spectral audio fingerprint near-dups (rows-only) ----------
         "audio_near_dup": q_audio_near_dup,
+        # -- X205: shot-boundary video segmentation (rows-only) --------------
+        "shot_bounds": q_shot_bounds,
     }
 
 

@@ -789,3 +789,82 @@ def border_crop_audit(
         " content_w int, content_h int, content_frac double,"
         " letterbox boolean, pillarbox boolean, border_reason string",
     ).withColumnRenamed("id", id_col)
+
+
+def shot_boundaries(
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    nbins: int = 16,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Shot segmentation per video (the classic luma-histogram cut
+    detector — Zhang, Kankanhalli & Smoliar 1993): per frame, a
+    ``nbins``-bin normalized luma histogram; a SHOT BOUNDARY is a
+    frame whose L1 histogram distance to its predecessor exceeds
+    ``tau`` (distances live in [0, 2]; hard cuts between scenes score
+    near 2, in-scene noise near 0). Output one row per shot:
+    (id, shot_no, start_frame, n_frames, cut_dist 4 dp — the distance
+    that opened the shot, 0.0 for the first). Sampling ONE keyframe
+    per shot instead of every-k-th frame is the curation win: constant
+    scenes collapse to a single frame, fast cuts keep their variety.
+
+    Scale shape: decode + histograms + the sequential boundary scan
+    run per video inside Arrow batches (frame count per clip is
+    bounded); only shot-sized rows shuffle. Corrupt containers emit
+    zero rows (tolerated-failure contract, same as sample_frames)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf["id"], pdf["b"]):
+                if data is None:
+                    continue
+                try:
+                    hists = []
+                    for _i, fb, fmt in _iter_frames(bytes(data)):
+                        arr = decode_image(fb, fmt).astype("float64")
+                        luma = (
+                            0.299 * arr[:, :, 0]
+                            + 0.587 * arr[:, :, 1]
+                            + 0.114 * arr[:, :, 2]
+                        )
+                        h, _ = np.histogram(
+                            luma, bins=nbins, range=(0.0, 256.0)
+                        )
+                        hists.append(h / max(h.sum(), 1))
+                except ValueError:
+                    continue  # corrupt container -> zero rows
+                if not hists:
+                    continue
+                starts = [(0, 0.0)]
+                for i in range(1, len(hists)):
+                    d = float(np.abs(hists[i] - hists[i - 1]).sum())
+                    if d > tau:
+                        starts.append((i, d))
+                starts.append((len(hists), 0.0))
+                for s in range(len(starts) - 1):
+                    rows.append(
+                        (
+                            vid,
+                            s,
+                            starts[s][0],
+                            starts[s + 1][0] - starts[s][0],
+                            float(np.round(starts[s][1], 4)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "shot_no", "start_frame", "n_frames", "cut_dist",
+                ],
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(bytes_col).alias("b"),
+    ).mapInPandas(
+        gen,
+        schema="id long, shot_no int, start_frame int, n_frames int,"
+        " cut_dist double",
+    ).withColumnRenamed("id", id_col)
