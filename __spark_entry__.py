@@ -1308,7 +1308,7 @@ def q_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     template-hub vocabulary detector. The DuckDB twin unrolls all 10
     rounds over the identical edge derivation."""
     from corpusama_spark.operators.components import (
-        pagerank,
+        pagerank_full,
         token_cooc_edges,
     )
 
@@ -1316,7 +1316,7 @@ def q_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         top_tokens=100, min_cooc=3,
     )
-    return pagerank(edges, damping=0.85, iters=10)
+    return pagerank_full(edges, damping=0.85, iters=10)
 
 
 def q_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -552,15 +552,17 @@ def multi_signal_keeplist(
     )
 
 
-def pagerank(
+def pagerank_full(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
 ) -> DataFrame:
-    """PageRank (Brin & Page 1998) over a directed edge table, as pure
-    relational algebra with a FIXED iteration count: per round,
+    """PageRank over a directed edge table WITH dangling-mass
+    redistribution — the exactness-tier twin of ``pagerank`` above
+    (which documents its dangling leak and keeps one aggregate per
+    round for pure ranking use); string node ids supported. Per round,
     contrib(v) = Σ_{u→v} p(u)/outdeg(u) (one equi-join + one groupBy),
     dangling nodes (outdeg 0) spread their mass uniformly, and
     p′ = (1−d)/N + d·(contrib + dangling/N), ROUNDED to 9 dp — the same

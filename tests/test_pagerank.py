@@ -1,4 +1,4 @@
-"""Relational PageRank with fixed iterations (X201)."""
+"""Relational PageRank with dangling redistribution (X201)."""
 
 import numpy as np
 
@@ -21,7 +21,7 @@ def _mirror(edges, d=0.85, iters=10):
 
 
 def test_pagerank_matches_numpy_mirror_with_dangling(spark):
-    from corpusama_spark.operators.components import pagerank
+    from corpusama_spark.operators.components import pagerank_full
 
     # a -> b -> c -> a cycle, d points into the cycle, e is dangling
     edges = [
@@ -30,7 +30,7 @@ def test_pagerank_matches_numpy_mirror_with_dangling(spark):
         ("a", "e"),  # e has no out-edges -> dangling
     ]
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r.node: (r.pr, r.outdeg) for r in pagerank(df).collect()}
+    got = {r.node: (r.pr, r.outdeg) for r in pagerank_full(df).collect()}
     want = _mirror(edges)
     assert got == want
     # rank mass sums to ~1 and the cycle dominates the pure source d
@@ -39,23 +39,23 @@ def test_pagerank_matches_numpy_mirror_with_dangling(spark):
 
 
 def test_pagerank_uniform_on_symmetric_cycle(spark):
-    from corpusama_spark.operators.components import pagerank
+    from corpusama_spark.operators.components import pagerank_full
 
     edges = [(i, (i + 1) % 5) for i in range(5)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    prs = {r.pr for r in pagerank(df).collect()}
+    prs = {r.pr for r in pagerank_full(df).collect()}
     assert prs == {0.2}
 
 
 def test_token_pagerank_ranks_hub_vocabulary(spark):
     from corpusama_spark.operators.components import (
-        pagerank,
+        pagerank_full,
         token_cooc_edges,
     )
 
     rows = [(i, f"header boiler plate unique{i} word{i % 7}") for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     edges = token_cooc_edges(df, top_tokens=20, min_cooc=3)
-    out = [r.node for r in pagerank(edges).limit(3).collect()]
+    out = [r.node for r in pagerank_full(edges).limit(3).collect()]
     # the boilerplate trio co-occurs everywhere -> top centrality
     assert set(out) == {"header", "boiler", "plate"}
