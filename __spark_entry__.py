@@ -1412,6 +1412,20 @@ def q_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shot_boundaries(d).orderBy("video_id", "shot_no")
 
 
+def q_sinkhorn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropic-OT (Sinkhorn) distance between per-source doc-length
+    histograms (X206, Cuturi 2013): 16 bins × ε=0.1 × 6 scaling
+    rounds, 9-dp trajectory pin. The DuckDB twin unrolls the rounds
+    over the SAME literal K kernel (emitted from one python
+    math.exp pass), so no cross-engine exp() enters the contract."""
+    from corpusama_spark.operators.drift import sinkhorn_hist_distance
+
+    return sinkhorn_hist_distance(
+        _t(spark, sf_dir, "documents"), "source", "n_chars",
+        nbins=16, bin_width=50.0, eps=0.1, iters=6,
+    )
+
+
 def q_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries heavy hitters with exact verify (X203): ≤128
     candidate rows shuffle per partition (never the Zipf tail), the
@@ -4843,6 +4857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         # -- X205: shot-boundary video segmentation (rows-only) --------------
         "shot_bounds": q_shot_bounds,
+        # -- X206: Sinkhorn entropic-OT histogram distance --------------------
+        "sinkhorn": q_sinkhorn,
     }
 
 
@@ -5190,6 +5206,94 @@ def _sql_oph_minhash(k: int = 16, shingle_n: int = 3) -> str:
                round(abs(est_j - exact_j), 6) AS abs_err
         FROM est ORDER BY id_a, id_b
     """
+
+
+def _sql_sinkhorn(
+    nbins: int = 16,
+    width: float = 50.0,
+    eps: float = 0.1,
+    iters: int = 6,
+) -> str:
+    """DuckDB twin of sinkhorn_hist_distance over documents(source,
+    n_chars). The K kernel is emitted as LITERALS from the same python
+    math.exp pass the Spark side broadcasts, so no cross-engine exp()
+    is in the contract; u/v trajectories carry the identical 9-dp pin."""
+    import math as _m
+
+    k_vals = ", ".join(
+        f"({i}, {j}, {abs(i - j) / (nbins - 1)!r},"
+        f" {_m.exp(-(abs(i - j) / (nbins - 1)) / eps)!r})"
+        for i in range(nbins)
+        for j in range(nbins)
+    )
+    parts = [
+        f"""masses AS MATERIALIZED (
+            SELECT source AS g,
+                   least(CAST(floor(n_chars / {width}) AS INT),
+                         {nbins - 1}) AS b,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            WHERE n_chars IS NOT NULL
+                  AND least(CAST(floor(n_chars / {width}) AS INT),
+                            {nbins - 1}) >= 0
+            GROUP BY 1, 2)""",
+        "tots AS (SELECT g, sum(n) AS tot FROM masses GROUP BY g)",
+        f"""grid AS MATERIALIZED (
+            SELECT tg.g, tg.b,
+                   coalesce(m.n, 0) / CAST(tg.tot AS DOUBLE) AS m
+            FROM (SELECT g, tot,
+                         unnest(generate_series(0, {nbins - 1})) AS b
+                  FROM tots) tg
+            LEFT JOIN masses m ON m.g = tg.g AND m.b = tg.b)""",
+        f"kt(i, j, c, k) AS MATERIALIZED (SELECT * FROM (VALUES {k_vals}))",
+        """prs AS MATERIALIZED (
+            SELECT a.g AS src_a, b.g AS src_b
+            FROM tots a, tots b WHERE a.g < b.g)""",
+        """am AS MATERIALIZED (
+            SELECT src_a, src_b, grid.b AS i, grid.m AS a
+            FROM prs JOIN grid ON grid.g = prs.src_a)""",
+        """bm AS MATERIALIZED (
+            SELECT src_a, src_b, grid.b AS j, grid.m AS bmass
+            FROM prs JOIN grid ON grid.g = prs.src_b)""",
+        "v0 AS (SELECT src_a, src_b, j, 1.0 AS v FROM bm)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""u{t} AS (
+            SELECT am.src_a, am.src_b, am.i,
+                   round(CASE WHEN am.a > 0 AND kv.kv > 0
+                              THEN am.a / kv.kv ELSE 0.0 END, 9) AS u
+            FROM am JOIN (
+                SELECT src_a, src_b, kt.i, sum(kt.k * v.v) AS kv
+                FROM v{t - 1} v JOIN kt ON kt.j = v.j
+                GROUP BY src_a, src_b, kt.i) kv
+            ON kv.src_a = am.src_a AND kv.src_b = am.src_b
+               AND kv.i = am.i)"""
+        )
+        parts.append(
+            f"""v{t} AS (
+            SELECT bm.src_a, bm.src_b, bm.j,
+                   round(CASE WHEN bm.bmass > 0 AND ku.ku > 0
+                              THEN bm.bmass / ku.ku ELSE 0.0 END, 9) AS v
+            FROM bm JOIN (
+                SELECT src_a, src_b, kt.j, sum(kt.k * u.u) AS ku
+                FROM u{t} u JOIN kt ON kt.i = u.i
+                GROUP BY src_a, src_b, kt.j) ku
+            ON ku.src_a = bm.src_a AND ku.src_b = bm.src_b
+               AND ku.j = bm.j)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT u.src_a, u.src_b,
+               round(sum(u.u * kt.k * v.v * kt.c), 6) AS sinkhorn_cost
+        FROM u{iters} u
+        JOIN kt ON kt.i = u.i
+        JOIN v{iters} v ON v.src_a = u.src_a AND v.src_b = u.src_b
+                        AND v.j = kt.j
+        GROUP BY u.src_a, u.src_b
+        ORDER BY u.src_a, u.src_b
+    """
+    )
 
 
 def _sql_pagerank(
@@ -10649,6 +10753,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["kcenter"] = _sql_kcenter(k=6)
     out["bpe_merges"] = _sql_bpe(n_merges=8)
+    out["sinkhorn"] = _sql_sinkhorn(nbins=16, width=50.0, eps=0.1, iters=6)
     # X203: the MG output is EXACT by the candidate-superset guarantee,
     # so its twin is the plain groupBy it replaces at scale.
     out["mg_heavy"] = """
