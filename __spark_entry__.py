@@ -1412,6 +1412,47 @@ def q_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shot_boundaries(d).orderBy("video_id", "shot_no")
 
 
+def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage decision table (X207, FS 1969 +
+    Winkler's EM fit): candidate pairs (copy / perturbed / decoy tiers
+    of the perturbed corpus) → 3-field agreement patterns → 10 EM
+    rounds for (p, m_f, u_f) → per-pattern posterior, log₂ composite
+    weight and the three-way decision. The DuckDB twin replays the
+    comparators AND the EM rounds, so the learned parameters are
+    contract-checked, not just the plumbing."""
+    from corpusama_spark.operators.fuzzy import fs_linkage_table
+
+    docs = _perturbed_docs(spark, sf_dir)
+    base = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.col("doc_id") % 10 == 0))
+        .select("doc_id")
+    )
+    pairs = (
+        base.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .unionByName(
+            base.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+        .unionByName(
+            # decoys: a DIFFERENT record's perturbed copy (ids past the
+            # corpus edge simply drop in the feature join, identically
+            # in both engines)
+            base.select(
+                F.col("doc_id").alias("id_a"),
+                (F.pmod(F.col("doc_id") + 30, F.lit(1000)) + 200000)
+                .alias("id_b"),
+            )
+        )
+    )
+    return fs_linkage_table(pairs, docs, iters=10)
+
+
 def q_sinkhorn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropic-OT (Sinkhorn) distance between per-source doc-length
     histograms (X206, Cuturi 2013): 16 bins × ε=0.1 × 6 scaling
@@ -4859,6 +4900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shot_bounds": q_shot_bounds,
         # -- X206: Sinkhorn entropic-OT histogram distance --------------------
         "sinkhorn": q_sinkhorn,
+        # -- X207: Fellegi-Sunter EM record-linkage decision table -----------
+        "fs_linkage": q_fs_linkage,
     }
 
 
@@ -5292,6 +5335,124 @@ def _sql_sinkhorn(
                         AND v.j = kt.j
         GROUP BY u.src_a, u.src_b
         ORDER BY u.src_a, u.src_b
+    """
+    )
+
+
+def _sql_fs_linkage(iters: int = 10, upper: float = 3.0, lower: float = 0.0) -> str:
+    """DuckDB twin of fs_linkage_table over the perturbed corpus:
+    identical comparators (3-gram Jaccard ≥ .5, length ratio ≥ .9,
+    first-token equality), identical pair tiers, and the 10 EM rounds
+    unrolled with the same 9-dp per-round parameter pin."""
+
+    def _prob(prefix: str, fields: str) -> str:
+        terms = []
+        for f, g in enumerate(["g1", "g2", "g3"], start=1):
+            terms.append(
+                f"(CASE WHEN {g} = 1 THEN {fields}{f}"
+                f" ELSE 1 - {fields}{f} END)"
+            )
+        return f"{prefix} * " + " * ".join(terms)
+
+    parts = [
+        f"""srcx AS MATERIALIZED (
+            SELECT * FROM {_SQL_PERTURBED_SRC} s(doc_id, text))""",
+        """feats AS MATERIALIZED (
+            SELECT doc_id AS id,
+                   list_distinct(list_filter(
+                       list_transform(
+                           generate_series(1, greatest(len(ws) - 2, 1)),
+                           i -> array_to_string(ws[i:i+2], ' ')),
+                       s -> len(s) > 0)) AS sg,
+                   len(coalesce(text, '')) AS ln,
+                   lower(list_filter(
+                       string_split_regex(trim(coalesce(text, '')),
+                                          '\\s+'),
+                       s -> len(s) > 0)[1]) AS w1
+            FROM (SELECT doc_id, text,
+                         string_split_regex(lower(trim(coalesce(text,
+                             ''))), '\\s+') AS ws
+                  FROM srcx))""",
+        """base AS (SELECT doc_id FROM documents
+                    WHERE text IS NOT NULL AND doc_id % 10 = 0)""",
+        """prs AS (
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM base
+            UNION ALL SELECT doc_id, doc_id + 200000 FROM base
+            UNION ALL SELECT doc_id, (doc_id + 30) % 1000 + 200000
+            FROM base)""",
+        """ap AS MATERIALIZED (
+            SELECT CASE WHEN (CASE WHEN len(a.sg) + len(b.sg)
+                                        - len(list_intersect(a.sg, b.sg))
+                                        > 0
+                              THEN len(list_intersect(a.sg, b.sg)) /
+                                   CAST(len(a.sg) + len(b.sg)
+                                        - len(list_intersect(a.sg, b.sg))
+                                        AS DOUBLE)
+                              ELSE 0.0 END) >= 0.5
+                        THEN 1 ELSE 0 END AS g1,
+                   CASE WHEN (CASE WHEN greatest(a.ln, b.ln) > 0
+                              THEN least(a.ln, b.ln) /
+                                   CAST(greatest(a.ln, b.ln) AS DOUBLE)
+                              ELSE 0.0 END) >= 0.9
+                        THEN 1 ELSE 0 END AS g2,
+                   CASE WHEN a.w1 IS NOT NULL AND a.w1 = b.w1
+                        THEN 1 ELSE 0 END AS g3
+            FROM prs
+            JOIN feats a ON a.id = prs.id_a
+            JOIN feats b ON b.id = prs.id_b)""",
+        """pat AS MATERIALIZED (
+            SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+            FROM ap GROUP BY 1, 2, 3)""",
+        "ntot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM pat)",
+        """prm0 AS (SELECT 0.1 AS p, 0.8 AS m1, 0.8 AS m2, 0.8 AS m3,
+                           0.2 AS u1, 0.2 AS u2, 0.2 AS u3)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""resp{t} AS (
+            SELECT g1, g2, g3, n,
+                   ({_prob("p", "m")}) /
+                   (({_prob("p", "m")}) + ({_prob("(1 - p)", "u")}))
+                       AS w
+            FROM pat, prm{t - 1})"""
+        )
+        m_terms = ", ".join(
+            f"round(sum(n * w * g{f}) / sum(n * w), 9) AS m{f}"
+            for f in range(1, 4)
+        )
+        u_terms = ", ".join(
+            f"round(sum(n * (1 - w) * g{f}) / sum(n * (1 - w)), 9)"
+            f" AS u{f}"
+            for f in range(1, 4)
+        )
+        parts.append(
+            f"""prm{t} AS (
+            SELECT round(sum(n * w) / (SELECT nt FROM ntot), 9) AS p,
+                   {m_terms}, {u_terms}
+            FROM resp{t})"""
+        )
+    # Winkler clamp mirrored from fs_linkage_table: only the weight's
+    # inputs are clamped to [1e-6, 1-1e-6]; the posterior stays raw
+    def _cl(x: str) -> str:
+        return f"least(greatest({x}, 1e-6), 1 - 1e-6)"
+
+    weight = " + ".join(
+        f"(CASE WHEN g{f} = 1 THEN log2({_cl(f'm{f}')} / {_cl(f'u{f}')})"
+        f" ELSE log2((1 - {_cl(f'm{f}')}) / (1 - {_cl(f'u{f}')})) END)"
+        for f in range(1, 4)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT g1, g2, g3, n,
+               round(({_prob("p", "m")}) /
+                     (({_prob("p", "m")}) + ({_prob("(1 - p)", "u")})),
+                     6) AS w_match,
+               round({weight}, 6) AS weight,
+               CASE WHEN ({weight}) >= {upper} THEN 'link'
+                    WHEN ({weight}) <= {lower} THEN 'non_link'
+                    ELSE 'possible' END AS decision
+        FROM pat, prm{iters}
+        ORDER BY weight DESC, g1, g2, g3
     """
     )
 
@@ -10754,6 +10915,7 @@ def oracle_sql() -> dict[str, str]:
     out["kcenter"] = _sql_kcenter(k=6)
     out["bpe_merges"] = _sql_bpe(n_merges=8)
     out["sinkhorn"] = _sql_sinkhorn(nbins=16, width=50.0, eps=0.1, iters=6)
+    out["fs_linkage"] = _sql_fs_linkage(iters=10, upper=3.0, lower=0.0)
     # X203: the MG output is EXACT by the candidate-superset guarantee,
     # so its twin is the plain groupBy it replaces at scale.
     out["mg_heavy"] = """

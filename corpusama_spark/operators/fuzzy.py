@@ -29,7 +29,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["edit_near_pairs", "bleu_pairs", "ppjoin_pairs"]
+__all__ = [
+    "edit_near_pairs",
+    "bleu_pairs",
+    "ppjoin_pairs",
+    "agreement_patterns",
+    "fs_em_weights",
+    "fs_linkage_table",
+]
 
 
 def edit_near_pairs(
@@ -351,3 +358,191 @@ def ppjoin_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def agreement_patterns(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_tau: float = 0.5,
+    len_tau: float = 0.9,
+) -> DataFrame:
+    """Per-pair field-agreement vector for record linkage: for each
+    candidate pair, three binary comparators —
+    g1: word-3-gram Jaccard ≥ ``jaccard_tau``,
+    g2: char-length ratio min/max ≥ ``len_tau``,
+    g3: first whitespace token equal (case-folded).
+    Output (id_a, id_b, g1, g2, g3 as 0/1 ints). The corpus-scale part
+    of Fellegi–Sunter linkage: comparators are two equi-joins against
+    per-doc features built once (shingle sets, lengths, first tokens);
+    everything downstream runs on the 2³-row pattern table.
+    """
+    from corpusama_spark.operators.dedup import shingles
+
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, 3).alias("sh"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("ln"),
+        F.lower(
+            F.element_at(
+                F.filter(
+                    F.split(
+                        F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                        r"\s+",
+                    ),
+                    lambda w: F.length(w) > 0,
+                ),
+                1,
+            )
+        ).alias("w1"),
+    )
+    fa = feats.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("ln").alias("ln_a"),
+        F.col("w1").alias("w1_a"),
+    )
+    fb = feats.select(
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("ln").alias("ln_b"),
+        F.col("w1").alias("w1_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter / union.cast("double")).otherwise(0.0)
+    lr = F.when(
+        F.greatest("ln_a", "ln_b") > 0,
+        F.least("ln_a", "ln_b")
+        / F.greatest("ln_a", "ln_b").cast("double"),
+    ).otherwise(0.0)
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (jac >= float(jaccard_tau)).cast("int").alias("g1"),
+            (lr >= float(len_tau)).cast("int").alias("g2"),
+            (
+                F.col("w1_a").isNotNull()
+                & (F.col("w1_a") == F.col("w1_b"))
+            )
+            .cast("int")
+            .alias("g3"),
+        )
+    )
+
+
+def fs_em_weights(
+    patterns: DataFrame,
+    iters: int = 10,
+    init: tuple[float, float, float] = (0.1, 0.8, 0.2),
+) -> tuple[float, list[float], list[float]]:
+    """Unsupervised Fellegi–Sunter parameter estimation (Fellegi &
+    Sunter 1969; the EM fit is Winkler 1988): given the (g1, g2, g3)
+    agreement table, fit match prevalence p and per-field conditional
+    agreement probabilities m_f (among true matches) / u_f (among
+    non-matches) under conditional independence, by ``iters`` fixed EM
+    rounds from the pinned ``init`` (p₀, m₀, u₀). Returns
+    (p, [m1..m3], [u1..u3]), every parameter rounded to 9 dp per round
+    (the repo's trajectory-determinism contract).
+
+    Scale shape: the E/M sums run over the 2³-row PATTERN-COUNT table —
+    the corpus collapsed once in agreement_patterns — so this is a
+    bounded driver computation by construction (the train_logistic
+    precedent: corpus-sized work stays relational, parameter-sized math
+    is driver-side)."""
+    rows = (
+        patterns.groupBy("g1", "g2", "g3")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    pats = [((r.g1, r.g2, r.g3), float(r.n)) for r in rows]
+    n_tot = sum(n for _, n in pats)
+    p, m0, u0 = init
+    m = [m0] * 3
+    u = [u0] * 3
+    for _ in range(int(iters)):
+        sw = swn = 0.0
+        sm = [0.0] * 3
+        su = [0.0] * 3
+        for g, n in pats:
+            pm = p
+            pu = 1.0 - p
+            for f in range(3):
+                pm *= m[f] if g[f] else (1.0 - m[f])
+                pu *= u[f] if g[f] else (1.0 - u[f])
+            w = pm / (pm + pu)
+            sw += n * w
+            swn += n * (1.0 - w)
+            for f in range(3):
+                if g[f]:
+                    sm[f] += n * w
+                    su[f] += n * (1.0 - w)
+        p = round(sw / n_tot, 9)
+        m = [round(sm[f] / sw, 9) for f in range(3)]
+        u = [round(su[f] / swn, 9) for f in range(3)]
+    return p, m, u
+
+
+def fs_linkage_table(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = 10,
+    upper: float = 3.0,
+    lower: float = 0.0,
+) -> DataFrame:
+    """The Fellegi–Sunter decision table: one row per agreement
+    pattern with its pair count, EM-fitted match posterior, the
+    log₂ Π(m/u) composite weight, and the classic three-way decision
+    (link / possible / non-link by ``upper``/``lower`` weight
+    thresholds). The oracle twin replays the EM rounds in SQL, so the
+    learned parameters themselves are contract-checked.
+
+    Output: (g1, g2, g3, n, w_match 6 dp, weight 6 dp, decision)."""
+    import math
+
+    ap = agreement_patterns(pairs, docs, text_col, id_col)
+    p, m, u = fs_em_weights(ap, iters=iters)
+    # Winkler's standard clamp: a field the EM fits to exactly 0/1
+    # (every match agrees on length ratio, say) would put ±inf in the
+    # log weight; clamp ONLY the weight's inputs, posterior stays raw.
+    eps = 1e-6
+    mc = [min(max(v, eps), 1.0 - eps) for v in m]
+    uc = [min(max(v, eps), 1.0 - eps) for v in u]
+
+    def _ratio(f: int, agree: bool) -> float:
+        if agree:
+            return mc[f] / uc[f]
+        return (1.0 - mc[f]) / (1.0 - uc[f])
+
+    counts = ap.groupBy("g1", "g2", "g3").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    pm = F.lit(p)
+    pu = F.lit(1.0 - p)
+    weight = F.lit(0.0)
+    for f, col in enumerate(["g1", "g2", "g3"]):
+        g = F.col(col) == 1
+        pm = pm * F.when(g, F.lit(m[f])).otherwise(F.lit(1.0 - m[f]))
+        pu = pu * F.when(g, F.lit(u[f])).otherwise(F.lit(1.0 - u[f]))
+        weight = weight + F.when(
+            g, F.lit(math.log2(_ratio(f, True)))
+        ).otherwise(F.lit(math.log2(_ratio(f, False))))
+    w_match = pm / (pm + pu)
+    return counts.select(
+        "g1",
+        "g2",
+        "g3",
+        "n",
+        F.round(w_match, 6).alias("w_match"),
+        F.round(weight, 6).alias("weight"),
+        F.when(weight >= float(upper), F.lit("link"))
+        .when(weight <= float(lower), F.lit("non_link"))
+        .otherwise(F.lit("possible"))
+        .alias("decision"),
+    ).orderBy(F.desc("weight"), "g1", "g2", "g3")
