@@ -1453,6 +1453,33 @@ def q_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_linkage_table(pairs, docs, iters=10)
 
 
+def q_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-comparison-controlled drift alarms (X208): per-event-
+    type exact KS D → asymptotic Kolmogorov p (10-term series) →
+    Benjamini–Hochberg step-up at q=0.1 — the FDR discipline that keeps
+    a many-monitor drift dashboard from crying wolf α·m times."""
+    from corpusama_spark.operators.drift import (
+        ks_asymptotic_p,
+        ks_statistic,
+    )
+    from corpusama_spark.operators.stats import bh_fdr
+
+    ks = ks_statistic(
+        _t(spark, sf_dir, "events"), "event_type", "value", "ts",
+        "2024-01-16",
+    )
+    tests = ks.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "ks_d",
+        ks_asymptotic_p(
+            F.col("ks_d"), F.col("n_ref"), F.col("n_cur")
+        ).alias("p"),
+    )
+    return bh_fdr(tests, "p", q=0.1, tiebreak_cols=["event_type"])
+
+
 def q_sinkhorn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropic-OT (Sinkhorn) distance between per-source doc-length
     histograms (X206, Cuturi 2013): 16 bins × ε=0.1 × 6 scaling
@@ -4902,6 +4929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sinkhorn": q_sinkhorn,
         # -- X207: Fellegi-Sunter EM record-linkage decision table -----------
         "fs_linkage": q_fs_linkage,
+        # -- X208: BH-FDR control over the per-group KS drift tests ----------
+        "drift_fdr": q_drift_fdr,
     }
 
 
@@ -10916,6 +10945,67 @@ def oracle_sql() -> dict[str, str]:
     out["bpe_merges"] = _sql_bpe(n_merges=8)
     out["sinkhorn"] = _sql_sinkhorn(nbins=16, width=50.0, eps=0.1, iters=6)
     out["fs_linkage"] = _sql_fs_linkage(iters=10, upper=3.0, lower=0.0)
+    ks_series = " + ".join(
+        f"({'' if j % 2 == 1 else '-'}exp(-2.0 * {j * j} * lam * lam))"
+        for j in range(1, 11)
+    )
+    out["drift_fdr"] = f"""
+        WITH base AS (
+            SELECT event_type AS g, value AS v,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0
+                        END AS is_ref
+            FROM events),
+        counts AS (
+            SELECT g, v,
+                   CAST(sum(is_ref) AS BIGINT) AS rn,
+                   CAST(sum(1 - is_ref) AS BIGINT) AS cn
+            FROM base GROUP BY g, v),
+        totals AS (
+            SELECT g, CAST(sum(rn) AS BIGINT) AS n_ref,
+                   CAST(sum(cn) AS BIGINT) AS n_cur
+            FROM counts GROUP BY g),
+        ecdf AS (
+            SELECT c.g, c.v, t.n_ref, t.n_cur,
+                   abs(sum(rn) OVER w / CAST(t.n_ref AS DOUBLE)
+                       - sum(cn) OVER w / CAST(t.n_cur AS DOUBLE)) AS d
+            FROM counts c JOIN totals t USING (g)
+            WINDOW w AS (PARTITION BY c.g ORDER BY c.v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+        pick AS (
+            SELECT g, n_ref, n_cur, round(d, 6) AS ks_d,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY d DESC, v ASC) AS rnk
+            FROM ecdf),
+        ks AS (SELECT g AS event_type, n_ref, n_cur, ks_d
+               FROM pick WHERE rnk = 1),
+        pt AS (
+            SELECT event_type, n_ref, n_cur, ks_d,
+                   round(least(greatest(2.0 * ({ks_series}), 0.0), 1.0), 9)
+                       AS p
+            FROM (SELECT *,
+                         ks_d * sqrt(CAST(n_ref AS DOUBLE)
+                                     * CAST(n_cur AS DOUBLE)
+                                     / CAST(n_ref + n_cur AS DOUBLE))
+                             AS lam
+                  FROM ks)),
+        ranked AS (
+            SELECT *,
+                   CAST(row_number() OVER (ORDER BY p, event_type)
+                        AS INT) AS rank
+            FROM pt),
+        withcrit AS (
+            SELECT *,
+                   round(rank * 0.1 / (SELECT count(*) FROM pt), 9)
+                       AS crit
+            FROM ranked),
+        kstar AS (
+            SELECT coalesce(max(rank), 0) AS ks FROM withcrit
+            WHERE p <= crit)
+        SELECT event_type, n_ref, n_cur, ks_d, p, rank, crit,
+               rank <= (SELECT ks FROM kstar) AS reject
+        FROM withcrit ORDER BY rank
+    """
     # X203: the MG output is EXACT by the candidate-superset guarantee,
     # so its twin is the plain groupBy it replaces at scale.
     out["mg_heavy"] = """

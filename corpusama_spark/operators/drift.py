@@ -654,3 +654,27 @@ def sinkhorn_hist_distance(
         )
     )
     return cost.orderBy("src_a", "src_b")
+
+
+def ks_asymptotic_p(
+    d_col: Column, n_ref: Column, n_cur: Column, terms: int = 10
+) -> Column:
+    """Asymptotic two-sample KS p-value (Kolmogorov limit law,
+    Smirnov 1948): λ = D·√(n·m/(n+m)), p ≈ 2Σⱼ(−1)^{j−1}e^{−2j²λ²}
+    truncated at ``terms`` and clipped into [0, 1] — the standard
+    scipy.stats.distributions.kstwobign tail form, good for the
+    moderate-to-large samples a drift monitor sees. Rounded to 9 dp so
+    downstream threshold comparisons (BH) are engine-stable. Pure JVM
+    expression; pair with ks_statistic's (ks_d, n_ref, n_cur)."""
+    lam = d_col * F.sqrt(
+        n_ref.cast("double")
+        * n_cur.cast("double")
+        / (n_ref + n_cur).cast("double")
+    )
+    s = F.lit(0.0)
+    for j in range(1, int(terms) + 1):
+        term = F.exp(F.lit(-2.0 * j * j) * lam * lam)
+        s = s + (term if j % 2 == 1 else -term)
+    return F.round(
+        F.least(F.greatest(2.0 * s, F.lit(0.0)), F.lit(1.0)), 9
+    )

@@ -538,3 +538,43 @@ def mutual_information(
             F.when(F.col("hb") > 0, F.col("mi") / F.col("hb")), 6
         ).alias("u_b_given_a"),
     )
+
+
+def bh_fdr(
+    tests: DataFrame,
+    p_col: str,
+    q: float = 0.1,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control (BH 1995) across a table
+    of simultaneous test results — the multiple-comparison discipline
+    the audit lane needs: a drift monitor running one KS test per
+    source fires spurious alarms at rate α·|sources| without it. Ranks
+    p ascending (ties broken by p then input order is irrelevant —
+    equal p get adjacent ranks and identical verdicts), finds
+    k* = max{k : p₍ₖ₎ ≤ k·q/m}, rejects exactly ranks ≤ k*. Output =
+    input + (rank, crit = rank·q/m at 9 dp, reject).
+
+    Scale shape: the input is TEST results (one row per group/monitor),
+    thousands at most — the global rank window is over that table, not
+    the corpus; the k* reduction is a 1-row aggregate broadcast back.
+    ``tiebreak_cols`` pins the rank of equal p-values (verdicts are
+    tie-invariant by the step-up property, but the emitted rank column
+    must be deterministic)."""
+    m = tests.count()
+    w = Window.orderBy(
+        F.col(p_col).asc(),
+        *[F.col(c).asc() for c in (tiebreak_cols or [])],
+    )
+    ranked = tests.withColumn("rank", F.row_number().over(w)).withColumn(
+        "crit", F.round(F.col("rank") * F.lit(float(q)) / m, 9)
+    )
+    kstar = ranked.where(F.col(p_col) <= F.col("crit")).agg(
+        F.coalesce(F.max("rank"), F.lit(0)).alias("kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .withColumn("reject", F.col("rank") <= F.col("kstar"))
+        .drop("kstar")
+        .orderBy("rank")
+    )
