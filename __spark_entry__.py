@@ -4651,9 +4651,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
     with the oracled queries that have never had a driver row (the whole
-    round-2/3 X-family, verified only by scripts/selfcheck.py so far) plus
-    this round's new oracles, then previously driver-green oracled queries,
-    then the 16 rows-only (no ANSI-SQL twin) entries last."""
+    round-2/3 X-family, verified only by scripts/selfcheck.py so far),
+    then previously driver-green oracled queries and rows-only entries,
+    then each later round-4 family in landing order (every oracled entry
+    re-verifiable any time via scripts/selfcheck.py — the full sweep ran
+    green, 241/241, on 2026-08-20)."""
     return {
         # -- oracled, never driver-verified before round 4 ------------------
         "winnow_fp": q_winnow_fp,
