@@ -1480,6 +1480,20 @@ def q_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bh_fdr(tests, "p", q=0.1, tiebreak_cols=["event_type"])
 
 
+def q_unseen_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimates per source (X209): Good–Turing
+    unseen probability mass N₁/N (Good 1953) and bias-corrected Chao1
+    richness lower bound S + N₁(N₁−1)/(2(N₂+1)) (Chao 1984) from the
+    token frequency-of-frequencies — the keep-crawling/stop-crawling
+    signal per source. One map-side-combinable (source, token) groupBy
+    plus a source-sized rollup."""
+    from corpusama_spark.operators.skew import unseen_vocab_estimates
+
+    return unseen_vocab_estimates(
+        _t(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
 def q_sinkhorn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropic-OT (Sinkhorn) distance between per-source doc-length
     histograms (X206, Cuturi 2013): 16 bins × ε=0.1 × 6 scaling
@@ -4933,6 +4947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage": q_fs_linkage,
         # -- X208: BH-FDR control over the per-group KS drift tests ----------
         "drift_fdr": q_drift_fdr,
+        # -- X209: Good-Turing / Chao1 unseen-vocabulary estimates -----------
+        "unseen_vocab": q_unseen_vocab,
     }
 
 
@@ -11170,5 +11186,27 @@ def oracle_sql() -> dict[str, str]:
                round(fn_raw, 6) AS fn_area,
                round(fp_raw + fn_raw, 6) AS cost
         FROM areas ORDER BY cost, b
+    """
+    # X209: the coverage denominator is the UNROUNDED chao1 expression,
+    # exactly as in the Spark operator.
+    out["unseen_vocab"] = r"""
+        WITH tk AS (
+            SELECT source AS g, unnest(list_filter(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                   t -> len(t) > 0)) AS tok
+            FROM documents),
+        gc AS (SELECT g, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+        ag AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+                      CAST(count(*) AS BIGINT) AS n_types,
+                      CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n1,
+                      CAST(count(*) FILTER (WHERE c = 2) AS BIGINT) AS n2
+               FROM gc GROUP BY g)
+        SELECT g AS source, n_tokens, n_types, n1, n2,
+               round(n1 / CAST(n_tokens AS DOUBLE), 6) AS gt_unseen,
+               round(n_types + n1 * (n1 - 1) / (2.0 * (n2 + 1)), 6)
+                   AS chao1,
+               round(n_types / (n_types + n1 * (n1 - 1)
+                                / (2.0 * (n2 + 1))), 6) AS coverage
+        FROM ag ORDER BY source
     """
     return out

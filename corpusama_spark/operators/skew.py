@@ -389,3 +389,65 @@ def bucket_size_histogram(
         )
         .orderBy("bucket_size")
     )
+
+
+def unseen_vocab_estimates(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """How much vocabulary has this crawl NOT seen yet, per source —
+    the two classical species-richness estimators over the token
+    frequency-of-frequencies:
+
+    - ``gt_unseen`` = N₁/N (Good 1953; Good–Turing total probability
+      mass of unseen types — the leave-one-out argument: a token seen
+      once is what an unseen token looks like one sample later);
+    - ``chao1`` = S + N₁(N₁−1)/(2(N₂+1)) (Chao 1984, bias-corrected
+      form, finite when no doubletons exist) — a LOWER bound on true
+      type richness, so coverage = S/chao1 is an upper bound on the
+      fraction of the source's vocabulary already collected.
+
+    A source with gt_unseen ≈ 0.3 is still yielding new vocabulary at
+    a token every ~3 draws (keep crawling); one at 0.01 is exhausted.
+    Output per group: n_tokens, n_types, n1, n2, gt_unseen 6 dp,
+    chao1 6 dp, coverage 6 dp. Complements vocab_richness (X166),
+    which reports the OBSERVED ratios; these estimate the unobserved.
+
+    Scale shape: same single (group, token) groupBy as every token
+    statistic (map-side combinable), then a group-sized rollup —
+    the frequency-of-frequencies collapse adds no extra pass.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+            r"\s+",
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    counts = (
+        df.select(F.col(group_col).alias("g"), F.explode(toks).alias("tok"))
+        .groupBy("g", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per = counts.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("n2"),
+    )
+    chao1 = F.col("n_types") + F.col("n1") * (F.col("n1") - 1) / (
+        2.0 * (F.col("n2") + 1)
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "n_types",
+        "n1",
+        "n2",
+        F.round(F.col("n1") / F.col("n_tokens").cast("double"), 6).alias(
+            "gt_unseen"
+        ),
+        F.round(chao1, 6).alias("chao1"),
+        F.round(F.col("n_types") / chao1, 6).alias("coverage"),
+    ).orderBy(group_col)
