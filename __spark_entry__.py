@@ -1494,6 +1494,22 @@ def q_unseen_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-(source, lang) count release (X210):
+    the Laplace mechanism with ε=0.5 and DETERMINISTIC inverse-CDF noise
+    from md5(seed:group) — retry-safe where rand() would double-spend
+    the privacy budget on speculated tasks. Noise pinned at 6 dp before
+    the integer release. The grouping key is the same quasi-identifier
+    pair the k-anonymity audit (X152 lane) flags, so this is the release
+    path for a slice the audit refuses to publish row-level."""
+    from corpusama_spark.operators.privacy import dp_noisy_counts
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "src_lang", F.concat_ws("/", "source", "lang")
+    )
+    return dp_noisy_counts(docs, "src_lang", epsilon=0.5, seed="dp")
+
+
 def q_sinkhorn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropic-OT (Sinkhorn) distance between per-source doc-length
     histograms (X206, Cuturi 2013): 16 bins × ε=0.1 × 6 scaling
@@ -4949,6 +4965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_fdr": q_drift_fdr,
         # -- X209: Good-Turing / Chao1 unseen-vocabulary estimates -----------
         "unseen_vocab": q_unseen_vocab,
+        # -- X210: DP Laplace-mechanism noisy count release -------------------
+        "dp_counts": q_dp_counts,
     }
 
 
@@ -11208,5 +11226,29 @@ def oracle_sql() -> dict[str, str]:
                round(n_types / (n_types + n1 * (n1 - 1)
                                 / (2.0 * (n2 + 1))), 6) AS coverage
         FROM ag ORDER BY source
+    """
+    # X210: the released count uses the 6dp-PINNED noise (round before the
+    # integer release), exactly as the Spark operator does, so cross-engine
+    # ln() ULP drift cannot move n_released.
+    out["dp_counts"] = r"""
+        WITH c AS (
+            SELECT source || '/' || lang AS src_lang,
+                   CAST(count(*) AS BIGINT) AS n_exact
+            FROM documents GROUP BY 1),
+        n AS (
+            SELECT src_lang, n_exact,
+                   (CAST(('0x' || substr(md5('dp:' || src_lang), 1, 8))
+                         AS BIGINT) + 0.5) / 4294967296.0 AS u
+            FROM c),
+        z AS (
+            SELECT src_lang, n_exact,
+                   round(-2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
+                         6) AS noise
+            FROM n)
+        SELECT src_lang, n_exact, noise,
+               CAST(greatest(0.0, round(n_exact + noise, 0)) AS BIGINT)
+                   AS n_released,
+               0.5 AS epsilon
+        FROM z ORDER BY src_lang
     """
     return out

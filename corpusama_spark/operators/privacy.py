@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity", "l_diversity", "t_closeness"]
+__all__ = ["k_anonymity", "l_diversity", "t_closeness", "dp_noisy_counts"]
 
 
 def k_anonymity(
@@ -227,4 +227,74 @@ def t_closeness(
             ).alias("t_close"),
         )
         .orderBy(F.desc("t_close"), *names)
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private release of per-group counts (X210): the
+    classic Laplace mechanism (Dwork et al. 2006) with scale
+    b = Δf/ε = 1/ε (a COUNT query has sensitivity 1), completing the
+    privacy lane — k-anonymity/l-diversity/t-closeness audit the
+    released slice, this operator releases the aggregate itself.
+
+    The noise is DETERMINISTIC: a Laplace draw via inverse-CDF over a
+    uniform derived from md5(seed:group) — the same retry-safe idiom as
+    curation.hash_uniform. rand() would give a speculated/re-executed
+    task a different noise draw, silently double-spending the privacy
+    budget; a keyed hash re-derives the identical draw. (One draw per
+    GROUP, not per row, exactly as the mechanism requires.) The uniform
+    is centered as u = (h + 0.5)/2^32 ∈ (0, 1), so |u − 0.5| < 0.5 and
+    ln(1 − 2|u − 0.5|) is always finite; noise is pinned at 6 dp before
+    the integer release so any cross-engine ln() ULP drift cannot move
+    the released count.
+
+    Output per group: n_exact (the audit column — drop it in an actual
+    release), noise (6 dp), n_released = max(0, round(n_exact + noise))
+    as BIGINT, and the epsilon literal for the release manifest.
+
+    Scale shape (10^12 rows): ONE map-side-combinable groupBy collapses
+    the corpus to |groups| rows; the noise is scan-stage expressions on
+    that collapsed table. Nothing else shuffles.
+    """
+    b = 1.0 / float(epsilon)
+    counts = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + ":"), F.col(group_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    t = u - F.lit(0.5)
+    noise = F.round(
+        F.lit(-b) * F.signum(t) * F.log(F.lit(1.0) - 2.0 * F.abs(t)), 6
+    )
+    return (
+        counts.withColumn("noise", noise + F.lit(0.0))
+        .select(
+            group_col,
+            "n_exact",
+            "noise",
+            F.greatest(
+                F.lit(0.0), F.round(F.col("n_exact") + F.col("noise"), 0)
+            )
+            .cast("long")
+            .alias("n_released"),
+            F.lit(float(epsilon)).alias("epsilon"),
+        )
+        .orderBy(group_col)
     )
