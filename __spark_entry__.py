@@ -1510,6 +1510,42 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_counts(docs, "src_lang", epsilon=0.5, seed="dp")
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of three incomparable quality signals
+    (X211, Cormack et al. 2009): char length, type-token ratio, alpha
+    share — fused as Σ 1/(60+rank_s) with no scale calibration. Global
+    per-signal ranks come from ONE range exchange over the unioned
+    long-format signals + broadcast partition offsets (no
+    single-partition global window); top-100 released."""
+    from corpusama_spark.operators.ranking import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.filter(
+        F.split(F.lower(F.trim(txt)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n_toks = F.size(toks)
+    sig_len = F.length(txt).cast("double")
+    sig_ttr = (
+        F.when(
+            n_toks > 0,
+            F.size(F.array_distinct(toks)).cast("double") / n_toks,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    sig_alpha = F.length(
+        F.regexp_replace(txt, "[^A-Za-z]", "")
+    ).cast("double") / F.greatest(F.length(txt), F.lit(1)).cast("double")
+    return rrf_fuse(
+        docs,
+        "doc_id",
+        {"len": sig_len, "ttr": sig_ttr, "alpha": sig_alpha},
+        k=60,
+        topn=100,
+    )
+
+
 def q_sinkhorn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropic-OT (Sinkhorn) distance between per-source doc-length
     histograms (X206, Cuturi 2013): 16 bins × ε=0.1 × 6 scaling
@@ -4967,6 +5003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unseen_vocab": q_unseen_vocab,
         # -- X210: DP Laplace-mechanism noisy count release -------------------
         "dp_counts": q_dp_counts,
+        # -- X211: reciprocal-rank fusion of quality signals ------------------
+        "rrf_fusion": q_rrf_fusion,
     }
 
 
@@ -11250,5 +11288,39 @@ def oracle_sql() -> dict[str, str]:
                    AS n_released,
                0.5 AS epsilon
         FROM z ORDER BY src_lang
+    """
+    # X211: per-signal row_number with the doc_id tiebreak mirrors the
+    # range-partition + broadcast-offset global ranks on the Spark side.
+    out["rrf_fusion"] = r"""
+        WITH base AS (
+            SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+        tk AS (
+            SELECT doc_id, unnest(list_filter(string_split_regex(
+                       lower(trim(txt)), '\s+'), t -> len(t) > 0)) AS tok
+            FROM base),
+        tstat AS (
+            SELECT doc_id, count(*) AS n_toks,
+                   count(DISTINCT tok) AS n_d
+            FROM tk GROUP BY 1),
+        sig AS (
+            SELECT b.doc_id,
+                   CAST(length(txt) AS DOUBLE) AS s_len,
+                   coalesce(CAST(n_d AS DOUBLE) / n_toks, 0.0) AS s_ttr,
+                   CAST(length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))
+                        AS DOUBLE) / greatest(length(txt), 1) AS s_alpha
+            FROM base b LEFT JOIN tstat USING (doc_id)),
+        r AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY s_len DESC, doc_id)
+                        AS BIGINT) AS rank_len,
+                   CAST(row_number() OVER (ORDER BY s_ttr DESC, doc_id)
+                        AS BIGINT) AS rank_ttr,
+                   CAST(row_number() OVER (ORDER BY s_alpha DESC, doc_id)
+                        AS BIGINT) AS rank_alpha
+            FROM sig)
+        SELECT doc_id, rank_len, rank_ttr, rank_alpha,
+               round(1.0 / (60 + rank_len) + 1.0 / (60 + rank_ttr)
+                     + 1.0 / (60 + rank_alpha), 9) AS rrf_score
+        FROM r ORDER BY rrf_score DESC, doc_id LIMIT 100
     """
     return out

@@ -25,7 +25,7 @@ exact at 6 decimals, the topk_cosine float-stability precedent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -172,3 +172,109 @@ def rbo_vocab_rankings(
             F.col("_ovk") / (2.0 * k - F.col("_ovk")), 6
         ).alias("jaccard_at_k"),
     )
+
+
+def rrf_fuse(
+    df: DataFrame,
+    id_col: str,
+    signals: dict[str, Column],
+    k: int = 60,
+    topn: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (X211, Cormack, Clarke & Buettcher 2009)
+    of several quality signals into one ranking:
+
+        rrf(d) = Σ_s 1 / (k + rank_s(d)),   k = 60 by default
+
+    RRF is the standard way to combine incomparable signals (lexical
+    score, length heuristics, model scores) without calibrating scales —
+    only RANKS enter the sum, so a signal with wild units can't dominate.
+    Every signal ranks DESCENDING (higher = better) with the id as the
+    deterministic tiebreak.
+
+    Scale shape (10^12 rows): global per-signal ranks are computed
+    WITHOUT a single-partition global window. All |signals| projections
+    union into long format (id, sig, v) and range-repartition on
+    (sig, v desc, id) — each signal occupies a contiguous partition
+    range, so one per-partition count collect (|parts| rows) + broadcast
+    offsets turns per-partition row_numbers into global union positions;
+    per-signal rank = union position − sig·n. ONE range exchange + one
+    hash groupBy(id) total, both map-side combinable; the final top-N
+    compiles to TakeOrderedAndProject.
+
+    Output: id, rank_<name> per signal, rrf_score (9 dp), fused_rank.
+    """
+    from pyspark.sql.window import Window
+
+    names = list(signals)
+    spark = df.sparkSession
+    parts = []
+    for i, name in enumerate(names):
+        parts.append(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.lit(i).alias("_sig"),
+                signals[name].cast("double").alias("_v"),
+            )
+        )
+    longf = parts[0]
+    for p in parts[1:]:
+        longf = longf.unionByName(p)
+
+    n_parts = spark.sparkContext.defaultParallelism
+    ranged = (
+        longf.repartitionByRange(
+            n_parts, F.asc("_sig"), F.desc("_v"), F.asc("_id")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(n for _, n in psums)
+    n_rows = total // len(names)
+    offsets, running = [], 0
+    for pid, n in psums:
+        offsets.append((pid, running))
+        running += n
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(
+        F.asc("_sig"), F.desc("_v"), F.asc("_id")
+    )
+    ranked = (
+        ranged.join(F.broadcast(off), "_pid")
+        .withColumn(
+            "_rank",
+            (
+                F.col("_off")
+                + F.row_number().over(w)
+                - F.col("_sig") * F.lit(n_rows)
+            ).cast("long"),
+        )
+        .drop("_pid", "_off", "_v")
+    )
+    fused = ranked.groupBy("_id").agg(
+        *[
+            F.max(F.when(F.col("_sig") == i, F.col("_rank")))
+            .cast("long")
+            .alias(f"rank_{name}")
+            for i, name in enumerate(names)
+        ],
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("_rank"))), 9
+        ).alias("rrf_score"),
+    )
+    out = fused.select(
+        F.col("_id").alias(id_col),
+        *[f"rank_{name}" for name in names],
+        "rrf_score",
+    ).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    if topn is not None:
+        out = out.limit(topn)
+    # `ranged` stays persisted until the caller's action completes — an
+    # eager unpersist here would let the range exchange recompute with
+    # fresh sampled boundaries and invalidate the collected offsets;
+    # the ContextCleaner reclaims it once unreferenced.
+    return out
