@@ -4654,6 +4654,19 @@ def q_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+def q_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure / contrast / information gate over the synthesized
+    captions table (X212; rows-only: decode UDF): luma clip shares,
+    p99−p1 dynamic range, 64-bin histogram entropy, first-failing
+    reason. Decode only inside Arrow batches; 5 scalars per image
+    shuffle."""
+    from corpusama_spark.functions.imageops import exposure_gate
+    from corpusama_spark.sources.synth import captions_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return exposure_gate(captions_from_documents(docs)).orderBy("image_id")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5005,6 +5018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_counts": q_dp_counts,
         # -- X211: reciprocal-rank fusion of quality signals ------------------
         "rrf_fusion": q_rrf_fusion,
+        # -- X212: exposure/contrast/entropy image gate (rows-only) -----------
+        "exposure": q_exposure,
     }
 
 

@@ -868,3 +868,129 @@ def shot_boundaries(
         schema="id long, shot_no int, start_frame int, n_frames int,"
         " cut_dist double",
     ).withColumnRenamed("id", id_col)
+
+
+def exposure_gate(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    max_clip: float = 0.25,
+    min_dynamic_range: int = 16,
+    min_entropy: float = 1.0,
+) -> DataFrame:
+    """Exposure / contrast / information gate (X212) — the "is there a
+    usable picture here at all?" triage for crawled image corpora,
+    complementing the blur (X186) and colorfulness (X198) gates: per
+    image, from the ITU-R 601 luma,
+
+    - ``clip_low`` / ``clip_high``: share of pixels in the crushed
+      shadows (luma < 8) / blown highlights (luma > 247) — flat black /
+      flat white frames, scanner misfires, dead thumbnails;
+    - ``dyn_range``: p99 − p1 of luma (robust contrast; a near-constant
+      slide has ~0);
+    - ``luma_entropy``: Shannon entropy (bits) of the 64-bin luma
+      histogram — the standard exposure-quality proxy (a well-exposed
+      photo ≈ 4–6 bits; a solid color is 0);
+
+    keep iff max(clip_low, clip_high) <= max_clip AND dyn_range >=
+    min_dynamic_range AND luma_entropy >= min_entropy, with the first
+    failing reason reported (under/overexposed, low_contrast,
+    low_entropy). Corrupt bytes fail with decode_error:* instead of
+    raising (the tolerated-failure contract).
+
+    Scale shape: decode ONLY inside Arrow batches (mapInPandas in the
+    scan stage); emitted rows are a handful of doubles per image —
+    pixels/bytes never shuffle. Histogram, percentiles, and entropy are
+    one np.bincount per image.
+    """
+    from corpusama_spark.io.imagecodec import decode_image as _dec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                "id": [],
+                "clip_low": [],
+                "clip_high": [],
+                "dyn_range": [],
+                "luma_entropy": [],
+                "reason": [],
+            }
+            for iid, data, fmt in zip(
+                pdf[id_col], pdf[bytes_col], pdf[fmt_col]
+            ):
+                out["id"].append(iid)
+                try:
+                    arr = _dec(bytes(data), str(fmt)).astype("float64")
+                except Exception as e:  # noqa: BLE001 - tolerated failures
+                    for k in (
+                        "clip_low",
+                        "clip_high",
+                        "dyn_range",
+                        "luma_entropy",
+                    ):
+                        out[k].append(None)
+                    out["reason"].append(
+                        f"decode_error:{type(e).__name__}"
+                    )
+                    continue
+                luma = (
+                    0.299 * arr[:, :, 0]
+                    + 0.587 * arr[:, :, 1]
+                    + 0.114 * arr[:, :, 2]
+                )
+                lu8 = np.clip(np.round(luma), 0, 255).astype("int64")
+                n = lu8.size
+                hist = np.bincount(lu8.ravel(), minlength=256)
+                clo = float(np.round(hist[:8].sum() / n, 6))
+                chi = float(np.round(hist[248:].sum() / n, 6))
+                p1, p99 = np.percentile(lu8, [1.0, 99.0])
+                dyn = int(p99 - p1)
+                h64 = hist.reshape(64, 4).sum(axis=1)
+                p = h64[h64 > 0] / n
+                ent = float(np.round(-(p * np.log2(p)).sum(), 4))
+                out["clip_low"].append(clo)
+                out["clip_high"].append(chi)
+                out["dyn_range"].append(dyn)
+                out["luma_entropy"].append(ent)
+                out["reason"].append(None)
+            yield pd.DataFrame(out)
+
+    parts = df.select(
+        F.col(id_col).cast("string").alias(id_col), bytes_col, fmt_col
+    ).mapInPandas(
+        gen,
+        schema=(
+            "id string, clip_low double, clip_high double, "
+            "dyn_range long, luma_entropy double, reason string"
+        ),
+    )
+    failed = F.col("reason").isNotNull()
+    return parts.select(
+        F.col("id").alias(id_col),
+        "clip_low",
+        "clip_high",
+        "dyn_range",
+        "luma_entropy",
+        F.when(failed, F.lit(False))
+        .otherwise(
+            (F.greatest("clip_low", "clip_high") <= F.lit(float(max_clip)))
+            & (F.col("dyn_range") >= F.lit(int(min_dynamic_range)))
+            & (F.col("luma_entropy") >= F.lit(float(min_entropy)))
+        )
+        .alias("exposure_keep"),
+        F.when(failed, F.col("reason"))
+        .when(F.col("clip_high") > F.lit(float(max_clip)), F.lit("overexposed"))
+        .when(F.col("clip_low") > F.lit(float(max_clip)), F.lit("underexposed"))
+        .when(
+            F.col("dyn_range") < F.lit(int(min_dynamic_range)),
+            F.lit("low_contrast"),
+        )
+        .when(
+            F.col("luma_entropy") < F.lit(float(min_entropy)),
+            F.lit("low_entropy"),
+        )
+        .alias("exposure_reason"),
+    )
