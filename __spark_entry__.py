@@ -4667,6 +4667,24 @@ def q_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exposure_gate(captions_from_documents(docs)).orderBy("image_id")
 
 
+def q_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (X213, Artetxe & Schwenk 2019 —
+    the CCMatrix/LASER criterion, ratio variant): even vec_ids are the
+    source pool, odd vec_ids the target pool; per-source best candidate
+    by cos/((fwd_k+bwd_k)/2) with k=4, kept at margin >= 1.0, with the
+    mutual-nearest flag. Normalizing by each node's own neighborhood
+    similarity kills hub captions that raw cosine would mine against
+    everything."""
+    from corpusama_spark.operators.similarity import margin_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    src = emb.where(F.col("vec_id") % 2 == 0)
+    tgt = emb.where(F.col("vec_id") % 2 == 1)
+    return margin_pairs(src, tgt, k=4, threshold=1.0)
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5020,6 +5038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         # -- X212: exposure/contrast/entropy image gate (rows-only) -----------
         "exposure": q_exposure,
+        # -- X213: margin-based parallel-pair mining (CCMatrix criterion) -----
+        "margin_pairs": q_margin_pairs,
     }
 
 
@@ -11337,5 +11357,62 @@ def oracle_sql() -> dict[str, str]:
                round(1.0 / (60 + rank_len) + 1.0 / (60 + rank_ttr)
                      + 1.0 / (60 + rank_alpha), 9) AS rrf_score
         FROM r ORDER BY rrf_score DESC, doc_id LIMIT 100
+    """
+    out["margin_pairs"] = """
+        WITH s AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 2 = 0),
+        t AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 2 = 1),
+        fwd AS (
+            SELECT * FROM (
+                SELECT src_id, tgt_id, cos_sim,
+                       row_number() OVER (PARTITION BY src_id
+                                          ORDER BY cos_sim DESC, tgt_id)
+                           AS rnk
+                FROM (
+                    SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                           round(list_cosine_similarity(s.v, t.v), 6)
+                               AS cos_sim
+                    FROM s, t))
+            WHERE rnk <= 4),
+        bwd AS (
+            SELECT * FROM (
+                SELECT tgt_id, src_id, cos_sim,
+                       row_number() OVER (PARTITION BY tgt_id
+                                          ORDER BY cos_sim DESC, src_id)
+                           AS rnk
+                FROM (
+                    SELECT t.vec_id AS tgt_id, s.vec_id AS src_id,
+                           round(list_cosine_similarity(t.v, s.v), 6)
+                               AS cos_sim
+                    FROM t, s))
+            WHERE rnk <= 4),
+        fa AS (SELECT src_id,
+                      sum(CAST(round(cos_sim * 1000000.0) AS BIGINT)) AS fi,
+                      count(*) AS fn
+               FROM fwd GROUP BY 1),
+        ba AS (SELECT tgt_id,
+                      sum(CAST(round(cos_sim * 1000000.0) AS BIGINT)) AS bi,
+                      count(*) AS bn
+               FROM bwd GROUP BY 1),
+        bb AS (SELECT tgt_id, src_id AS back_src FROM bwd WHERE rnk = 1),
+        sc AS (
+            SELECT f.src_id, f.tgt_id, f.cos_sim,
+                   round(f.cos_sim
+                         / ((fa.fi / 1000000.0 / fa.fn
+                             + ba.bi / 1000000.0 / ba.bn) / 2.0), 6)
+                       AS margin
+            FROM fwd f JOIN fa USING (src_id) JOIN ba USING (tgt_id)),
+        best AS (
+            SELECT *, row_number() OVER (PARTITION BY src_id
+                                         ORDER BY margin DESC, tgt_id) AS rn
+            FROM sc)
+        SELECT b.src_id, b.tgt_id, b.cos_sim, b.margin,
+               coalesce(bb.back_src = b.src_id, FALSE) AS mutual
+        FROM best b LEFT JOIN bb ON bb.tgt_id = b.tgt_id
+        WHERE b.rn = 1 AND b.margin >= 1.0
+        ORDER BY b.src_id
     """
     return out

@@ -953,3 +953,114 @@ def label_cohesion(
         )
         .orderBy(label_col)
     )
+
+
+def margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fwd_graph: DataFrame | None = None,
+    bwd_graph: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (X213; Artetxe & Schwenk 2019,
+    the CCMatrix/LASER bitext-mining criterion, ratio variant): for a
+    candidate pair (x, y) with x from ``src`` and y from ``tgt``,
+
+        margin(x, y) = cos(x, y) / ((fwd_k(x) + bwd_k(y)) / 2)
+
+    where fwd_k(x) = mean cos of x's k nearest targets and bwd_k(y) =
+    mean cos of y's k nearest sources. Dividing by the LOCAL similarity
+    scale fixes raw-cosine mining's hubness failure: a generic "hub"
+    caption scores high against everything, so its denominator is high
+    too and its margin collapses — only pairs that are similar *relative
+    to their own neighborhoods* survive. This is how web-scale image/
+    caption or cross-lingual pair corpora are mined from two embedding
+    pools (one per language/modality) before alignment filtering
+    (alignment.py) and semantic dedup (curation.py) run.
+
+    Output: per-src BEST candidate with margin >= threshold —
+    (src_id, tgt_id, cos_sim, margin, mutual), where ``mutual`` says y's
+    own nearest source (backward rank-1 by cosine, id tiebreak) is x —
+    the intersection-strategy signal; downstream can filter on it for
+    the high-precision regime.
+
+    Scale shape (10^12 rows): the default builds EXACT k-NN graphs via
+    brute_force_topk (broadcast query side — audit/small-pool sizes
+    only). At scale pass ``fwd_graph``/``bwd_graph``: the ANN output
+    (ann_topk / ivf_topk / multiprobe_lsh_topk) IS that table — columns
+    (query_id, cand_id, cos_sim, rank). Everything downstream is
+    edge-shaped: two node-sized mean tables (map-side-combinable
+    groupBys) join back onto the k·|src| candidate edges by their own
+    keys, the per-src argmax window is k-bounded, and no cross join or
+    full-pool broadcast exists outside the explicitly-bounded default.
+
+    Determinism: cosines arrive 6-dp rounded (brute_force_topk
+    contract); the neighborhood penalty accumulates as an INTEGER
+    micro-cosine sum (round(cos·10⁶) as long) — float means summed in
+    engine-dependent order flip the 6-dp margin round on boundary rows,
+    integer sums are associative — then one deterministic float divide;
+    margins round to 6 dp; every window tiebreaks on id — DuckDB-oracle
+    exact.
+    """
+    from pyspark.sql.window import Window
+
+    if fwd_graph is None:
+        fwd_graph = brute_force_topk(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
+    if bwd_graph is None:
+        bwd_graph = brute_force_topk(src, tgt, k=k, id_col=id_col, vec_col=vec_col)
+
+    micro = F.round(F.col("cos_sim") * F.lit(1_000_000.0)).cast("long")
+    fwd_avg = fwd_graph.groupBy(F.col("query_id").alias("src_id")).agg(
+        F.sum(micro).alias("_fi"), F.count("*").alias("_fn")
+    )
+    bwd_avg = bwd_graph.groupBy(F.col("query_id").alias("tgt_id")).agg(
+        F.sum(micro).alias("_bi"), F.count("*").alias("_bn")
+    )
+    bwd_best = bwd_graph.where(F.col("rank") == 1).select(
+        F.col("query_id").alias("tgt_id"),
+        F.col("cand_id").alias("back_src"),
+    )
+    cand = fwd_graph.select(
+        F.col("query_id").alias("src_id"),
+        F.col("cand_id").alias("tgt_id"),
+        "cos_sim",
+    )
+    scored = (
+        cand.join(fwd_avg, "src_id")
+        .join(bwd_avg, "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cos_sim")
+                / (
+                    (
+                        F.col("_fi") / F.lit(1_000_000.0) / F.col("_fn")
+                        + F.col("_bi") / F.lit(1_000_000.0) / F.col("_bn")
+                    )
+                    / F.lit(2.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("margin") >= F.lit(float(threshold))))
+        .join(bwd_best, "tgt_id", "left")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_sim",
+            "margin",
+            F.coalesce(F.col("back_src") == F.col("src_id"), F.lit(False)).alias(
+                "mutual"
+            ),
+        )
+        .orderBy("src_id")
+    )
