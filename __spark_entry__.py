@@ -4685,6 +4685,20 @@ def q_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_pairs(src, tgt, k=4, threshold=1.0)
 
 
+def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor over the embeddings table (X214, Breunig et
+    al. 2000): cosine-distance k=5 density ratios — LOF >> 1 flags
+    mis-embedded junk that poisons semantic dedup and ANN recall.
+    Integer micro-distance sums keep every accumulation associative, so
+    the DuckDB twin is value-exact."""
+    from corpusama_spark.operators.similarity import lof_scores
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return lof_scores(emb, k=5, threshold=1.5)
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5040,6 +5054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exposure": q_exposure,
         # -- X213: margin-based parallel-pair mining (CCMatrix criterion) -----
         "margin_pairs": q_margin_pairs,
+        # -- X214: Local Outlier Factor embedding outliers ---------------------
+        "lof": q_lof,
     }
 
 
@@ -11414,5 +11430,48 @@ def oracle_sql() -> dict[str, str]:
         FROM best b LEFT JOIN bb ON bb.tgt_id = b.tgt_id
         WHERE b.rn = 1 AND b.margin >= 1.0
         ORDER BY b.src_id
+    """
+    out["lof"] = """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        g AS (
+            SELECT p, o, d_i FROM (
+                SELECT a.vec_id AS p, b.vec_id AS o,
+                       CAST(round((1.0 - round(
+                           list_cosine_similarity(a.v, b.v), 6))
+                           * 1000000.0) AS BIGINT) AS d_i,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY round(list_cosine_similarity(a.v, b.v), 6)
+                                        DESC, b.vec_id) AS rnk
+                FROM e a, e b WHERE a.vec_id != b.vec_id)
+            WHERE rnk <= 5),
+        kd AS (SELECT p AS o, max(d_i) AS kd_i FROM g GROUP BY 1),
+        r AS (SELECT g.p, greatest(kd.kd_i, g.d_i) AS reach_i
+              FROM g JOIN kd USING (o)),
+        l AS (SELECT p, count(*) AS n,
+                     CASE WHEN sum(reach_i) > 0
+                          THEN round(count(*) * 1000000.0 / sum(reach_i), 6)
+                     END AS lrd
+              FROM r GROUP BY 1),
+        li AS (SELECT p, n, lrd,
+                      CAST(round(lrd * 1000000.0) AS BIGINT) AS lrd_i
+               FROM l),
+        nb AS (SELECT g.p, sum(li2.lrd_i) AS slo, count(li2.lrd_i) AS nlo
+               FROM g JOIN li li2 ON li2.p = g.o GROUP BY 1)
+        SELECT li.p AS vec_id, round(li.lrd, 6) AS lrd,
+               CASE WHEN li.lrd_i IS NOT NULL AND li.lrd_i > 0
+                         AND nb.nlo = li.n
+                    THEN round(nb.slo / (li.n * li.lrd_i), 6) END AS lof,
+               CASE WHEN (CASE WHEN li.lrd_i IS NOT NULL AND li.lrd_i > 0
+                                    AND nb.nlo = li.n
+                               THEN round(nb.slo / (li.n * li.lrd_i), 6)
+                          END) IS NOT NULL
+                    THEN (CASE WHEN li.lrd_i IS NOT NULL AND li.lrd_i > 0
+                                    AND nb.nlo = li.n
+                               THEN round(nb.slo / (li.n * li.lrd_i), 6)
+                          END) >= 1.5
+               END AS is_outlier
+        FROM li JOIN nb USING (p) ORDER BY 1
     """
     return out

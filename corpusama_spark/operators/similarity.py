@@ -1064,3 +1064,108 @@ def margin_pairs(
         )
         .orderBy("src_id")
     )
+
+
+def lof_scores(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 1.5,
+    graph: DataFrame | None = None,
+) -> DataFrame:
+    """Local Outlier Factor (X214; Breunig et al. 2000) over an
+    embedding column — the density-ratio outlier score curation needs
+    BEFORE similarity-based ops run: LOF ≈ 1 means "as dense as my
+    neighbors" (inlier), LOF >> 1 means "my neighborhood is far sparser
+    than my neighbors' neighborhoods" (mis-embedded junk, OCR garbage,
+    off-modality rows — the vectors that poison SemDeDup buckets and
+    ANN recall). Complements knn_hubness (graph in-degree) with the
+    classic local-density view.
+
+    Cosine distance d = 1 − cos throughout. With N_k(p) the k nearest
+    (deterministic id tiebreaks; exactly k, not the tie-inclusive
+    textbook set — documented deviation), kdist(o) = d of o's k-th
+    neighbor, reach(p,o) = max(kdist(o), d(p,o)):
+
+        lrd(p) = |N_k| / Σ_o reach(p,o)
+        LOF(p) = mean_o lrd(o) / lrd(p)
+
+    Rows whose whole neighborhood sits at distance 0 (exact-duplicate
+    collapse) have undefined density: lrd/lof are NULL there — run
+    exact dedup first, as the pipeline does.
+
+    Scale shape (10^12 rows): pass ``graph`` = the ANN output
+    (query_id, cand_id, cos_sim, rank) — every downstream step is
+    edge-shaped (two map-side-combinable groupBys + two hash joins on
+    the edge table's own keys). The default builds the exact graph via
+    brute_force_topk (broadcast query side) — bounded audit pools only.
+
+    Determinism: distances become INTEGER micro-units (round((1−cos)·10⁶)
+    on the 6-dp cosine — exact), so reach sums and lrd-mean sums are
+    associative integers; lrd pins to 6 dp and re-enters as an integer;
+    every ratio is ONE float divide of exact operands — DuckDB-oracle
+    exact.
+    """
+    if graph is None:
+        graph = brute_force_topk(emb, emb, k=k, id_col=id_col, vec_col=vec_col)
+    edges = graph.where(F.col("rank") <= k).select(
+        F.col("query_id").alias("p"),
+        F.col("cand_id").alias("o"),
+        F.round((F.lit(1.0) - F.col("cos_sim")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("d_i"),
+    )
+    kdist = edges.groupBy(F.col("p").alias("o")).agg(
+        F.max("d_i").alias("kd_i")
+    )
+    reach = edges.join(kdist, "o").select(
+        "p", "o", F.greatest("kd_i", "d_i").alias("reach_i")
+    )
+    lrd = reach.groupBy("p").agg(
+        F.sum("reach_i").alias("_sr"), F.count("*").alias("_n")
+    )
+    # lrd = n / (Σ reach / 1e6); NULL when the neighborhood collapsed
+    lrd = lrd.select(
+        "p",
+        "_n",
+        F.when(
+            F.col("_sr") > 0,
+            F.round(
+                F.col("_n") * F.lit(1_000_000.0) / F.col("_sr"), 6
+            ),
+        ).alias("lrd"),
+    ).withColumn(
+        "lrd_i", F.round(F.col("lrd") * F.lit(1_000_000.0)).cast("long")
+    )
+    nbr_lrd = edges.join(
+        lrd.select(F.col("p").alias("o"), F.col("lrd_i").alias("o_lrd_i")),
+        "o",
+    ).groupBy("p").agg(
+        F.sum("o_lrd_i").alias("_slo"),
+        F.count("o_lrd_i").alias("_nlo"),
+    )
+    out = (
+        lrd.join(nbr_lrd, "p")
+        .select(
+            F.col("p").alias(id_col),
+            F.round(F.col("lrd"), 6).alias("lrd"),
+            F.when(
+                F.col("lrd_i").isNotNull()
+                & (F.col("lrd_i") > 0)
+                & (F.col("_nlo") == F.col("_n")),
+                F.round(
+                    F.col("_slo") / (F.col("_n") * F.col("lrd_i")), 6
+                ),
+            ).alias("lof"),
+        )
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col("lof").isNotNull(),
+                F.col("lof") >= F.lit(float(threshold)),
+            ),
+        )
+        .orderBy(id_col)
+    )
+    return out
