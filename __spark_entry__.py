@@ -4699,6 +4699,50 @@ def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lof_scores(emb, k=5, threshold=1.5)
 
 
+def q_canary_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret-Sharer canary exposure audit (X215, Carlini et al. 2019):
+    docs 0-3 act as planted canaries, docs with doc_id%10==7 as the
+    reference pool; the corpus bigram LM scores all of them (one broadcast
+    model join) and exposure = log2(n) - log2(rank of canary ppl in the
+    pool) quantifies memorization risk per canary. The full train ->
+    score -> rank -> exposure chain is value-checked in DuckDB."""
+    from corpusama_spark.operators.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+    from corpusama_spark.operators.privacy import canary_exposure
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs)
+    subset = docs.where(
+        (F.col("doc_id") < 4) | (F.col("doc_id") % 10 == 7)
+    )
+    sc = score_perplexity(subset, *model)
+    canaries = sc.where(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("canary_id"), F.col("ppl").alias("c_ppl")
+    )
+    pool = sc.where(F.col("doc_id") >= 4).select(
+        F.col("doc_id").alias("cand_id"), "ppl"
+    )
+    # audit-scale cross join: |canaries| x |pool| is dozens x dozens by
+    # construction (broadcast-hinted); the corpus never enters it
+    cands = (
+        canaries.crossJoin(F.broadcast(pool))
+        .select(
+            "canary_id", "cand_id", "ppl", F.lit(False).alias("is_canary")
+        )
+        .unionByName(
+            canaries.select(
+                "canary_id",
+                F.col("canary_id").alias("cand_id"),
+                F.col("c_ppl").alias("ppl"),
+                F.lit(True).alias("is_canary"),
+            )
+        )
+    )
+    return canary_exposure(cands)
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5056,6 +5100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_pairs": q_margin_pairs,
         # -- X214: Local Outlier Factor embedding outliers ---------------------
         "lof": q_lof,
+        # -- X215: Secret-Sharer canary exposure audit -------------------------
+        "canary_exposure": q_canary_exposure,
     }
 
 
@@ -11473,5 +11519,58 @@ def oracle_sql() -> dict[str, str]:
                           END) >= 1.5
                END AS is_outlier
         FROM li JOIN nb USING (p) ORDER BY 1
+    """
+    out["canary_exposure"] = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                       t -> len(t) > 0) AS ws
+            FROM documents),
+        bg AS (
+            SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(ws) - 1, 0)),
+                           i -> [ws[i], ws[i + 1]])) AS pair
+                FROM w)),
+        bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        cc AS (SELECT w1, count(*) AS ctx FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT tok) AS v FROM
+                  (SELECT unnest(ws) AS tok FROM w)),
+        s AS (
+            SELECT b.doc_id,
+                   ln((CAST(bc.c AS DOUBLE) + 0.5)
+                      / (CAST(cc.ctx AS DOUBLE)
+                         + 0.5 * CAST(v.v AS DOUBLE))) AS lp
+            FROM bg b
+            JOIN bc USING (w1, w2)
+            JOIN cc USING (w1)
+            CROSS JOIN v
+            WHERE b.doc_id < 4 OR b.doc_id % 10 = 7),
+        ppl AS (SELECT doc_id, round(exp(-sum(lp) / count(*)), 6) AS ppl
+                FROM s GROUP BY 1),
+        can AS (SELECT doc_id AS canary_id, ppl AS c_ppl
+                FROM ppl WHERE doc_id < 4),
+        pool AS (SELECT doc_id AS cand_id, ppl
+                 FROM ppl WHERE doc_id >= 4),
+        cands AS (
+            SELECT c.canary_id, p.cand_id, p.ppl, FALSE AS is_canary
+            FROM can c, pool p
+            UNION ALL
+            SELECT canary_id, canary_id, c_ppl, TRUE FROM can),
+        r AS (SELECT *, row_number() OVER (PARTITION BY canary_id
+                                           ORDER BY ppl, cand_id) AS rk
+              FROM cands)
+        SELECT canary_id,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               min(CASE WHEN is_canary THEN ppl END) AS canary_ppl,
+               CAST(min(CASE WHEN is_canary THEN rk END) AS BIGINT)
+                   AS canary_rank,
+               round((ln(count(*))
+                      - ln(min(CASE WHEN is_canary THEN rk END)))
+                     / 0.6931471805599453, 6) AS exposure,
+               min(CASE WHEN is_canary THEN rk END) = 1 AS memorized
+        FROM r GROUP BY canary_id ORDER BY canary_id
     """
     return out

@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity", "l_diversity", "t_closeness", "dp_noisy_counts"]
+__all__ = [
+    "k_anonymity",
+    "l_diversity",
+    "t_closeness",
+    "dp_noisy_counts",
+    "canary_exposure",
+]
 
 
 def k_anonymity(
@@ -295,6 +301,79 @@ def dp_noisy_counts(
             .cast("long")
             .alias("n_released"),
             F.lit(float(epsilon)).alias("epsilon"),
+        )
+        .orderBy(group_col)
+    )
+
+
+LN2 = 0.6931471805599453
+
+
+def canary_exposure(
+    cands: DataFrame,
+    group_col: str = "canary_id",
+    id_col: str = "cand_id",
+    ppl_col: str = "ppl",
+    canary_col: str = "is_canary",
+) -> DataFrame:
+    """Secret-Sharer canary exposure (X215; Carlini et al. 2019, "The
+    Secret Sharer: Evaluating and Testing Unintended Memorization in
+    Neural Networks") — the memorization-risk audit for a model trained
+    on this corpus: for each canary (a known planted/held sequence),
+    rank its language-model perplexity inside a pool of reference
+    candidates and report
+
+        exposure = log2(|pool|) − log2(rank(canary))
+
+    Exposure ≈ log2 |pool| means the model scores the canary better than
+    every distractor — the sequence is memorized, and the scrub/dedup
+    lanes failed it; exposure ≈ 0 means it ranks like a random candidate.
+
+    Input: one row per (group, candidate) with the candidate's
+    perplexity and an is-canary flag; exactly one canary row per group
+    (the convenience wiring in `__spark_entry__.q_canary_exposure` shows
+    the full train → score → pool chain on the bigram LM lane).
+
+    Output per group: n_candidates, canary_ppl, canary_rank,
+    exposure (6 dp), memorized (rank == 1).
+
+    Scale shape: an audit, not a corpus op — groups are the planted
+    canaries (dozens) and pools are bounded reference samples, so the
+    one group-keyed rank window is tiny by construction; the expensive
+    part (scoring) reuses the LM lane's broadcast-model join upstream.
+
+    Determinism: ranks order by (6-dp ppl asc, id asc); exposure is
+    (ln n − ln rank) / LN2 with the SAME ln2 literal both engines.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc(ppl_col), F.asc(id_col)
+    )
+    ranked = cands.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.min(F.when(F.col(canary_col), F.col(ppl_col))).alias(
+                "canary_ppl"
+            ),
+            F.min(F.when(F.col(canary_col), F.col("_rk")))
+            .cast("long")
+            .alias("canary_rank"),
+        )
+        .select(
+            group_col,
+            "n_candidates",
+            "canary_ppl",
+            "canary_rank",
+            F.round(
+                (F.log(F.col("n_candidates").cast("double"))
+                 - F.log(F.col("canary_rank").cast("double")))
+                / F.lit(LN2),
+                6,
+            ).alias("exposure"),
+            (F.col("canary_rank") == 1).alias("memorized"),
         )
         .orderBy(group_col)
     )
