@@ -4743,6 +4743,31 @@ def q_canary_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canary_exposure(cands)
 
 
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier decomposition + ECE/MCE of a quality score (X216, Murphy
+    1973): score = 3-dp alpha share, outcome = n_chars >= 200, 10 fixed
+    bins — one scan + one <=10-key groupBy + one rollup row. Says
+    whether the score's failure is miscalibration (reliability) or
+    uselessness (no resolution) before a threshold deletes a petabyte."""
+    from corpusama_spark.operators.classifier import brier_decomposition
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    score = F.round(
+        F.length(F.regexp_replace(txt, "[^A-Za-z]", ""))
+        / F.greatest(F.length(txt), F.lit(1)),
+        3,
+    )
+    return brier_decomposition(
+        docs.select(
+            score.alias("score"), (F.col("n_chars") >= 200).alias("label")
+        ),
+        "score",
+        "label",
+        bins=10,
+    )
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5102,6 +5127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lof": q_lof,
         # -- X215: Secret-Sharer canary exposure audit -------------------------
         "canary_exposure": q_canary_exposure,
+        # -- X216: Brier decomposition + ECE/MCE calibration summary ----------
+        "brier": q_brier,
     }
 
 
@@ -11572,5 +11599,46 @@ def oracle_sql() -> dict[str, str]:
                      / 0.6931471805599453, 6) AS exposure,
                min(CASE WHEN is_canary THEN rk END) = 1 AS memorized
         FROM r GROUP BY canary_id ORDER BY canary_id
+    """
+    out["brier"] = """
+        WITH base AS (
+            SELECT round(CAST(length(regexp_replace(coalesce(text, ''),
+                              '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / greatest(length(coalesce(text, '')), 1), 3) AS s,
+                   CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+            FROM documents),
+        binned AS (
+            SELECT least(9, CAST(floor(s * 10) AS INT)) AS bin, s, y
+            FROM base),
+        per AS (
+            SELECT bin, count(*) AS n_b, sum(s) AS sum_s,
+                   sum(y) AS pos_b, sum((s - y) * (s - y)) AS sum_sq
+            FROM binned GROUP BY 1),
+        terms AS (
+            SELECT n_b, pos_b, sum_sq,
+                   sum_s / n_b AS pbar,
+                   CAST(pos_b AS DOUBLE) / n_b AS obar_b
+            FROM per),
+        roll AS (
+            SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                   CAST(sum(pos_b) AS BIGINT) AS pos,
+                   sum(n_b * (pbar - obar_b) * (pbar - obar_b)) AS s_rel,
+                   sum(n_b * obar_b * obar_b) AS s_ob2,
+                   sum(n_b * abs(pbar - obar_b)) AS s_ece,
+                   max(abs(pbar - obar_b)) AS m_ce,
+                   sum(sum_sq) AS s_sq
+            FROM terms)
+        SELECT n,
+               round(CAST(pos AS DOUBLE) / n, 6) AS base_rate,
+               round(s_sq / n, 6) AS brier,
+               round(s_rel / n, 6) AS reliability,
+               round(s_ob2 / n
+                     - (CAST(pos AS DOUBLE) / n) * (CAST(pos AS DOUBLE) / n),
+                     6) AS resolution,
+               round((CAST(pos AS DOUBLE) / n)
+                     * (1.0 - CAST(pos AS DOUBLE) / n), 6) AS uncertainty,
+               round(s_ece / n, 6) AS ece,
+               round(m_ce, 6) AS mce
+        FROM roll
     """
     return out

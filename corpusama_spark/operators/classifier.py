@@ -463,3 +463,88 @@ def score_logistic(
     return df.withColumn(
         out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
     )
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Brier-score decomposition (X216; Murphy 1973) + expected/maximum
+    calibration error over fixed-width score bins — the one-row summary
+    behind the reliability diagram (calibration_bins): for a [0,1]
+    quality score s and boolean outcome y,
+
+        brier       = mean (s − y)²            (raw accuracy of s)
+        reliability = Σ_b (n_b/N)(p̄_b − ō_b)²  (calibration gap; 0 = calibrated)
+        resolution  = Σ_b (n_b/N)(ō_b − ō)²    (how much bins separate outcomes)
+        uncertainty = ō(1 − ō)                 (outcome entropy floor)
+        ece / mce   = Σ_b (n_b/N)|p̄_b − ō_b| / max_b |p̄_b − ō_b|
+
+    with p̄_b the mean score and ō_b the outcome rate in bin b. Murphy's
+    identity BS = REL − RES + UNC holds exactly for the BINNED forecast
+    (score replaced by its bin mean) — pinned by pytest; the raw brier
+    additionally carries the within-bin score variance. A threshold that
+    deletes a petabyte wants reliability ≈ 0 AND resolution >> 0:
+    calibrated but useless scores exist (resolution 0), as do sharp but
+    miscalibrated ones — this row says which failure you have.
+
+    Scale shape (10^12 rows): one scan computes (bin, (s−y)²), one
+    map-side-combinable groupBy over ≤bins keys, one ≤bins-row rollup —
+    the same shape as calibration_bins; never a sort or window.
+    Resolution uses Σ n_b·ō_b² − N·ō² so the rollup needs no second pass
+    once totals exist. All outputs round to 6 dp.
+    """
+    b = int(bins)
+    base = scored.select(
+        F.least(
+            F.lit(b - 1), F.floor(F.col(score_col) * b).cast("int")
+        ).alias("bin"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    per = base.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("_s").alias("sum_s"),
+        F.sum("_y").cast("long").alias("pos_b"),
+        F.sum((F.col("_s") - F.col("_y")) * (F.col("_s") - F.col("_y"))).alias(
+            "sum_sq"
+        ),
+    )
+    terms = per.select(
+        "n_b",
+        "pos_b",
+        "sum_sq",
+        (F.col("sum_s") / F.col("n_b")).alias("pbar"),
+        (F.col("pos_b").cast("double") / F.col("n_b")).alias("obar_b"),
+    )
+    roll = terms.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("pos_b").cast("long").alias("pos"),
+        F.sum(
+            F.col("n_b") * (F.col("pbar") - F.col("obar_b"))
+            * (F.col("pbar") - F.col("obar_b"))
+        ).alias("s_rel"),
+        F.sum(F.col("n_b") * F.col("obar_b") * F.col("obar_b")).alias(
+            "s_ob2"
+        ),
+        F.sum(F.col("n_b") * F.abs(F.col("pbar") - F.col("obar_b"))).alias(
+            "s_ece"
+        ),
+        F.max(F.abs(F.col("pbar") - F.col("obar_b"))).alias("m_ce"),
+        F.sum("sum_sq").alias("s_sq"),
+    )
+    obar = F.col("pos").cast("double") / F.col("n")
+    return roll.select(
+        "n",
+        F.round(obar, 6).alias("base_rate"),
+        F.round(F.col("s_sq") / F.col("n"), 6).alias("brier"),
+        F.round(F.col("s_rel") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("s_ob2") / F.col("n") - obar * obar, 6).alias(
+            "resolution"
+        ),
+        F.round(obar * (F.lit(1.0) - obar), 6).alias("uncertainty"),
+        F.round(F.col("s_ece") / F.col("n"), 6).alias("ece"),
+        F.round(F.col("m_ce"), 6).alias("mce"),
+    )
