@@ -4768,6 +4768,19 @@ def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_textiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-in-image likeness gate over the synthesized captions table
+    (X217; rows-only: decode UDF) — the LAION-style meme/screenshot
+    triage: horizontal-gradient density x row-band concentration, dense
+    AND banded => text_likely. Decode only inside Arrow batches; 3
+    doubles + flag per image shuffle."""
+    from corpusama_spark.functions.imageops import textiness_gate
+    from corpusama_spark.sources.synth import captions_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return textiness_gate(captions_from_documents(docs)).orderBy("image_id")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5129,6 +5142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary_exposure": q_canary_exposure,
         # -- X216: Brier decomposition + ECE/MCE calibration summary ----------
         "brier": q_brier,
+        # -- X217: text-in-image likeness gate (rows-only) ---------------------
+        "textiness": q_textiness,
     }
 
 

@@ -994,3 +994,117 @@ def exposure_gate(
         )
         .alias("exposure_reason"),
     )
+
+
+def textiness_gate(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    edge_thresh: int = 24,
+    min_edge_density: float = 0.08,
+    min_row_cv: float = 0.6,
+) -> DataFrame:
+    """Text-in-image likeness gate (X217) — the meme/screenshot/
+    rendered-text triage every web-scale image-caption curation applies
+    (LAION-style pipelines drop text-dominated images because the
+    caption model just learns to OCR): no OCR model needed, text
+    regions betray themselves as DENSE HORIZONTAL GRADIENTS arranged in
+    HORIZONTAL BANDS (glyph strokes along text lines). Per image, from
+    the ITU-R 601 luma:
+
+    - ``edge_density``: share of horizontal-gradient magnitudes above
+      ``edge_thresh`` (|luma[x+1] − luma[x]| — glyph edges; smooth
+      photos sit well below text renders);
+    - ``row_cv``: population coefficient of variation of the per-row
+      edge counts — text concentrates edges in line bands (high CV),
+      textures spread them uniformly (CV → 0);
+    - ``band_share``: share of rows carrying more than 2× the mean row
+      edge count (the "text line" rows themselves);
+    - ``text_likely``: edge_density >= min_edge_density AND row_cv >=
+      min_row_cv — dense AND banded, the two-signal conjunction that
+      keeps busy natural textures (dense but uniform) and sparse
+      diagrams (banded but thin) out of the drop set.
+
+    Corrupt bytes fail with reason decode_error:* instead of raising
+    (the tolerated-failure contract). Scale shape: decode ONLY inside
+    Arrow batches (mapInPandas in the scan stage); 3 doubles + 1 bool
+    per image shuffle — pixels/bytes never do.
+    """
+    from corpusama_spark.io.imagecodec import decode_image as _dec
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {
+                "id": [],
+                "edge_density": [],
+                "row_cv": [],
+                "band_share": [],
+                "reason": [],
+            }
+            for iid, data, fmt in zip(
+                pdf[id_col], pdf[bytes_col], pdf[fmt_col]
+            ):
+                out["id"].append(iid)
+                try:
+                    arr = _dec(bytes(data), str(fmt)).astype("float64")
+                except Exception as e:  # noqa: BLE001 - tolerated failures
+                    out["edge_density"].append(None)
+                    out["row_cv"].append(None)
+                    out["band_share"].append(None)
+                    out["reason"].append(
+                        f"decode_error:{type(e).__name__}"
+                    )
+                    continue
+                luma = (
+                    0.299 * arr[:, :, 0]
+                    + 0.587 * arr[:, :, 1]
+                    + 0.114 * arr[:, :, 2]
+                )
+                gx = np.abs(np.diff(luma, axis=1))
+                if gx.size == 0:  # 1-pixel-wide image
+                    out["edge_density"].append(0.0)
+                    out["row_cv"].append(0.0)
+                    out["band_share"].append(0.0)
+                    out["reason"].append(None)
+                    continue
+                edges = gx > float(edge_thresh)
+                density = float(np.round(edges.mean(), 6))
+                rc = edges.sum(axis=1).astype("float64")
+                mean_rc = float(rc.mean())
+                if mean_rc > 0:
+                    cv = float(np.round(rc.std() / mean_rc, 6))
+                    band = float(np.round((rc > 2.0 * mean_rc).mean(), 6))
+                else:
+                    cv, band = 0.0, 0.0
+                out["edge_density"].append(density)
+                out["row_cv"].append(cv)
+                out["band_share"].append(band)
+                out["reason"].append(None)
+            yield pd.DataFrame(out)
+
+    parts = df.select(
+        F.col(id_col).cast("string").alias(id_col), bytes_col, fmt_col
+    ).mapInPandas(
+        gen,
+        schema=(
+            "id string, edge_density double, row_cv double, "
+            "band_share double, reason string"
+        ),
+    )
+    failed = F.col("reason").isNotNull()
+    return parts.select(
+        F.col("id").alias(id_col),
+        "edge_density",
+        "row_cv",
+        "band_share",
+        F.when(failed, F.lit(False))
+        .otherwise(
+            (F.col("edge_density") >= F.lit(float(min_edge_density)))
+            & (F.col("row_cv") >= F.lit(float(min_row_cv)))
+        )
+        .alias("text_likely"),
+        F.col("reason").alias("textiness_reason"),
+    )
