@@ -4781,6 +4781,35 @@ def q_textiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textiness_gate(captions_from_documents(docs)).orderBy("image_id")
 
 
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the type-token-ratio quality score
+    against n_chars >= 200 (X218): the minimax identity makes the whole
+    weighted-PAV fit relational — corpus collapses to <=20 bins, then a
+    bounded j<=i<=k triple (broadcast nested loop over kilobytes) yields
+    the monotone calibrated rate per bin, value-exact in DuckDB."""
+    from corpusama_spark.operators.classifier import isotonic_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.filter(
+        F.split(F.lower(F.trim(txt)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    score = F.round(
+        F.size(F.array_distinct(toks))
+        / F.greatest(F.size(toks), F.lit(1)),
+        3,
+    )
+    return isotonic_fit(
+        docs.select(
+            score.alias("score"), (F.col("n_chars") < 200).alias("label")
+        ),
+        "score",
+        "label",
+        bins=20,
+    )
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5144,6 +5173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier": q_brier,
         # -- X217: text-in-image likeness gate (rows-only) ---------------------
         "textiness": q_textiness,
+        # -- X218: isotonic (PAV) score calibration ----------------------------
+        "isotonic": q_isotonic,
     }
 
 
@@ -11655,5 +11686,43 @@ def oracle_sql() -> dict[str, str]:
                round(s_ece / n, 6) AS ece,
                round(m_ce, 6) AS mce
         FROM roll
+    """
+    out["isotonic"] = r"""
+        WITH t AS (
+            SELECT list_filter(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                       x -> len(x) > 0) AS ws,
+                   n_chars
+            FROM documents),
+        base AS (
+            SELECT least(19, CAST(floor(
+                       round(CAST(len(list_distinct(ws)) AS DOUBLE)
+                             / greatest(len(ws), 1), 3) * 20) AS INT)) AS bin,
+                   CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS y
+            FROM t),
+        per AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+                   CAST(sum(y) AS BIGINT) AS pos_b
+            FROM base GROUP BY 1),
+        cums AS (
+            SELECT bin, n_b, pos_b,
+                   sum(n_b) OVER (ORDER BY bin) AS w1,
+                   sum(pos_b) OVER (ORDER BY bin) AS c1
+            FROM per),
+        pairs AS (
+            SELECT lo.bin AS j, hi.bin AS k,
+                   CAST(hi.c1 - (lo.c1 - lo.pos_b) AS DOUBLE)
+                       / (hi.w1 - (lo.w1 - lo.n_b)) AS avg_jk
+            FROM cums lo, cums hi WHERE hi.bin >= lo.bin),
+        mins AS (
+            SELECT i.bin AS i, p.j, min(p.avg_jk) AS m
+            FROM per i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+            GROUP BY 1, 2),
+        iso AS (SELECT i, max(m) AS iso_raw FROM mins GROUP BY 1)
+        SELECT per.bin, per.n_b,
+               round(CAST(per.pos_b AS DOUBLE) / per.n_b, 6) AS raw_rate,
+               round(iso.iso_raw, 6) AS iso_p
+        FROM per JOIN iso ON iso.i = per.bin
+        ORDER BY per.bin
     """
     return out

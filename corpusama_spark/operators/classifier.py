@@ -548,3 +548,95 @@ def brier_decomposition(
         F.round(F.col("s_ece") / F.col("n"), 6).alias("ece"),
         F.round(F.col("m_ce"), 6).alias("mce"),
     )
+
+
+def isotonic_fit(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 50,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a quality score (X218; Ayer et al.
+    1955 / Zadrozny & Elkan 2002) — the nonparametric monotone map from
+    raw score to P(outcome) that fixes what Platt/logistic can't
+    (non-sigmoid miscalibration), fitted over fixed-width score bins:
+
+        iso_p(i) = max_{j<=i} min_{k>=i} pos(j..k) / n(j..k)
+
+    — the minimax identity for weighted isotonic regression, which makes
+    the WHOLE fit relational: no pool-merging loop, no driver-side
+    state. Output per occupied bin: n_b, raw pos rate, iso_p (6 dp),
+    monotone nondecreasing in the bin by construction; apply it to new
+    data with a broadcast join on the bin key.
+
+    Scale shape (10^12 rows): the corpus collapses in ONE map-side-
+    combinable groupBy to <=bins rows; everything after runs on that
+    bounded table — the j<=i<=k triple is <=bins³ rows (50³ = 125k), a
+    broadcast nested-loop join over literally kilobytes. The cumulative
+    window is a single-partition sort over <=bins rows, not corpus data.
+
+    Determinism: interval rates are ONE exact division of integer
+    cumulative sums ((C_k − C_{j−1})/(W_k − W_{j−1})) and min/max are
+    order-free, so engines agree to the bit before the final 6-dp round
+    — no float accumulation anywhere. DuckDB-oracle exact.
+    """
+    from pyspark.sql.window import Window
+
+    b = int(bins)
+    base = scored.select(
+        F.least(
+            F.lit(b - 1), F.floor(F.col(score_col) * b).cast("int")
+        ).alias("bin"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    per = base.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.sum("_y").cast("long").alias("pos_b"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cums = per.select(
+        "bin",
+        "n_b",
+        "pos_b",
+        F.sum("n_b").over(w).alias("w1"),
+        F.sum("pos_b").over(w).alias("c1"),
+    )
+    lo = cums.select(
+        F.col("bin").alias("j"),
+        (F.col("w1") - F.col("n_b")).alias("w0"),
+        (F.col("c1") - F.col("pos_b")).alias("c0"),
+    )
+    hi = cums.select(F.col("bin").alias("k"), "w1", "c1")
+    pairs = (
+        lo.join(F.broadcast(hi), F.col("k") >= F.col("j"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("c1") - F.col("c0")).cast("double")
+                / (F.col("w1") - F.col("w0"))
+            ).alias("avg_jk"),
+        )
+    )
+    mins = (
+        per.select(F.col("bin").alias("i"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    iso = mins.groupBy("i").agg(F.max("m").alias("iso_raw"))
+    return (
+        per.join(iso, per["bin"] == iso["i"])
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_b",
+            F.round(F.col("pos_b").cast("double") / F.col("n_b"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso_raw"), 6).alias("iso_p"),
+        )
+        .orderBy("bin")
+    )
