@@ -4810,6 +4810,30 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary overlap via HLL set algebra (X219):
+    union sketch = per-register max (free in HLL), intersection by
+    inclusion-exclusion, exact audit columns alongside — the crawl-
+    budget/mixing question answered on sketches, never joining raw keys
+    across sources. Complements X163's exact inverted-index overlap
+    with the sketch-sized scale path."""
+    from corpusama_spark.operators.sketches import hll_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    return hll_overlap(
+        docs.select("source", F.explode(toks).alias("tok")),
+        "source",
+        "tok",
+        p=6,
+    )
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5175,6 +5199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textiness": q_textiness,
         # -- X218: isotonic (PAV) score calibration ----------------------------
         "isotonic": q_isotonic,
+        # -- X219: HLL set-algebra source overlap ------------------------------
+        "hll_overlap": q_hll_overlap,
     }
 
 
@@ -11724,5 +11750,79 @@ def oracle_sql() -> dict[str, str]:
                round(iso.iso_raw, 6) AS iso_p
         FROM per JOIN iso ON iso.i = per.bin
         ORDER BY per.bin
+    """
+    out["hll_overlap"] = r"""
+        WITH tok AS (
+            SELECT source AS g,
+                   unnest(list_filter(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                       t -> len(t) > 0)) AS k
+            FROM documents),
+        h AS (SELECT g, k,
+                     ('0x' || substr(md5(k), 1, 15))::BIGINT AS hv
+              FROM tok),
+        r AS (SELECT g, hv % 64 AS reg, hv >> 6 AS w FROM h),
+        rk AS (SELECT g, reg,
+                      max(CASE WHEN w > 0 THEN 55 - len(bin(w))
+                               ELSE 55 END) AS mrank
+               FROM r GROUP BY 1, 2),
+        perg AS (SELECT g, sum(pow(2.0::DOUBLE, -mrank)) AS z,
+                        CAST(count(*) AS BIGINT) AS nz
+                 FROM rk GROUP BY 1),
+        exg AS (SELECT g, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+                FROM tok GROUP BY 1),
+        one AS (
+            SELECT perg.g,
+                   round(CASE WHEN 2904.064::DOUBLE / (z + (64 - nz))
+                                   <= 160.0::DOUBLE AND (64 - nz) > 0
+                              THEN 64.0::DOUBLE
+                                   * ln(64.0::DOUBLE
+                                        / CAST(64 - nz AS DOUBLE))
+                              ELSE 2904.064::DOUBLE / (z + (64 - nz))
+                         END, 6) AS e,
+                   n_exact
+            FROM perg JOIN exg USING (g)),
+        pairs AS (SELECT a.g AS g_a, b.g AS g_b
+                  FROM one a, one b WHERE a.g < b.g),
+        mg AS (SELECT p.g_a, p.g_b, rk.reg, max(rk.mrank) AS mrank
+               FROM pairs p JOIN rk ON rk.g = p.g_a OR rk.g = p.g_b
+               GROUP BY 1, 2, 3),
+        pp AS (SELECT g_a, g_b, sum(pow(2.0::DOUBLE, -mrank)) AS z,
+                      CAST(count(*) AS BIGINT) AS nz
+               FROM mg GROUP BY 1, 2),
+        ue AS (
+            SELECT g_a, g_b,
+                   round(CASE WHEN 2904.064::DOUBLE / (z + (64 - nz))
+                                   <= 160.0::DOUBLE AND (64 - nz) > 0
+                              THEN 64.0::DOUBLE
+                                   * ln(64.0::DOUBLE
+                                        / CAST(64 - nz AS DOUBLE))
+                              ELSE 2904.064::DOUBLE / (z + (64 - nz))
+                         END, 6) AS union_est
+            FROM pp),
+        ks AS (SELECT DISTINCT g, k FROM tok),
+        inter AS (SELECT x.g AS g_a, y.g AS g_b,
+                         CAST(count(*) AS BIGINT) AS n_overlap
+                  FROM ks x JOIN ks y ON x.k = y.k AND x.g < y.g
+                  GROUP BY 1, 2),
+        fin AS (
+            SELECT ue.g_a, ue.g_b, a.e AS est_a, b.e AS est_b,
+                   ue.union_est,
+                   round(greatest(0.0::DOUBLE,
+                                  a.e + b.e - ue.union_est), 6)
+                       AS overlap_est,
+                   coalesce(i.n_overlap, 0) AS n_overlap,
+                   a.n_exact + b.n_exact - coalesce(i.n_overlap, 0)
+                       AS n_union
+            FROM ue
+            JOIN one a ON a.g = ue.g_a
+            JOIN one b ON b.g = ue.g_b
+            LEFT JOIN inter i ON i.g_a = ue.g_a AND i.g_b = ue.g_b)
+        SELECT g_a, g_b, est_a, est_b, union_est, overlap_est,
+               round(overlap_est / union_est, 6) AS jaccard_est,
+               n_union, n_overlap,
+               round(CAST(n_overlap AS DOUBLE) / n_union, 6)
+                   AS jaccard_exact
+        FROM fin ORDER BY g_a, g_b
     """
     return out

@@ -312,3 +312,159 @@ def misra_gries_heavy_hitters(
         )
         .orderBy(F.desc("n"), "token")
     )
+
+
+def hll_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """Pairwise source-overlap via HyperLogLog SET ALGEBRA (X219;
+    Flajolet et al. 2007): for every unordered group pair (a, b),
+    estimate |A∪B| by MERGING the two groups' register tables
+    (per-register max — the defining HLL property: the union sketch is
+    free) and |A∩B| by inclusion-exclusion, next to the exact answers —
+    the "how much does source B re-crawl source A?" audit that decides
+    crawl budgets and mixing weights WITHOUT ever joining raw keys
+    across sources.
+
+    Output per pair: est_a, est_b, union_est, overlap_est (clamped at
+    0), jaccard_est, and the exact n_union / n_overlap / jaccard for the
+    audit. Inclusion-exclusion error compounds on small overlaps — the
+    exact columns alongside are how you qualify p before trusting the
+    sketch branch alone at scale.
+
+    Scale shape (10^12 rows): the corpus collapses ONCE to the
+    (group, register) max-rank table (map-side combinable, m = 2^p rows
+    per group); pair merging happens on that sketch table only — two
+    broadcast equi-joins against the (bounded, |groups|²/2-row) pair
+    list, never an OR-condition nested loop. The EXACT branch self-joins
+    the distinct (group, key) table — audit-only, like hll_distinct's
+    exact column; at true scale run only the sketch branch.
+
+    Hashing matches hll_distinct exactly (60-bit md5 prefix of the KEY
+    alone, so one key lands in the same register in every group — the
+    precondition for register-max union).
+    """
+    p = int(p)
+    m = 1 << p
+    if p == 4:
+        alpha = 0.673
+    elif p == 5:
+        alpha = 0.697
+    elif p == 6:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    bits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rank = F.when(
+        F.col("_w") > 0, F.lit(bits + 1) - F.length(F.bin("_w"))
+    ).otherwise(F.lit(bits + 1))
+    regs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            (h % m).alias("reg"),
+            F.shiftright(h, p).alias("_w"),
+        )
+        .withColumn("rank", rank)
+        .groupBy("g", "reg")
+        .agg(F.max("rank").alias("mrank"))
+    )
+
+    def est(zcol, nonzero):
+        zeros = (F.lit(m) - nonzero).cast("double")
+        raw = F.lit(alpha * m * m) / (zcol + (F.lit(m) - nonzero))
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+        return F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
+
+    per_g = regs.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mrank"))).alias("_z"),
+        F.count("*").cast("long").alias("_nz"),
+    )
+    ex_g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.countDistinct(key_col).cast("long").alias("n_exact")
+    )
+    one = per_g.join(ex_g, "g").select(
+        "g", F.round(est(F.col("_z"), F.col("_nz")), 6).alias("e"), "n_exact"
+    )
+    pairs = (
+        one.select(F.col("g").alias("g_a"))
+        .crossJoin(F.broadcast(one.select(F.col("g").alias("g_b"))))
+        .where(F.col("g_a") < F.col("g_b"))
+    )
+    merged = (
+        pairs.join(F.broadcast(regs), F.col("g") == F.col("g_a"))
+        .select("g_a", "g_b", "reg", "mrank")
+        .unionByName(
+            pairs.join(F.broadcast(regs), F.col("g") == F.col("g_b")).select(
+                "g_a", "g_b", "reg", "mrank"
+            )
+        )
+        .groupBy("g_a", "g_b", "reg")
+        .agg(F.max("mrank").alias("mrank"))
+    )
+    per_pair = merged.groupBy("g_a", "g_b").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mrank"))).alias("_z"),
+        F.count("*").cast("long").alias("_nz"),
+    )
+    union_est = per_pair.select(
+        "g_a",
+        "g_b",
+        F.round(est(F.col("_z"), F.col("_nz")), 6).alias("union_est"),
+    )
+    ks = df.select(
+        F.col(group_col).alias("g"), F.col(key_col).alias("k")
+    ).distinct()
+    inter = (
+        ks.alias("x")
+        .join(
+            ks.alias("y"),
+            (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.g") < F.col("y.g")),
+        )
+        .groupBy(
+            F.col("x.g").alias("g_a"), F.col("y.g").alias("g_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    ea = one.select(
+        F.col("g").alias("g_a"), F.col("e").alias("est_a"),
+        F.col("n_exact").alias("_xa"),
+    )
+    eb = one.select(
+        F.col("g").alias("g_b"), F.col("e").alias("est_b"),
+        F.col("n_exact").alias("_xb"),
+    )
+    out = (
+        union_est.join(F.broadcast(ea), "g_a")
+        .join(F.broadcast(eb), "g_b")
+        .join(F.broadcast(inter), ["g_a", "g_b"], "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+    )
+    overlap_est = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.col("est_a") + F.col("est_b") - F.col("union_est"),
+        ),
+        6,
+    )
+    return out.select(
+        "g_a",
+        "g_b",
+        "est_a",
+        "est_b",
+        "union_est",
+        overlap_est.alias("overlap_est"),
+        F.round(overlap_est / F.col("union_est"), 6).alias("jaccard_est"),
+        (F.col("_xa") + F.col("_xb") - F.col("n_overlap")).alias("n_union"),
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double")
+            / (F.col("_xa") + F.col("_xb") - F.col("n_overlap")),
+            6,
+        ).alias("jaccard_exact"),
+    ).orderBy("g_a", "g_b")
