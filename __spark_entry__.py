@@ -4834,6 +4834,20 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup stats (X220, LBFS/rsync family):
+    boundaries where the rolling 8-gram md5 has its low 5 bits zero
+    (expected ~32-char chunks), per-doc share of characters living in
+    corpus-duplicated chunks — the incremental-snapshot write savings.
+    Boundary decisions are scan-stage JVM expressions; only chunk
+    hashes shuffle."""
+    from corpusama_spark.operators.dedup import cdc_dedup_stats
+
+    return cdc_dedup_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5201,6 +5215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic": q_isotonic,
         # -- X219: HLL set-algebra source overlap ------------------------------
         "hll_overlap": q_hll_overlap,
+        # -- X220: content-defined chunking dedup ------------------------------
+        "cdc_dedup": q_cdc_dedup,
     }
 
 
@@ -11824,5 +11840,39 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n_overlap AS DOUBLE) / n_union, 6)
                    AS jaccard_exact
         FROM fin ORDER BY g_a, g_b
+    """
+    out["cdc_dedup"] = r"""
+        WITH t AS (
+            SELECT doc_id, coalesce(text, '') AS t,
+                   length(coalesce(text, '')) AS L
+            FROM documents),
+        cuts AS (
+            SELECT doc_id,
+                   unnest(list_filter(generate_series(8, L - 1),
+                       i -> ('0x' || substr(md5(substr(t, i - 7, 8)),
+                                            1, 8))::BIGINT % 32 = 0)) AS c
+            FROM t),
+        b AS (
+            SELECT doc_id, c FROM cuts
+            UNION ALL
+            SELECT doc_id, L AS c FROM t WHERE L > 0),
+        ord AS (
+            SELECT doc_id, c AS e,
+                   coalesce(lag(c) OVER (PARTITION BY doc_id ORDER BY c),
+                            0) AS s
+            FROM b),
+        chunks AS (
+            SELECT o.doc_id, o.e - o.s AS clen,
+                   md5(substr(t.t, o.s + 1, o.e - o.s)) AS chash
+            FROM ord o JOIN t USING (doc_id)),
+        cnt AS (SELECT chash, count(*) AS n_copies FROM chunks GROUP BY 1)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
+               round(CAST(sum(CASE WHEN n_copies > 1 THEN clen
+                                   ELSE 0 END) AS DOUBLE)
+                     / sum(clen), 6) AS dup_char_share
+        FROM chunks JOIN cnt USING (chash)
+        GROUP BY doc_id ORDER BY doc_id
     """
     return out

@@ -1365,3 +1365,121 @@ def lsh_band_plan(
         )
         .orderBy("cost", "b")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    mask_bits: int = 5,
+) -> DataFrame:
+    """Content-defined chunking (X220; the LBFS/rsync/restic family,
+    Muthitacharoen et al. 2001): cut a document AFTER position i exactly
+    when the hash of the ``window``-char gram ending at i has its low
+    ``mask_bits`` bits zero — boundaries depend only on LOCAL content,
+    so inserting or deleting a prefix shifts WHERE chunks start but not
+    WHAT the downstream chunks hash to (fixed-size blocks lose all
+    alignment after one inserted byte). Expected chunk length is
+    2^mask_bits chars. This is chunk-level dedup for the storage/
+    transfer tier: re-crawled near-identical pages share almost all
+    chunks, so an incremental corpus snapshot stores only the changed
+    ones — complementing winnowing (X6), which SELECTS fingerprints for
+    similarity, where CDC PARTITIONS text for content-addressed storage.
+
+    Stateless gear-style variant: no min/max chunk bounds (production
+    CDC adds them to tame the geometric length tail) — boundary
+    decisions stay context-free, which is what makes the operator
+    exactly relational AND maximally shift-robust.
+
+    Output: (id, chunk_no, start [0-based], clen, chash [md5 hex]).
+    Empty texts emit no rows.
+
+    Scale shape (10^12 rows): everything runs scan-stage in the JVM —
+    per row one sequence/filter over L positions and one chunk-slice
+    transform; only (id, chunk_no, start, clen, 32-char hash) rows
+    shuffle, never text. Gram hashes are the portable
+    conv(substr(md5(gram),1,8),16,10) integer family (the winnowing
+    precedent), so DuckDB reproduces boundaries exactly.
+    """
+    w = int(window)
+    mask = 1 << int(mask_bits)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    length = F.length(t)
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.substring(t, i - (w - 1), w)), 1, 8), 16, 10
+    ).cast("long")
+    cuts = F.when(
+        length - 1 >= w,
+        F.filter(
+            F.sequence(F.lit(w), length - 1),
+            lambda i: gram_hash(i) % mask == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0).cast("int")), cuts)
+    ends = F.concat(cuts, F.array(length.cast("int")))
+    chunks = F.when(
+        length > 0,
+        F.transform(
+            F.arrays_zip(starts.alias("s"), ends.alias("e")),
+            lambda z, j: F.struct(
+                j.cast("long").alias("chunk_no"),
+                z["s"].cast("long").alias("start"),
+                (z["e"] - z["s"]).cast("long").alias("clen"),
+                F.md5(
+                    F.substring(t, z["s"] + 1, z["e"] - z["s"])
+                ).alias("chash"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_no:bigint,start:bigint,clen:bigint,chash:string>>"
+    ))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(chunks).alias("c")
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.col("c.start").alias("start"),
+        F.col("c.clen").alias("clen"),
+        F.col("c.chash").alias("chash"),
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    mask_bits: int = 5,
+) -> DataFrame:
+    """Per-document chunk-dedup summary over cdc_chunks (X220):
+    n_chunks, n_dup_chunks (chunks whose hash occurs more than once
+    corpus-wide, within-doc repeats included), and dup_char_share — the
+    fraction of the document's characters living in duplicated chunks,
+    i.e. what an incremental content-addressed store would NOT have to
+    write again. One chunk-hash groupBy + one join back on the chunk
+    table's own key; text never shuffles (only hashes do)."""
+    ch = cdc_chunks(df, id_col, text_col, window, mask_bits)
+    counts = ch.groupBy("chash").agg(
+        F.count("*").cast("long").alias("n_copies")
+    )
+    return (
+        ch.join(counts, "chash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("n_copies") > 1).cast("int"))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_copies") > 1, F.col("clen")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / F.sum("clen"),
+                6,
+            ).alias("dup_char_share"),
+        )
+        .orderBy(id_col)
+    )
