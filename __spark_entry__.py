@@ -4848,6 +4848,27 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitext_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mined-pair cleaning gates (X221, Moses clean-corpus-n + WMT
+    number-fidelity/copy checks): even docs pair with their odd
+    neighbor, every gate a scan-stage JVM expression — length ratio,
+    token bounds, sorted digit-run multiset equality, case-folded copy
+    detection, first failing reason. The filter battery X213's miner
+    feeds into."""
+    from corpusama_spark.operators.alignment import bitext_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("src_text"),
+    )
+    tgt = docs.where(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("tgt_text"),
+    )
+    return bitext_filter(src.join(tgt, "pair_id")).orderBy("pair_id")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5217,6 +5238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": q_hll_overlap,
         # -- X220: content-defined chunking dedup ------------------------------
         "cdc_dedup": q_cdc_dedup,
+        # -- X221: mined-pair bitext cleaning gates ----------------------------
+        "bitext_filter": q_bitext_filter,
     }
 
 
@@ -11874,5 +11897,52 @@ def oracle_sql() -> dict[str, str]:
                      / sum(clen), 6) AS dup_char_share
         FROM chunks JOIN cnt USING (chash)
         GROUP BY doc_id ORDER BY doc_id
+    """
+    out["bitext_filter"] = r"""
+        WITH src AS (
+            SELECT doc_id // 2 AS pair_id, text AS src_text
+            FROM documents WHERE doc_id % 2 = 0),
+        tgt AS (
+            SELECT (doc_id - 1) // 2 AS pair_id, text AS tgt_text
+            FROM documents WHERE doc_id % 2 = 1),
+        p AS (SELECT pair_id, src_text, tgt_text,
+                     coalesce(src_text, '') AS s,
+                     coalesce(tgt_text, '') AS t
+              FROM src JOIN tgt USING (pair_id)),
+        c AS (
+            SELECT pair_id, src_text, tgt_text,
+                   CASE WHEN least(length(s), length(t)) > 0
+                        THEN round(CAST(greatest(length(s), length(t))
+                                        AS DOUBLE)
+                                   / least(length(s), length(t)), 6)
+                   END AS len_ratio,
+                   CAST(len(list_filter(string_split_regex(
+                       lower(trim(s)), '\s+'), x -> len(x) > 0))
+                       AS BIGINT) AS n_tok_src,
+                   CAST(len(list_filter(string_split_regex(
+                       lower(trim(t)), '\s+'), x -> len(x) > 0))
+                       AS BIGINT) AS n_tok_tgt,
+                   list_sort(regexp_extract_all(s, '\d+'))
+                       = list_sort(regexp_extract_all(t, '\d+'))
+                       AS numbers_match,
+                   (lower(trim(s)) = lower(trim(t)) AND length(s) > 0)
+                       AS is_copy
+            FROM p),
+        g AS (
+            SELECT *,
+                   (len_ratio IS NOT NULL AND len_ratio <= 2.0)
+                       AS ok_ratio,
+                   (n_tok_src BETWEEN 1 AND 500
+                    AND n_tok_tgt BETWEEN 1 AND 500) AS ok_tok
+            FROM c)
+        SELECT pair_id, src_text, tgt_text, len_ratio, n_tok_src,
+               n_tok_tgt, numbers_match, is_copy,
+               (ok_ratio AND ok_tok AND numbers_match AND NOT is_copy)
+                   AS keep,
+               CASE WHEN NOT ok_ratio THEN 'len_ratio'
+                    WHEN NOT ok_tok THEN 'token_bounds'
+                    WHEN NOT numbers_match THEN 'number_mismatch'
+                    WHEN is_copy THEN 'copy' END AS drop_reason
+        FROM g ORDER BY pair_id
     """
     return out

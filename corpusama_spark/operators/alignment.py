@@ -165,3 +165,77 @@ def caption_image_agreement(
             (score >= threshold).alias("keep"),
         )
     )
+
+
+def bitext_filter(
+    pairs: DataFrame,
+    src_col: str = "src_text",
+    tgt_col: str = "tgt_text",
+    max_len_ratio: float = 2.0,
+    max_tokens: int = 500,
+) -> DataFrame:
+    """Mined-pair cleaning gates (X221) — the filter battery every
+    bitext/caption-pair miner (margin_pairs, X213) feeds into before the
+    pairs become training data; the Moses clean-corpus-n heuristics plus
+    the WMT-era copy and number-fidelity checks, all relational:
+
+    - ``len_ratio``: max/min char length — a faithful translation pair
+      sits near 1, alignment errors blow past ``max_len_ratio``;
+    - token-count bounds: both sides in [1, max_tokens] (empty or
+      runaway segments are alignment failures);
+    - ``numbers_match``: the sorted multiset of digit runs must be equal
+      — numbers survive translation verbatim, so a mismatch means the
+      pair is misaligned (the highest-precision single signal in WMT
+      corpus filtering);
+    - ``is_copy``: case-folded trimmed equality — untranslated
+      passthrough, the classic crawl artifact.
+
+    keep = within ratio AND within token bounds AND numbers_match AND
+    NOT is_copy, with the first failing reason reported.
+
+    Scale shape (10^12 pairs): every gate is a scan-stage JVM expression
+    on the pair row — no joins, no shuffles, no UDFs; composes directly
+    onto the miner's output exchange.
+    """
+    s = F.coalesce(F.col(src_col), F.lit(""))
+    t = F.coalesce(F.col(tgt_col), F.lit(""))
+    ls, lt = F.length(s), F.length(t)
+    ratio = F.when(
+        F.least(ls, lt) > 0,
+        F.round(
+            F.greatest(ls, lt).cast("double") / F.least(ls, lt), 6
+        ),
+    )
+    ntok = lambda c: F.size(  # noqa: E731
+        F.filter(
+            F.split(F.lower(F.trim(c)), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
+    )
+    ns, nt = ntok(s), ntok(t)
+    nums = lambda c: F.sort_array(  # noqa: E731
+        F.regexp_extract_all(c, F.lit(r"\d+"), 0)
+    )
+    numbers_match = nums(s) == nums(t)
+    is_copy = (F.lower(F.trim(s)) == F.lower(F.trim(t))) & (ls > 0)
+    ok_ratio = ratio.isNotNull() & (ratio <= F.lit(float(max_len_ratio)))
+    ok_tok = (
+        (ns >= 1) & (ns <= max_tokens) & (nt >= 1) & (nt <= max_tokens)
+    )
+    keep = ok_ratio & ok_tok & numbers_match & ~is_copy
+    reason = (
+        F.when(~ok_ratio, F.lit("len_ratio"))
+        .when(~ok_tok, F.lit("token_bounds"))
+        .when(~numbers_match, F.lit("number_mismatch"))
+        .when(is_copy, F.lit("copy"))
+    )
+    return pairs.select(
+        "*",
+        ratio.alias("len_ratio"),
+        ns.cast("long").alias("n_tok_src"),
+        nt.cast("long").alias("n_tok_tgt"),
+        numbers_match.alias("numbers_match"),
+        is_copy.alias("is_copy"),
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
