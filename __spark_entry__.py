@@ -4869,6 +4869,50 @@ def q_bitext_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitext_filter(src.join(tgt, "pair_id")).orderBy("pair_id")
 
 
+def q_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom shard-pruning audit (X222) — the point-lookup companion to
+    X202's min/max scan pruning: per-shard (source) md5-bit bloom index
+    as a relational table (the Iceberg/Parquet per-file bloom shape),
+    probed with a deterministic ~1/397 subset of the word-trigram key space (trigrams concentrate in 1-2 shards, so pruning is visible); reports shards
+    probed vs shards actually containing each key, skipped share, and
+    realized false-probe rate — how you size n_bits/k before trusting
+    the index to skip a petabyte."""
+    from corpusama_spark.operators.bloom import bloom_pruning_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    tris = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pop = docs.select("source", F.explode(tris).alias("tok"))
+    probes = (
+        pop.select("tok")
+        .distinct()
+        .where(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % 397
+            == 0
+        )
+    )
+    return bloom_pruning_audit(
+        pop, probes, "source", "tok", n_bits=8192, k=3
+    )
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5240,6 +5284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         # -- X221: mined-pair bitext cleaning gates ----------------------------
         "bitext_filter": q_bitext_filter,
+        # -- X222: bloom shard-pruning audit -----------------------------------
+        "bloom_pruning": q_bloom_pruning,
     }
 
 
@@ -11944,5 +11990,78 @@ def oracle_sql() -> dict[str, str]:
                     WHEN NOT numbers_match THEN 'number_mismatch'
                     WHEN is_copy THEN 'copy' END AS drop_reason
         FROM g ORDER BY pair_id
+    """
+    out["bloom_pruning"] = r"""
+        WITH w AS (
+            SELECT source AS shard,
+                   list_filter(string_split_regex(
+                       lower(trim(coalesce(text, ''))), '\s+'),
+                       t -> len(t) > 0) AS ws
+            FROM documents),
+        tok AS (
+            SELECT shard,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(ws) - 2, 0)),
+                       i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+                       AS tok
+            FROM w),
+        pr AS (SELECT DISTINCT tok AS key FROM tok
+               WHERE ('0x' || substr(md5(tok), 1, 8))::BIGINT % 397 = 0),
+        bp AS (
+            SELECT shard,
+                   unnest([
+                       ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT
+                           % 8192,
+                       ('0x' || substr(md5('1:' || tok), 1, 15))::BIGINT
+                           % 8192,
+                       ('0x' || substr(md5('2:' || tok), 1, 15))::BIGINT
+                           % 8192]) AS pos
+            FROM tok),
+        idx AS (SELECT shard, pos // 60 AS idx,
+                       bit_or(1::BIGINT << CAST(pos % 60 AS INT)) AS word
+                FROM bp GROUP BY 1, 2),
+        shards AS (SELECT DISTINCT shard FROM idx),
+        ppos AS (
+            SELECT key,
+                   unnest([
+                       ('0x' || substr(md5('0:' || key), 1, 15))::BIGINT
+                           % 8192,
+                       ('0x' || substr(md5('1:' || key), 1, 15))::BIGINT
+                           % 8192,
+                       ('0x' || substr(md5('2:' || key), 1, 15))::BIGINT
+                           % 8192]) AS pos
+            FROM pr),
+        ppos2 AS (SELECT key, pos // 60 AS idx,
+                         1::BIGINT << CAST(pos % 60 AS INT) AS mask
+                  FROM ppos),
+        combos AS (SELECT p.key, p.idx, p.mask, s.shard
+                   FROM ppos2 p, shards s),
+        hits AS (
+            SELECT c.key, c.shard,
+                   (count(*) FILTER (WHERE (i.word & c.mask) <> 0)) = 3
+                       AS might
+            FROM combos c
+            LEFT JOIN idx i ON i.shard = c.shard AND i.idx = c.idx
+            GROUP BY 1, 2),
+        truth AS (SELECT DISTINCT t.shard, t.tok AS key
+                  FROM tok t JOIN pr ON pr.key = t.tok),
+        per AS (
+            SELECT h.key,
+                   CAST(count(*) AS BIGINT) AS n_shards,
+                   CAST(sum(CASE WHEN h.might THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_probed,
+                   CAST(sum(CASE WHEN tr.key IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_actual
+            FROM hits h
+            LEFT JOIN truth tr ON tr.key = h.key AND tr.shard = h.shard
+            GROUP BY 1)
+        SELECT key, n_shards, n_probed, n_actual,
+               round(1.0 - CAST(n_probed AS DOUBLE) / n_shards, 6)
+                   AS skipped_share,
+               CASE WHEN n_shards > n_actual
+                    THEN round(CAST(n_probed - n_actual AS DOUBLE)
+                               / (n_shards - n_actual), 6)
+                    ELSE 0.0 END AS false_probe_rate
+        FROM per ORDER BY key
     """
     return out

@@ -25,7 +25,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
-__all__ = ["bloom_build", "bloom_might_contain", "bloom_positions"]
+__all__ = [
+    "bloom_build",
+    "bloom_might_contain",
+    "bloom_positions",
+    "bloom_shard_index",
+    "bloom_pruning_audit",
+]
 
 
 def bloom_positions(col: Column, n_bits: int, k: int) -> Column:
@@ -87,3 +93,150 @@ def bloom_might_contain(
         return pd.Series(hit.reshape(-1, kk).all(axis=1))
 
     return _probe(bloom_positions(col, n_bits, k))
+
+
+def _md5_positions(col: Column, n_bits: int, k: int) -> Column:
+    """array<long> of k bit positions from md5 prefixes — the PORTABLE
+    sibling of bloom_positions (xxhash64 is JVM-only; md5 exists in any
+    engine, so audits built on these positions are DuckDB-oracle-able)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), col.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_shard_index(
+    df: DataFrame,
+    shard_col: str,
+    key_col: str,
+    n_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Per-shard Bloom index as a TABLE (X222): (shard, word_idx, word)
+    rows with every shard member's k md5-derived bits OR-ed in — the
+    Iceberg/Parquet per-file bloom-filter shape, kept relational instead
+    of driver-side numpy (contrast bloom_build/X48, which materializes
+    ONE global bitmap for scan-stage pre-filtering). One explode + one
+    map-side-combinable (shard, word) bit_or; at most n_bits/60 rows per
+    shard regardless of member count, and raw keys never leave their
+    shard's scan."""
+    # 60-bit words: bit index never reaches the sign bit, so the mask
+    # shift is portable (DuckDB raises on 1::BIGINT << 63; Spark wraps)
+    pos = df.select(
+        F.col(shard_col).alias("shard"),
+        F.explode(_md5_positions(F.col(key_col), n_bits, k)).alias("pos"),
+    ).select(
+        "shard",
+        F.floor(F.col("pos") / 60).cast("long").alias("idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 60 AS INT))").alias(
+            "mask"
+        ),
+    )
+    return pos.groupBy("shard", "idx").agg(F.bit_or("mask").alias("word"))
+
+
+def bloom_pruning_audit(
+    df: DataFrame,
+    probes: DataFrame,
+    shard_col: str,
+    key_col: str,
+    n_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom shard-pruning audit (X222) — the point-lookup companion to
+    the min/max scan-pruning audit (X202): for each probe key, how many
+    shards would a Bloom-indexed reader touch (``n_probed``: every bit
+    set) versus how many actually contain the key (``n_actual``), with
+
+        skipped_share    = 1 − n_probed / n_shards     (I/O saved)
+        false_probe_rate = (n_probed − n_actual) / (n_shards − n_actual)
+
+    Bloom filters have no false negatives, so probed ⊇ actual always
+    (pytest-pinned); false_probe_rate ≈ the filter's fpp and is how you
+    size n_bits/k before trusting the index to skip a petabyte of
+    shards. This is exactly the decision Iceberg/Parquet per-file bloom
+    metadata drives.
+
+    Scale shape (10^12 rows): the corpus collapses once into the
+    per-shard index (bounded: shards × n_bits/64 rows) and once into the
+    distinct (shard, probe-key) truth table restricted to probe keys
+    (broadcast semi-join on the probe set BEFORE the distinct, so the
+    exact branch never materializes the full key universe). The probe
+    side is |probes| × k × |shards| rows — audit-bounded by
+    construction. Everything is JVM bit math; DuckDB-oracle exact.
+    """
+    idx = bloom_shard_index(df, shard_col, key_col, n_bits, k)
+    shards = idx.select("shard").distinct()
+    ppos = probes.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(_md5_positions(F.col(key_col), n_bits, k)).alias(
+            "slot", "pos"
+        ),
+    ).select(
+        "key",
+        "slot",
+        F.floor(F.col("pos") / 60).cast("long").alias("idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 60 AS INT))").alias(
+            "mask"
+        ),
+    )
+    combos = ppos.crossJoin(F.broadcast(shards))
+    hits = (
+        combos.join(F.broadcast(idx), ["shard", "idx"], "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                (F.col("word").bitwiseAND(F.col("mask")) != 0),
+                F.lit(False),
+            ).cast("int"),
+        )
+        .groupBy("key", "shard")
+        .agg((F.sum("hit") == F.lit(k)).alias("might"))
+    )
+    truth = (
+        df.select(
+            F.col(shard_col).alias("shard"), F.col(key_col).alias("key")
+        )
+        .join(F.broadcast(probes.select(F.col(key_col).alias("key"))), "key")
+        .distinct()
+        .withColumn("actual", F.lit(True))
+    )
+    per = (
+        hits.join(truth, ["key", "shard"], "left")
+        .groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_shards"),
+            F.sum(F.col("might").cast("int")).cast("long").alias("n_probed"),
+            F.sum(F.coalesce(F.col("actual"), F.lit(False)).cast("int"))
+            .cast("long")
+            .alias("n_actual"),
+        )
+    )
+    return per.select(
+        "key",
+        "n_shards",
+        "n_probed",
+        "n_actual",
+        F.round(
+            F.lit(1.0) - F.col("n_probed") / F.col("n_shards"), 6
+        ).alias("skipped_share"),
+        F.when(
+            F.col("n_shards") > F.col("n_actual"),
+            F.round(
+                (F.col("n_probed") - F.col("n_actual")).cast("double")
+                / (F.col("n_shards") - F.col("n_actual")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))  # every shard owns the key: zero false probes
+        .alias("false_probe_rate"),
+    ).orderBy("key")
