@@ -4913,6 +4913,22 @@ def q_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-truncation retrieval audit (X223): recall@5
+    of top-k retrieval on 8/16/32-dim prefixes of the 64-dim embeddings
+    vs full-width truth, over a bounded 32-query sample — the 'can we
+    store 1/8th of the embedding table?' decision, answered the same
+    comparison-only way as the ANN recall audit (X31)."""
+    from corpusama_spark.operators.similarity import dim_truncation_audit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dim_truncation_audit(
+        emb, emb.where(F.col("vec_id") < 32), dims=(8, 16, 32), k=5
+    )
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5286,6 +5302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_filter": q_bitext_filter,
         # -- X222: bloom shard-pruning audit -----------------------------------
         "bloom_pruning": q_bloom_pruning,
+        # -- X223: Matryoshka dim-truncation retrieval audit -------------------
+        "dim_truncation": q_dim_truncation,
     }
 
 
@@ -12063,5 +12081,42 @@ def oracle_sql() -> dict[str, str]:
                                / (n_shards - n_actual), 6)
                     ELSE 0.0 END AS false_probe_rate
         FROM per ORDER BY key
+    """
+    out["dim_truncation"] = """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 32),
+        nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        full_g AS (
+            SELECT query_id, cand_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.v, c.v),
+                                          6) DESC, c.vec_id) AS rnk
+                FROM q, e c WHERE c.vec_id != q.vec_id)
+            WHERE rnk <= 5),
+        dims AS (SELECT unnest([8, 16, 32]) AS d),
+        trunc_g AS (
+            SELECT d, query_id, cand_id FROM (
+                SELECT dims.d, q.vec_id AS query_id, c.vec_id AS cand_id,
+                       row_number() OVER (
+                           PARTITION BY dims.d, q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                                        q.v[1:dims.d], c.v[1:dims.d]),
+                                          6) DESC, c.vec_id) AS rnk
+                FROM dims, q, e c WHERE c.vec_id != q.vec_id)
+            WHERE rnk <= 5),
+        hits AS (
+            SELECT t.d, CAST(count(*) AS BIGINT) AS n_hit
+            FROM trunc_g t
+            JOIN full_g f USING (query_id, cand_id)
+            GROUP BY 1)
+        SELECT CAST(h.d AS BIGINT) AS d,
+               CAST(5 AS BIGINT) AS k,
+               nq.n AS n_queries,
+               round(h.n_hit / (5.0 * nq.n), 6) AS mean_recall
+        FROM hits h CROSS JOIN nq ORDER BY d
     """
     return out

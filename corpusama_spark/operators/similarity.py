@@ -1169,3 +1169,58 @@ def lof_scores(
         .orderBy(id_col)
     )
     return out
+
+
+def dim_truncation_audit(
+    emb: DataFrame,
+    queries: DataFrame,
+    dims: list[int] = (4, 8, 16),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding dimension-truncation retrieval audit (X223; the
+    Matryoshka/MRL storage question, Kusupati et al. 2022): at 10^12
+    rows the embedding column IS the storage bill, and truncating 768
+    dims to 64 cuts it 12× — IF retrieval survives. For each candidate
+    prefix width d, run the same top-k cosine retrieval on the
+    truncated vectors and report recall@k against full-width truth:
+
+        recall@k(d) = |topk_full ∩ topk_d| / (k · |queries|)
+
+    One row per d: (d, k, n_queries, mean_recall). Read it like the ANN
+    recall audit (X31): pick the smallest d whose recall clears your
+    bar, then store/serve that prefix (int8-quantize it on top —
+    quantize_int8 — for another 4×).
+
+    Scale shape: the default builds exact graphs via brute_force_topk
+    (broadcast query side) — audits run on a bounded query sample, the
+    X31 precedent. Recall counts are integer joins on (query, cand);
+    the single mean division is the only float — DuckDB-oracle exact.
+    """
+    full = brute_force_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
+    out = None
+    nq = queries.select(F.col(id_col)).distinct().count()
+    for d in dims:
+        t_emb = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(d)).alias(vec_col)
+        )
+        t_q = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, int(d)).alias(vec_col)
+        )
+        trunc = brute_force_topk(
+            t_emb, t_q, k=k, id_col=id_col, vec_col=vec_col
+        )
+        hits = full.join(
+            trunc.select("query_id", "cand_id"), ["query_id", "cand_id"]
+        ).agg(F.count("*").cast("long").alias("n_hit"))
+        row = hits.select(
+            F.lit(int(d)).cast("long").alias("d"),
+            F.lit(int(k)).cast("long").alias("k"),
+            F.lit(int(nq)).cast("long").alias("n_queries"),
+            F.round(F.col("n_hit") / F.lit(float(k * nq)), 6).alias(
+                "mean_recall"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("d")
