@@ -4929,6 +4929,28 @@ def q_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (X224, Raghavan et al. 2007) with
+    deterministic self-vote + ordered tie-breaks over the same
+    arithmetic doc graph the pagerank contract uses, 4 synchronous
+    rounds — the dense-region refinement that breaks LSH chain-collapse
+    where connected components would glue everything. The DuckDB twin
+    unrolls all 4 vote->argmax rounds."""
+    from corpusama_spark.operators.components import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    ed = docs.where(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("src"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("dst"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 7) % 97).alias("dst"),
+        )
+    )
+    return label_propagation(ed, rounds=4).orderBy("node")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5304,6 +5326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_pruning": q_bloom_pruning,
         # -- X223: Matryoshka dim-truncation retrieval audit -------------------
         "dim_truncation": q_dim_truncation,
+        # -- X224: label-propagation communities --------------------------------
+        "label_prop": q_label_prop,
     }
 
 
@@ -12118,5 +12142,50 @@ def oracle_sql() -> dict[str, str]:
                nq.n AS n_queries,
                round(h.n_hit / (5.0 * nq.n), 6) AS mean_recall
         FROM hits h CROSS JOIN nq ORDER BY d
+    """
+    out["label_prop"] = """
+        WITH ed0 AS (
+            SELECT doc_id AS src,
+                   CAST(floor(doc_id / 2) AS BIGINT) AS dst
+            FROM documents WHERE doc_id > 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 7) % 97 FROM documents),
+        und AS (SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM ed0
+            UNION ALL SELECT dst, src FROM ed0)),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        v1 AS (SELECT u.a AS node, l.label FROM und u
+               JOIN l0 l ON l.node = u.b
+               UNION ALL SELECT node, label FROM l0),
+        c1 AS (SELECT node, label, count(*) AS c FROM v1 GROUP BY 1, 2),
+        l1 AS (SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) AS rn
+                FROM c1) WHERE rn = 1),
+        v2 AS (SELECT u.a AS node, l.label FROM und u
+               JOIN l1 l ON l.node = u.b
+               UNION ALL SELECT node, label FROM l1),
+        c2 AS (SELECT node, label, count(*) AS c FROM v2 GROUP BY 1, 2),
+        l2 AS (SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) AS rn
+                FROM c2) WHERE rn = 1),
+        v3 AS (SELECT u.a AS node, l.label FROM und u
+               JOIN l2 l ON l.node = u.b
+               UNION ALL SELECT node, label FROM l2),
+        c3 AS (SELECT node, label, count(*) AS c FROM v3 GROUP BY 1, 2),
+        l3 AS (SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) AS rn
+                FROM c3) WHERE rn = 1),
+        v4 AS (SELECT u.a AS node, l.label FROM und u
+               JOIN l3 l ON l.node = u.b
+               UNION ALL SELECT node, label FROM l3),
+        c4 AS (SELECT node, label, count(*) AS c FROM v4 GROUP BY 1, 2),
+        l4 AS (SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) AS rn
+                FROM c4) WHERE rn = 1)
+        SELECT node, label AS community FROM l4 ORDER BY node
     """
     return out

@@ -691,3 +691,66 @@ def token_cooc_edges(
     ).unionByName(
         und.select(F.col("tb").alias("src"), F.col("ta").alias("dst"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities (X224; Raghavan et al.
+    2007) with DETERMINISTIC tie-breaks: every node starts as its own
+    label; each round it adopts the label with the most votes among its
+    neighbors PLUS ITSELF (count desc, label asc on ties — the self-vote
+    plus ordered ties remove classic LPA's randomness and damp
+    synchronous oscillation). Fixed ``rounds``, so the result is a pure
+    function of the graph.
+
+    Where connected components (X5) answers "is there ANY path?", LPA
+    answers "which DENSE region do you sit in" — the refinement for
+    LSH-banded dedup graphs where low-similarity chain edges glue
+    unrelated documents into one giant component (a→b→c with a,c
+    unrelated): chain links get outvoted by each side's dense core, so
+    communities break at the weak seam. Run it on the candidate-pair
+    graph, then verify only within-community pairs.
+
+    Scale shape (10^12 edges): per round ONE edge-sized hash join
+    (labels onto dst), one map-side-combinable (node, label) count, one
+    node-keyed window over per-node label counts (bounded by distinct
+    neighbor labels, ≤ degree), with per-round localCheckpoint lineage
+    truncation — the hash-min CC / pagerank loop shape exactly.
+
+    Input may be directed; it is symmetrized + deduplicated first.
+    Returns (node, community).
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(int(rounds)):
+        nbr = und.join(
+            labels.select(
+                F.col("node").alias("b"), F.col("label")
+            ),
+            "b",
+        ).select(F.col("a").alias("node"), "label")
+        votes = nbr.unionByName(labels)  # self-vote
+        counted = votes.groupBy("node", "label").agg(
+            F.count("*").alias("c")
+        )
+        labels = (
+            counted.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
