@@ -4951,6 +4951,25 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(ed, rounds=4).orderBy("node")
 
 
+def q_ncd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized compression distance over even/odd doc pairs (X225;
+    rows-only: DEFLATE is not SQL — zlib pytest oracle). The
+    parameter-free near-dup verify tier for candidate pairs where
+    token measures mislead; Arrow-batched, fixed zlib level."""
+    from corpusama_spark.functions.compressq import ncd_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("text_a"),
+    )
+    tgt = docs.where(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("text_b"),
+    )
+    return ncd_pairs(src.join(tgt, "pair_id")).orderBy("pair_id")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5328,6 +5347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_truncation": q_dim_truncation,
         # -- X224: label-propagation communities --------------------------------
         "label_prop": q_label_prop,
+        # -- X225: normalized compression distance pairs (rows-only) ----------
+        "ncd_pairs": q_ncd_pairs,
     }
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["compress_ratio", "compression_gate"]
+__all__ = ["compress_ratio", "compression_gate", "ncd_pairs"]
 
 _LEVEL = 6  # zlib default; FIXED so the signal is reproducible
 
@@ -77,4 +77,68 @@ def compression_gate(
         "n_comp",
         ratio.alias("ratio"),
         ((ratio >= lo) & (ratio <= hi)).alias("keep"),
+    )
+
+
+@pandas_udf("struct<c_a: long, c_b: long, c_ab: long>")
+def _pair_sizes(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    ra = a.fillna("").str.encode("utf-8")
+    rb = b.fillna("").str.encode("utf-8")
+    return pd.DataFrame(
+        {
+            "c_a": ra.map(lambda x: len(zlib.compress(x, _LEVEL))),
+            "c_b": rb.map(lambda x: len(zlib.compress(x, _LEVEL))),
+            "c_ab": [
+                len(zlib.compress(x + y, _LEVEL)) for x, y in zip(ra, rb)
+            ],
+        }
+    ).astype("int64")
+
+
+def ncd_pairs(
+    pairs: DataFrame,
+    a_col: str = "text_a",
+    b_col: str = "text_b",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Normalized compression distance over candidate pairs (X225;
+    Cilibrasi & Vitányi 2005, "Clustering by Compression"):
+
+        NCD(x, y) = (C(xy) − min(C(x), C(y))) / max(C(x), C(y))
+
+    with C = zlib-compressed size at a FIXED level. The parameter-free
+    similarity: no tokenizer, no shingles, no language assumption —
+    near-duplicates compress together (the second copy costs almost
+    nothing), so NCD ≈ 0; unrelated texts share no model, NCD → 1. The
+    right verify tier for pairs where token-level measures mislead
+    (code, numbers, CJK without segmentation, template floods).
+
+    CANDIDATE-PAIRS-ONLY by design — like jaccard_pairs (X4), it runs
+    on the flood-guarded output of a banding family (minhash/simhash/
+    phash), never all-pairs; the pair join upstream is what ships the
+    two texts to one row. zlib at a fixed level is bit-deterministic on
+    any platform, but DEFLATE is not SQL — rows-only contract with an
+    in-process zlib pytest oracle (the compress_ratio precedent).
+    Concatenation order is a_col||b_col (zlib NCD is asymmetric by a
+    few bytes; fix the order, as published implementations do).
+
+    Output: input columns + c_a, c_b, c_ab, ncd (6 dp), near_dup.
+    """
+    sized = pairs.withColumn(
+        "_s", _pair_sizes(F.col(a_col), F.col(b_col))
+    ).select(
+        "*",
+        F.col("_s.c_a").alias("c_a"),
+        F.col("_s.c_b").alias("c_b"),
+        F.col("_s.c_ab").alias("c_ab"),
+    ).drop("_s")
+    ncd = F.round(
+        (F.col("c_ab") - F.least("c_a", "c_b"))
+        / F.greatest("c_a", "c_b").cast("double"),
+        6,
+    )
+    return sized.select(
+        "*",
+        ncd.alias("ncd"),
+        (ncd <= F.lit(float(threshold))).alias("near_dup"),
     )
