@@ -4970,6 +4970,50 @@ def q_ncd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ncd_pairs(src.join(tgt, "pair_id")).orderBy("pair_id")
 
 
+def _with_injected_emails(docs: DataFrame) -> DataFrame:
+    """Deterministic email injection for the X226 contract: every doc
+    gets user<doc_id%7>@example.org appended, docs divisible by 3 get a
+    second mention in DIFFERENT CASE (same entity after folding) — so
+    the pseudonymizer's cross-doc/cross-case linkage is exercised on a
+    corpus whose raw text contains no emails."""
+    mod7 = (F.col("doc_id") % 7).cast("string")
+    txt = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact: user"),
+        mod7,
+        F.lit("@example.org"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" cc USER"), mod7, F.lit("@Example.org")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", txt.alias("text"))
+
+
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization rewrite (X226): every email becomes
+    <EMAIL_xxxxxx> with xxxxxx = md5 prefix of the case-folded entity —
+    same identifier, same token, everywhere, so linkage/dedup survive
+    the scrub. Pure JVM split/extract/refold; oracle-exact."""
+    from corpusama_spark.functions.scrub import pseudonymize
+
+    docs = _with_injected_emails(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", pseudonymize("text").alias("scrubbed")
+    ).orderBy("doc_id")
+
+
+def q_pseudonym_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonym audit table (X226): distinct case-folded entity ->
+    (pseudonym, n_docs, n_occurrences) — the collision-risk /
+    re-identification-surface review table; raw entities exist only
+    here, never in the released text."""
+    from corpusama_spark.functions.scrub import pseudonym_map
+
+    docs = _with_injected_emails(_t(spark, sf_dir, "documents"))
+    return pseudonym_map(docs, "text", "doc_id")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5349,6 +5393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         # -- X225: normalized compression distance pairs (rows-only) ----------
         "ncd_pairs": q_ncd_pairs,
+        # -- X226: consistent pseudonymization ----------------------------------
+        "pseudonymize": q_pseudonymize,
+        "pseudonym_map": q_pseudonym_map,
     }
 
 
@@ -12209,4 +12256,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM c4) WHERE rn = 1)
         SELECT node, label AS community FROM l4 ORDER BY node
     """
+    _inj = r"""
+        inj AS (
+            SELECT doc_id,
+                   coalesce(text, '') || ' contact: user'
+                   || CAST(doc_id % 7 AS VARCHAR) || '@example.org'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' cc USER' || CAST(doc_id % 7 AS VARCHAR)
+                                || '@Example.org'
+                           ELSE '' END AS text
+            FROM documents)"""
+    _email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    out["pseudonymize"] = (
+        "WITH " + _inj + f""",
+        pieces AS (
+            SELECT doc_id,
+                   string_split_regex(text, '{_email}') AS parts,
+                   regexp_extract_all(text, '{_email}') AS ms,
+                   text
+            FROM inj)
+        SELECT doc_id,
+               CASE WHEN len(ms) > 0
+                    THEN parts[1] || coalesce(list_aggregate(
+                        list_transform(generate_series(1, len(ms)),
+                            i -> '<EMAIL_'
+                                 || substr(md5(lower(ms[i])), 1, 6)
+                                 || '>' || parts[i + 1]),
+                        'string_agg', ''), '')
+                    ELSE text END AS scrubbed
+        FROM pieces ORDER BY doc_id
+    """
+    )
+    out["pseudonym_map"] = (
+        "WITH " + _inj + f""",
+        ents AS (
+            SELECT doc_id,
+                   lower(unnest(regexp_extract_all(text, '{_email}')))
+                       AS entity
+            FROM inj)
+        SELECT entity,
+               '<EMAIL_' || substr(md5(entity), 1, 6) || '>' AS pseudonym,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM ents GROUP BY entity ORDER BY entity
+    """
+    )
     return out

@@ -15,7 +15,7 @@ tokens aren't re-matched.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from corpusama_spark.functions.seedtext import TOXIC_TERMS
@@ -93,3 +93,98 @@ def scrub_caption_py(text: str, terms: list[str] | None = None) -> str:
     for pattern, token in SCRUB_CHAIN:
         text = re.sub(pattern, token, text)
     return re.sub(toxicity_pattern(terms), "<TOX>", text)
+
+
+def pseudonymize(
+    col: Column | str,
+    pattern: str = EMAIL_RE,
+    tag: str = "EMAIL",
+    hash_chars: int = 6,
+) -> Column:
+    """Consistent pseudonymization (X226): replace every ``pattern``
+    match with ``<TAG_xxxxxx>`` where xxxxxx = md5 prefix of the
+    case-folded entity — unlike the flat scrub chain's ``<EMAIL>``,
+    the SAME identifier maps to the SAME token everywhere, so
+    cross-document linkage, dedup, and sessionization still work on the
+    scrubbed corpus while raw identifiers are gone (the pseudonymized-
+    release pattern; one-way hash, no lookup table ships with the data).
+
+    Pure JVM expression: split the text AROUND matches
+    (split(text, pattern) yields n+1 segments for n matches), extract
+    the matches, and refold segment/pseudonym/segment via one
+    ``aggregate`` over the match index — no UDF, no join, scan-stage,
+    and every piece (split/extract/md5/aggregate) exists in DuckDB, so
+    the rewrite is oracle-exact.
+
+    NULL passes through. Case: the HASH uses lower(entity) (linkage
+    across casings), the tag is fixed-case.
+    """
+    text = F.col(col) if isinstance(col, str) else col
+    parts = F.split(text, pattern, -1)
+    matches = F.regexp_extract_all(text, F.lit(pattern), 0)
+
+    def pseudo(m: Column) -> Column:
+        return F.concat(
+            F.lit(f"<{tag}_"),
+            F.substring(F.md5(F.lower(m)), 1, hash_chars),
+            F.lit(">"),
+        )
+
+    rebuilt = F.concat(
+        F.element_at(parts, 1),
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(matches)),
+            F.lit(""),
+            lambda acc, i: F.concat(
+                acc,
+                pseudo(F.element_at(matches, i)),
+                F.element_at(parts, i + 1),
+            ),
+        ),
+    )
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(F.size(matches) > 0, rebuilt).otherwise(text)
+    )
+
+
+def pseudonym_map(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pattern: str = EMAIL_RE,
+    tag: str = "EMAIL",
+    hash_chars: int = 6,
+) -> DataFrame:
+    """The audit table behind pseudonymize (X226): one row per distinct
+    case-folded entity — (entity, pseudonym, n_docs, n_occurrences) —
+    what a release review reads to check collision risk (two entities
+    one pseudonym) and re-identification surface (a pseudonym carried
+    by one document is as identifying as the raw value; k-anonymity's
+    job, flagged here via n_docs). One explode + one map-side-combinable
+    groupBy; raw entities exist only inside this audit, never in the
+    released text."""
+    text = F.col(text_col)
+    ents = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(text, F.lit(pattern), 0)
+        ).alias("raw"),
+    ).select("id", F.lower(F.col("raw")).alias("entity"))
+    return (
+        ents.groupBy("entity")
+        .agg(
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .select(
+            "entity",
+            F.concat(
+                F.lit(f"<{tag}_"),
+                F.substring(F.md5("entity"), 1, hash_chars),
+                F.lit(">"),
+            ).alias("pseudonym"),
+            "n_docs",
+            "n_occurrences",
+        )
+        .orderBy("entity")
+    )
