@@ -5014,6 +5014,45 @@ def q_pseudonym_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pseudonym_map(docs, "text", "doc_id")
 
 
+def q_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-distance recall of the banded Hamming join in the INCOMPLETE
+    regime (X227): twins injected at exact distances 1..7 over 60-bit
+    md5 codes, bands=4 — pigeonhole guarantees recall 1.0 for d<4, and
+    the d>=4 rows measure what the band gamble pays; the evidence for
+    adding bands/multi-probe before loosening the image-dedup
+    threshold."""
+    from corpusama_spark.operators.dedup import hamming_band_recall
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("phr-"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("code"),
+        ((F.col("doc_id") % 7) + 1).alias("nf"),
+    )
+    twins = base.select(
+        (F.col("id") + 1000000).alias("id"),
+        F.expr(
+            "code ^ aggregate(sequence(1, CAST(nf AS INT)), CAST(0 AS"
+            " BIGINT), (acc, j) -> acc | shiftleft(CAST(1 AS BIGINT),"
+            " CAST((7 * id + 11 * j) % 60 AS INT)))"
+        ).alias("code"),
+    )
+    pop = base.select("id", "code").unionByName(twins)
+    return hamming_band_recall(pop, bands=4, hamming_k=7)
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5396,6 +5435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- X226: consistent pseudonymization ----------------------------------
         "pseudonymize": q_pseudonymize,
         "pseudonym_map": q_pseudonym_map,
+        # -- X227: banded-Hamming per-distance recall audit ---------------------
+        "hamming_recall": q_hamming_recall,
     }
 
 
@@ -12301,4 +12342,50 @@ def oracle_sql() -> dict[str, str]:
         FROM ents GROUP BY entity ORDER BY entity
     """
     )
+    out["hamming_recall"] = """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   ('0x' || substr(md5('phr-' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT AS code,
+                   (doc_id % 7) + 1 AS nf
+            FROM documents),
+        twins AS (
+            SELECT id + 1000000 AS id,
+                   xor(code, list_aggregate(list_transform(
+                       generate_series(1, CAST(nf AS INT)),
+                       j -> 1::BIGINT
+                            << CAST((7 * id + 11 * j) % 60 AS INT)),
+                       'bit_or')) AS code
+            FROM base),
+        pop AS (SELECT id, code FROM base
+                UNION ALL SELECT id, code FROM twins),
+        truth AS (
+            SELECT hamming, count(*) AS n_true FROM (
+                SELECT bit_count(xor(a.code, b.code)) AS hamming
+                FROM pop a JOIN pop b ON a.id < b.id)
+            WHERE hamming <= 7 GROUP BY 1),
+        banded AS (
+            SELECT id, code, b.b AS band,
+                   (code >> (b.b * 16)) & 65535 AS band_key
+            FROM pop, (SELECT unnest([0, 1, 2, 3]) AS b) b),
+        cand AS (
+            SELECT DISTINCT id_a, id_b, hamming FROM (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       bit_count(xor(a.code, b.code)) AS hamming
+                FROM banded a
+                JOIN banded b ON a.band = b.band
+                             AND a.band_key = b.band_key
+                             AND a.id < b.id)
+            WHERE hamming <= 7),
+        caught AS (SELECT hamming, count(*) AS n_caught
+                   FROM cand GROUP BY 1)
+        SELECT CAST(t.hamming AS BIGINT) AS hamming,
+               t.hamming < 4 AS guaranteed,
+               CAST(t.n_true AS BIGINT) AS n_true,
+               CAST(coalesce(c.n_caught, 0) AS BIGINT) AS n_caught,
+               round(CAST(coalesce(c.n_caught, 0) AS DOUBLE) / t.n_true, 6)
+                   AS recall
+        FROM truth t LEFT JOIN caught c USING (hamming)
+        ORDER BY t.hamming
+    """
     return out

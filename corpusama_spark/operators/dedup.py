@@ -1483,3 +1483,65 @@ def cdc_dedup_stats(
         )
         .orderBy(id_col)
     )
+
+
+def hamming_band_recall(
+    codes: DataFrame,
+    id_col: str = "id",
+    code_col: str = "code",
+    bands: int = 4,
+    hamming_k: int = 6,
+) -> DataFrame:
+    """Per-distance recall audit of the banded Hamming join (X227) —
+    the simhash/phash twin of the ANN recall audit (X31) and the
+    Jaccard (b,r) S-curve (X192): with ``bands`` bands, pigeonhole
+    GUARANTEES every pair at distance < bands is caught; beyond that
+    the band join is a recall gamble, and this audit measures exactly
+    what it pays. For each hamming distance d ≤ hamming_k:
+
+        (hamming, guaranteed, n_true, n_caught, recall)
+
+    where n_true counts ALL pairs at distance d (brute-force O(n²) —
+    audit a bounded sample, the X31 precedent), n_caught counts pairs
+    the banded join surfaces, and guaranteed = d < bands must show
+    recall = 1.0 exactly (pytest-pinned). Read the d >= bands rows to
+    decide whether to add bands/multi-probe before trusting the banded
+    image dedup at a looser threshold.
+
+    Integer counts + one division — DuckDB-oracle exact.
+    """
+    cand = hamming_band_pairs(
+        codes, id_col=id_col, code_col=code_col, bands=bands,
+        hamming_k=hamming_k,
+    )
+    c = codes.select(F.col(id_col).alias("id"), F.col(code_col).alias("code"))
+    a, b = c.alias("a"), c.alias("b")
+    truth = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.bit_count(
+                F.col("a.code").bitwiseXOR(F.col("b.code"))
+            ).alias("hamming")
+        )
+        .where(F.col("hamming") <= int(hamming_k))
+        .groupBy("hamming")
+        .agg(F.count("*").cast("long").alias("n_true"))
+    )
+    caught = cand.groupBy("hamming").agg(
+        F.count("*").cast("long").alias("n_caught")
+    )
+    return (
+        truth.join(caught, "hamming", "left")
+        .select(
+            F.col("hamming").cast("long").alias("hamming"),
+            (F.col("hamming") < int(bands)).alias("guaranteed"),
+            "n_true",
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+            F.round(
+                F.coalesce("n_caught", F.lit(0)).cast("double")
+                / F.col("n_true"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("hamming")
+    )
