@@ -4677,8 +4677,15 @@ def q_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything."""
     from corpusama_spark.operators.similarity import margin_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    # bounded audit pools (X31 precedent; no-op at the sf0.01 oracle
+    # scale): the brute default is O(|src|x|tgt|); at scale pass ANN graphs.
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 800)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
     )
     src = emb.where(F.col("vec_id") % 2 == 0)
     tgt = emb.where(F.col("vec_id") % 2 == 1)
@@ -4693,8 +4700,16 @@ def q_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin is value-exact."""
     from corpusama_spark.operators.similarity import lof_scores
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    # bounded audit population (the X31/topk_cosine precedent): the
+    # brute-force default is O(n^2); at scale pass the ANN graph. The
+    # bound is a no-op at the sf0.01 oracle scale (500 vectors).
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 600)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
     )
     return lof_scores(emb, k=5, threshold=1.5)
 
@@ -11758,10 +11773,10 @@ def oracle_sql() -> dict[str, str]:
     out["margin_pairs"] = """
         WITH s AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings WHERE vec_id % 2 = 0),
+            FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 800),
         t AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings WHERE vec_id % 2 = 1),
+            FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 800),
         fwd AS (
             SELECT * FROM (
                 SELECT src_id, tgt_id, cos_sim,
@@ -11814,7 +11829,8 @@ def oracle_sql() -> dict[str, str]:
     """
     out["lof"] = """
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 600),
         g AS (
             SELECT p, o, d_i FROM (
                 SELECT a.vec_id AS p, b.vec_id AS o,

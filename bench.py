@@ -131,6 +131,23 @@ BENCH_QUERIES = [
     # floor (~46 s at sf0.1 for ~5k edges), not data throughput — at scale
     # the same round count amortizes over real shuffle work. Correctness is
     # oracle-gated (recursive-CTE DuckDB twin) and timed in pytest instead.
+    # round-4 close (X212-X227): the data-heavy new families. label_prop
+    # and canary_exposure are absent for the fixed-round / tiny-audit
+    # reasons above.
+    "exposure",
+    "textiness",
+    "margin_pairs",
+    "lof",
+    "brier",
+    "isotonic",
+    "hll_overlap",
+    "cdc_dedup",
+    "bitext_filter",
+    "bloom_pruning",
+    "dim_truncation",
+    "ncd_pairs",
+    "pseudonymize",
+    "hamming_recall",
 ]
 
 
