@@ -5068,6 +5068,29 @@ def q_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_band_recall(pop, bands=4, hamming_k=7)
 
 
+def q_confusables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph spoofing gate (X228): docs divisible by 5 get a spoofed
+    token injected (Cyrillic е/о shaped as Latin — 'frее-оffеr'),
+    docs divisible by 11 get a LEGIT pure-Cyrillic word; the gate must
+    flag the first and ignore the second. Mixed-script + lookalike
+    normalization, all scan-stage JVM."""
+    from corpusama_spark.operators.textstats import confusable_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    spoof = " frее-оffеr"  # Cyrillic е,о in Latin shapes
+    legit = " привет"  # привет
+    txt = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(spoof)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(legit)).otherwise(
+            F.lit("")
+        ),
+    )
+    return confusable_stats(
+        docs.select("doc_id", txt.alias("text")), "text", "doc_id"
+    )
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5452,6 +5475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonym_map": q_pseudonym_map,
         # -- X227: banded-Hamming per-distance recall audit ---------------------
         "hamming_recall": q_hamming_recall,
+        # -- X228: homoglyph / mixed-script spoofing gate ------------------------
+        "confusables": q_confusables,
     }
 
 
@@ -12403,5 +12428,42 @@ def oracle_sql() -> dict[str, str]:
                    AS recall
         FROM truth t LEFT JOIN caught c USING (hamming)
         ORDER BY t.hamming
+    """
+    out["confusables"] = r"""
+        WITH inj AS (
+            SELECT doc_id,
+                   coalesce(text, '')
+                   || CASE WHEN doc_id % 5 = 0 THEN ' frее-оffеr'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN ' привет'
+                           ELSE '' END AS text
+            FROM documents),
+        t AS (
+            SELECT doc_id AS id,
+                   unnest(list_filter(string_split_regex(
+                       lower(trim(text)), '\s+'),
+                       w -> len(w) > 0)) AS tok
+            FROM inj),
+        f AS (
+            SELECT id, tok,
+                   (regexp_matches(tok, '[a-z]')
+                    AND regexp_matches(tok, '[Ѐ-ӿ]')) AS mixed
+            FROM t),
+        g AS (
+            SELECT id, tok, mixed,
+                   (mixed AND NOT regexp_matches(
+                       translate(tok, 'аеорсухіѕ', 'aeopcyxis'),
+                       '[Ѐ-ӿ]')) AS spoof
+            FROM f)
+        SELECT id AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mixed,
+               CAST(sum(CASE WHEN spoof THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_spoof,
+               round(CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS mixed_share,
+               sum(CASE WHEN spoof THEN 1 ELSE 0 END) > 0 AS spoof_flag
+        FROM g GROUP BY id ORDER BY id
     """
     return out

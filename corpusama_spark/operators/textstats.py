@@ -759,3 +759,63 @@ def source_vocab_overlap(
         )
         .orderBy("g_a", "g_b")
     )
+
+
+# the core Latin-lookalike set (lowercase Cyrillic -> ASCII); a token
+# that becomes Cyrillic-free under this map was USING Cyrillic purely
+# for its Latin shapes - the homoglyph-spoof signature
+CONFUSABLE_FROM = "аеорсухіѕ"
+CONFUSABLE_TO = "aeopcyxis"
+_CYR = "[Ѐ-ӿ]"
+
+
+def confusable_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Homoglyph / mixed-script spoofing gate (X228) — the web-crawl
+    spam signature the script-share gate (X22 lane) cannot see: a token
+    like "раypal" (Cyrillic ра + Latin ypal) renders
+    identically to "paypal" but hashes differently — defeating exact
+    dedup, blocklists, and decontamination (a dedup-poisoning vector),
+    and correlating strongly with phishing/SEO spam. Per document:
+
+    - ``n_mixed``:  tokens containing BOTH Latin and Cyrillic letters
+      (legit pure-Cyrillic words don't fire);
+    - ``n_spoof``:  mixed tokens whose Cyrillic chars are ALL Latin
+      lookalikes (the translate map above leaves no Cyrillic behind) —
+      the deliberate-spoof tier; genuine code-switching inside a token
+      keeps real Cyrillic letters and stays below this bar;
+    - ``mixed_share`` and a doc-level ``spoof_flag``.
+
+    Scale shape: one scan-stage explode + per-token regexp/translate
+    (all JVM) + one doc-keyed groupBy — the gopher_quality shape.
+    DuckDB-oracle exact (translate/regexp exist there verbatim).
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    t = docs.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok"))
+    mixed = F.col("tok").rlike("[a-z]") & F.col("tok").rlike(_CYR)
+    spoof = mixed & ~F.translate(
+        F.col("tok"), CONFUSABLE_FROM, CONFUSABLE_TO
+    ).rlike(_CYR)
+    per = t.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(mixed.cast("int")).cast("long").alias("n_mixed"),
+        F.sum(spoof.cast("int")).cast("long").alias("n_spoof"),
+    )
+    return per.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "n_mixed",
+        "n_spoof",
+        F.round(F.col("n_mixed") / F.col("n_tokens"), 6).alias(
+            "mixed_share"
+        ),
+        (F.col("n_spoof") > 0).alias("spoof_flag"),
+    ).orderBy(id_col)
