@@ -115,3 +115,86 @@ def read_as_of(
     if not committed:
         return df.where(F.lit(False))
     return df.where(F.col("bucket").isin(committed))
+
+
+def expiry_plan(snap_dir: str, keep_last: int = 2) -> dict:
+    """What ``expire_snapshots`` would do (X229; the Iceberg
+    expire-snapshots maintenance shape): retain the newest ``keep_last``
+    snapshots for time travel, squash everything older into one base
+    snapshot. Returns {expire_ids, retain_ids, base_buckets,
+    time_travel_horizon} without touching anything — the review step a
+    retention policy runs before mutating the metadata log."""
+    snaps = snapshots(snap_dir)
+    keep_last = max(int(keep_last), 1)
+    if len(snaps) <= keep_last:
+        return {
+            "expire_ids": [],
+            "retain_ids": [s["snapshot_id"] for s in snaps],
+            "base_buckets": [],
+            "time_travel_horizon": snaps[0]["snapshot_id"] if snaps else None,
+        }
+    old, kept = snaps[:-keep_last], snaps[-keep_last:]
+    if len(old) == 1 and old[0].get("squashed"):
+        # the only expirable snapshot IS the base from a prior squash —
+        # nothing left to compact (keeps expire_snapshots idempotent)
+        return {
+            "expire_ids": [],
+            "retain_ids": [s["snapshot_id"] for s in snaps],
+            "base_buckets": [],
+            "time_travel_horizon": old[0]["snapshot_id"],
+        }
+    base_buckets = sorted({b for s in old for b in s["buckets"]})
+    return {
+        "expire_ids": [s["snapshot_id"] for s in old],
+        "retain_ids": [s["snapshot_id"] for s in kept],
+        "base_buckets": base_buckets,
+        "time_travel_horizon": kept[0]["snapshot_id"],
+    }
+
+
+def expire_snapshots(snap_dir: str, keep_last: int = 2) -> dict:
+    """Execute the expiry plan: squash all snapshots older than the
+    newest ``keep_last`` into ONE base snapshot carrying the union of
+    their buckets and summed summaries (flagged ``"squashed": true``),
+    then remove the expired metadata files. Contracts preserved:
+
+    - ``buckets_as_of(None)`` (what restart reads) is IDENTICAL before
+      and after — no data is touched, only metadata compacts;
+    - ``read_as_of`` at any RETAINED id is identical;
+    - time travel to an expired id now coarsens to the base snapshot
+      (Iceberg semantics: expired snapshots are no longer addressable).
+
+    The squash commits atomically (temp + rename of the base file,
+    then unlink of expired files); a crash between steps leaves either
+    the old chain or a superset — never a torn/shrunken history,
+    because the base file replaces the OLDEST expired id in place and
+    unlinking is idempotent on restart.
+    """
+    plan = expiry_plan(snap_dir, keep_last)
+    if not plan["expire_ids"]:
+        return plan
+    snaps = {s["snapshot_id"]: s for s in snapshots(snap_dir)}
+    old = [snaps[i] for i in plan["expire_ids"]]
+    base = {
+        "snapshot_id": plan["expire_ids"][-1],  # last expired id: keeps
+        # parent pointers of retained snapshots valid
+        "parent_id": None,
+        "run_id": "squash",
+        "squashed": True,
+        "squashed_ids": plan["expire_ids"],
+        "buckets": plan["base_buckets"],
+        "summary": {
+            "n_rows": sum(s["summary"]["n_rows"] for s in old),
+            "n_keep": sum(s["summary"]["n_keep"] for s in old),
+        },
+    }
+    p = pathlib.Path(snap_dir)
+    tmp = p / f".tmp-squash-{base['snapshot_id']:06d}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(base, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _snap_path(snap_dir, base["snapshot_id"]))
+    for sid in plan["expire_ids"][:-1]:
+        _snap_path(snap_dir, sid).unlink(missing_ok=True)
+    return plan

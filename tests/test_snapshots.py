@@ -71,3 +71,45 @@ def test_checkpointed_run_commits_snapshots_and_reads_as_of(spark, tmp_path):
     assert read_as_of(spark, out, snaps).count() == 200
     # summaries add up to the corpus
     assert sum(s["summary"]["n_rows"] for s in chain) == 200
+
+
+def test_expiry_squash_preserves_restart_and_retained_reads(spark, tmp_path):
+    from corpusama_spark import snapshots as S
+
+    snap = str(tmp_path / "snaps")
+    for i in range(5):
+        S.commit_snapshot(
+            snap, f"run{i}", buckets=[2 * i, 2 * i + 1], n_rows=10, n_keep=8
+        )
+    before_all = S.buckets_as_of(snap)
+    before_latest = S.latest_snapshot_id(snap)
+    before_retained = S.buckets_as_of(snap, 4)
+
+    plan = S.expiry_plan(snap, keep_last=2)
+    assert plan["expire_ids"] == [1, 2, 3] and plan["retain_ids"] == [4, 5]
+    assert plan["base_buckets"] == [0, 1, 2, 3, 4, 5]
+
+    done = S.expire_snapshots(snap, keep_last=2)
+    assert done == plan
+    snaps = S.snapshots(snap)
+    # base (squashed, carries id 3) + the two retained
+    assert [s["snapshot_id"] for s in snaps] == [3, 4, 5]
+    assert snaps[0].get("squashed") and snaps[0]["buckets"] == [
+        0, 1, 2, 3, 4, 5,
+    ]
+    assert snaps[0]["summary"] == {"n_rows": 30, "n_keep": 24}
+    # restart contract: the full committed-bucket set is unchanged
+    assert S.buckets_as_of(snap) == before_all
+    assert S.latest_snapshot_id(snap) == before_latest
+    # retained time travel identical
+    assert S.buckets_as_of(snap, 4) == before_retained
+    # expired time travel coarsens to the base (documented semantics)
+    assert S.buckets_as_of(snap, 1) == set()
+    assert S.buckets_as_of(snap, 3) == {0, 1, 2, 3, 4, 5}
+    # idempotent / no-op when nothing to expire
+    again = S.expire_snapshots(snap, keep_last=2)
+    assert again["expire_ids"] == []
+    # the chain still accepts new commits after a squash
+    S.commit_snapshot(snap, "run5", buckets=[10], n_rows=1, n_keep=1)
+    assert S.latest_snapshot_id(snap) == 6
+    assert 10 in S.buckets_as_of(snap)
