@@ -5091,6 +5091,19 @@ def q_confusables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollout_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-rollout MDE audit per source (X230): with each source's
+    current keep rate (n_chars >= 200 as the stand-in gate) and size,
+    the smallest keep-rate shift a per-source equal-arm canary could
+    detect at alpha=.05/power=.80 — pinned z literals, one groupBy."""
+    from corpusama_spark.operators.stats import rollout_power
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") >= 200).alias("keep")
+    )
+    return rollout_power(docs, "source", "keep")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5477,6 +5490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_recall": q_hamming_recall,
         # -- X228: homoglyph / mixed-script spoofing gate ------------------------
         "confusables": q_confusables,
+        # -- X230: gate-rollout MDE power audit ----------------------------------
+        "rollout_power": q_rollout_power,
     }
 
 
@@ -12465,5 +12480,26 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE) / count(*), 6) AS mixed_share,
                sum(CASE WHEN spoof THEN 1 ELSE 0 END) > 0 AS spoof_flag
         FROM g GROUP BY id ORDER BY id
+    """
+    out["rollout_power"] = """
+        WITH per AS (
+            SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pos
+            FROM documents GROUP BY 1),
+        m AS (
+            SELECT g, n,
+                   CAST(pos AS DOUBLE) / n AS p,
+                   (1.959963984540054 + 0.8416212335729143)
+                       * sqrt(2.0 * (CAST(pos AS DOUBLE) / n)
+                              * (1.0 - CAST(pos AS DOUBLE) / n) / n)
+                       AS mde
+            FROM per)
+        SELECT g AS source, n,
+               round(p, 6) AS keep_rate,
+               round(mde, 6) AS mde_abs,
+               CASE WHEN p > 0 THEN round(mde / p, 6) END AS mde_rel,
+               mde <= 0.01 AS can_detect_1pct
+        FROM m ORDER BY source
     """
     return out

@@ -578,3 +578,53 @@ def bh_fdr(
         .drop("kstar")
         .orderBy("rank")
     )
+
+
+# two-sided alpha=.05 / power=.80 normal quantiles, pinned as literals so
+# both engines use the SAME doubles (no cross-engine erfinv exists)
+Z_ALPHA_025 = 1.959963984540054
+Z_POWER_080 = 0.8416212335729143
+
+
+def rollout_power(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    z_alpha: float = Z_ALPHA_025,
+    z_power: float = Z_POWER_080,
+) -> DataFrame:
+    """Minimum detectable effect for a gate rollout, per group (X230) —
+    the pre-deployment question every filter change gets asked: "if we
+    canary the new gate on THIS source, how big a keep-rate shift can
+    the sample even see?" Classic two-proportion power approximation
+    (Fleiss; two-sided α, target power):
+
+        mde_abs = (z_α/2 + z_power) · sqrt(2·p(1−p)/n)
+
+    with p the group's current keep rate and n its row count (equal-arm
+    canary: n per arm = group size). Reports n, keep rate, mde_abs,
+    mde_rel (relative to p), and ``can_detect_1pct`` — whether a 1-point
+    absolute shift is inside the group's detection horizon. A tiny
+    source that cannot resolve the regression you care about needs a
+    longer canary or pooling — this table says which, before the
+    petabyte moves.
+
+    One map-side-combinable groupBy; z quantiles are pinned literals so
+    the arithmetic is engine-identical. DuckDB-oracle exact.
+    """
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(flag_col).cast("int")).cast("long").alias("pos"),
+    )
+    p = F.col("pos").cast("double") / F.col("n")
+    mde = F.lit(float(z_alpha) + float(z_power)) * F.sqrt(
+        F.lit(2.0) * p * (F.lit(1.0) - p) / F.col("n")
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(p, 6).alias("keep_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.when(p > 0, F.round(mde / p, 6)).alias("mde_rel"),
+        (mde <= 0.01).alias("can_detect_1pct"),
+    ).orderBy(group_col)
