@@ -5104,6 +5104,29 @@ def q_rollout_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollout_power(docs, "source", "keep")
 
 
+def q_dict_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-dictionary training table (X231): per source, the 16 most
+    document-frequent word bigrams with df >= 2, newline-joined most-
+    frequent-LAST (zlib scans a zdict tail-first). Fully relational ->
+    DuckDB-oracle-exact; the zlib gain stage is the rows-only twin."""
+    from corpusama_spark.functions.compressq import train_shared_dict
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_shared_dict(docs, ngram=2, k=16, min_df=2).orderBy("source")
+
+
+def q_dict_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shared-dictionary compression gain (X231): how much of
+    each doc is source-shared template, via zlib-with-zdict vs solo
+    size. DEFLATE is not SQL -> rows-only contract; in-process zlib
+    parity lives in tests/test_dictgain.py."""
+    from corpusama_spark.functions.compressq import dict_gain, train_shared_dict
+
+    docs = _t(spark, sf_dir, "documents")
+    d = train_shared_dict(docs, ngram=2, k=16, min_df=2)
+    return dict_gain(docs, d).orderBy("doc_id")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5492,6 +5515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusables": q_confusables,
         # -- X230: gate-rollout MDE power audit ----------------------------------
         "rollout_power": q_rollout_power,
+        # -- X231: shared-dictionary compression gain (template floods) ----------
+        "dict_build": q_dict_build,
+        "dict_gain": q_dict_gain,
     }
 
 
@@ -12480,6 +12506,32 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE) / count(*), 6) AS mixed_share,
                sum(CASE WHEN spoof THEN 1 ELSE 0 END) > 0 AS spoof_flag
         FROM g GROUP BY id ORDER BY id
+    """
+    out["dict_build"] = """
+        WITH toks AS (
+            SELECT source,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE text IS NOT NULL),
+        grams AS (
+            SELECT source, gram
+            FROM toks,
+                 UNNEST(list_distinct(list_filter(
+                     list_transform(
+                         range(0, greatest(len(t) - 2, 0) + 1),
+                         i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')),
+                     g -> length(g) > 0))) AS u(gram)),
+        counts AS (
+            SELECT source, gram, count(*) AS df_count
+            FROM grams GROUP BY 1, 2 HAVING count(*) >= 2),
+        ranked AS (
+            SELECT source, gram,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY df_count DESC, gram ASC) AS rk
+            FROM counts)
+        SELECT source,
+               string_agg(gram, chr(10) ORDER BY rk DESC) AS dict_text
+        FROM ranked WHERE rk <= 16
+        GROUP BY source ORDER BY source
     """
     out["rollout_power"] = """
         WITH per AS (
