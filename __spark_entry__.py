@@ -5127,6 +5127,60 @@ def q_dict_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dict_gain(docs, d).orderBy("doc_id")
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-9309 robots.txt compliance gate (X232): deterministic URLs
+    derived from (source, doc_id) against a per-host rule set (longest
+    rule wins, Allow wins length ties, unknown host -> allow). Exercises
+    wildcard + $-anchor compile, path+query match target, tie-break, and
+    the default-allow path; the oracle replays the whole decision."""
+    from corpusama_spark.functions.urls import robots_gate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.pmod(F.col("doc_id"), F.lit(6))
+    host = F.when(
+        m == 5, F.concat(F.col("source"), F.lit(".norules"))
+    ).otherwise(F.concat(F.col("source"), F.lit(".example")))
+    path = (
+        F.when(m == 0, F.concat(F.lit("/search?q="), F.col("doc_id")))
+        .when(m == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
+        .when(m == 2, F.concat(F.lit("/private/files/"), F.col("doc_id")))
+        .when(m == 3, F.concat(F.lit("/assets/img"), F.col("doc_id"), F.lit(".pdf")))
+        .when(m == 4, F.concat(F.lit("/tmp/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/search?q="), F.col("doc_id")))
+    )
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    rule_rows = [
+        ("/private", False),
+        ("/private/files", True),
+        ("/*.pdf$", False),
+        ("/search?*", False),
+        ("/tmp", False),
+        ("/tmp", True),
+    ]
+    rules = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".example")).alias("host"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(r).alias("rule"), F.lit(a).alias("allow"))
+                        for r, a in rule_rows
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("host", "x.rule", "x.allow")
+    )
+    # rule_allow is dropped from the contract: a NULL boolean arrives as
+    # None from Spark but NaN from DuckDB's fetchdf and the hash compare
+    # is dtype-sensitive; crawl_ok + rule carry the full decision
+    return robots_gate(urls, rules).drop("rule_allow").orderBy("doc_id")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5518,6 +5572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- X231: shared-dictionary compression gain (template floods) ----------
         "dict_build": q_dict_build,
         "dict_gain": q_dict_gain,
+        # -- X232: robots.txt compliance gate -------------------------------------
+        "robots_gate": q_robots_gate,
     }
 
 
@@ -12532,6 +12588,53 @@ def oracle_sql() -> dict[str, str]:
                string_agg(gram, chr(10) ORDER BY rk DESC) AS dict_text
         FROM ranked WHERE rk <= 16
         GROUP BY source ORDER BY source
+    """
+    out["robots_gate"] = """
+        WITH u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 6 = 5 THEN source || '.norules'
+                        ELSE source || '.example' END AS host,
+                   CASE doc_id % 6
+                     WHEN 0 THEN '/search?q=' || doc_id
+                     WHEN 1 THEN '/private/' || doc_id
+                     WHEN 2 THEN '/private/files/' || doc_id
+                     WHEN 3 THEN '/assets/img' || doc_id || '.pdf'
+                     WHEN 4 THEN '/tmp/' || doc_id
+                     ELSE '/search?q=' || doc_id END AS path
+            FROM documents),
+        urls AS (
+            SELECT doc_id, 'https://' || host || path AS url, host, path
+            FROM u),
+        rules AS (
+            SELECT DISTINCT source || '.example' AS host, r.rule, r.allow
+            FROM documents,
+                 (VALUES ('/private', false), ('/private/files', true),
+                         ('/*.pdf$', false), ('/search?*', false),
+                         ('/tmp', false), ('/tmp', true)) AS r(rule, allow)),
+        compiled AS (
+            SELECT host, rule, allow,
+                   CASE WHEN rule LIKE '%$' THEN esc ELSE esc || '%' END AS pat
+            FROM (
+                SELECT host, rule, allow,
+                       replace(replace(replace(replace(
+                           CASE WHEN rule LIKE '%$'
+                                THEN substr(rule, 1, length(rule) - 1)
+                                ELSE rule END,
+                           '!', '!!'), '%', '!%'), '_', '!_'), '*', '%') AS esc
+                FROM rules)),
+        cand AS (
+            SELECT urls.doc_id, c.rule, c.allow,
+                   row_number() OVER (
+                       PARTITION BY urls.doc_id
+                       ORDER BY strlen(c.rule) DESC, c.allow DESC,
+                                c.rule ASC) AS rk
+            FROM urls JOIN compiled c
+              ON urls.host = c.host AND urls.path LIKE c.pat ESCAPE '!')
+        SELECT urls.doc_id, urls.url, urls.host, urls.path,
+               b.rule, coalesce(b.allow, true) AS crawl_ok
+        FROM urls LEFT JOIN (SELECT * FROM cand WHERE rk = 1) b
+          ON urls.doc_id = b.doc_id
+        ORDER BY urls.doc_id
     """
     out["rollout_power"] = """
         WITH per AS (

@@ -299,3 +299,106 @@ def canonical_url(url_col: Column) -> Column:
     u = F.regexp_replace(u, r"[?&]$", "")  # dangling separator
     u = F.regexp_replace(u, r"^(.+?)/+$", r"$1")  # trailing slashes, keep root
     return u
+
+
+# ---------------------------------------------------------------------------
+# X232: robots.txt compliance gate (RFC 9309). A crawl-derived corpus that
+# ignores robots rules is a liability at any scale; at 10^12 pages the gate
+# must be a JOIN, not a per-URL parser call. The rules table is the already-
+# parsed per-host rule set for YOUR user agent (group resolution happens at
+# fetch time, once per robots.txt, not once per page) — this operator is the
+# page-side decision: longest matching rule wins, allow wins length ties,
+# no match / unknown host ⇒ allow (RFC: absent rules imply full access).
+# ---------------------------------------------------------------------------
+
+
+def url_path(url_col: Column) -> Column:
+    """Robots match target of a URL: path plus '?query' when present
+    (Google's reference robots.txt parser matches against path+query —
+    that's what makes '/*?' rules work), fragment excluded, port
+    stripped; empty or authority-only → '/'."""
+    tail = F.regexp_replace(url_col, _HOST_RE, "")
+    path = F.regexp_extract(tail, r"^(?::\d*)?([^#]*)", 1)
+    return F.when(
+        (path == "") | ~path.startswith("/"), F.lit("/")
+    ).otherwise(path)
+
+
+def _robots_like_pattern(rule: Column) -> Column:
+    """Compile a robots path rule ('*' any-chars wildcard, trailing '$'
+    end anchor) into a SQL LIKE pattern with escape '!'. Chosen over a
+    regex compile because LIKE semantics are bit-identical across Spark
+    and DuckDB (the oracle mirrors this expression), while regex escape
+    grammars differ."""
+    anchored = rule.endswith("$")
+    esc = F.when(anchored, F.regexp_replace(rule, r"\$$", "")).otherwise(rule)
+    for ch in ("!", "%", "_"):
+        esc = F.replace(esc, F.lit(ch), F.lit("!" + ch))
+    esc = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(anchored, esc).otherwise(F.concat(esc, F.lit("%")))
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Per-URL robots.txt decision: input columns + host, path, rule,
+    rule_allow (the winning rule, NULL when none matched) and crawl_ok.
+
+    ``rules`` is (host, rule, allow): host casefolded, rule a path
+    pattern supporting '*' and a trailing '$' anchor, allow True for
+    Allow lines. Empty-valued Disallow lines mean "allow all" in
+    robots.txt — the upstream parser must DROP them (an empty rule here
+    would length-0-match every path), which is also RFC 9309's parse.
+
+    Precedence: longest rule (octet length of the raw rule, the de-facto
+    Google/RFC tiebreak) wins; equal length → Allow wins; remaining ties
+    broken lexicographically so the reported rule is deterministic.
+
+    Scale shape: rules are |hosts|·(rules per host) — orders of magnitude
+    smaller than the corpus — so the default is a broadcast hash join on
+    host (set ``broadcast_rules=False`` to let AQE pick for a huge rule
+    set); candidates per URL are bounded by that host's rule count, and
+    the winner is a per-URL-id window over those few rows, never a
+    corpus-wide exchange beyond the join itself.
+    """
+    from pyspark.sql import Window
+
+    # _uid = md5(url): deterministic under any partitioning (unlike
+    # monotonically_increasing_id across a self-join), and identical
+    # URLs collapse to one candidate window — same URL, same decision
+    u = urls.select(
+        "*",
+        url_host(F.col(url_col)).alias("host"),
+        url_path(F.col(url_col)).alias("path"),
+        F.md5(F.coalesce(F.col(url_col), F.lit(""))).alias("_uid"),
+    )
+    compiled = rules.select(
+        F.col("host").alias("_rhost"),
+        F.col("rule"),
+        F.col("allow"),
+        _robots_like_pattern(F.col("rule")).alias("_pat"),
+    )
+    if broadcast_rules:
+        compiled = F.broadcast(compiled)
+    cand = u.select("_uid", "host", "path").join(
+        compiled, F.col("host") == F.col("_rhost"), "inner"
+    ).where(F.expr("path LIKE _pat ESCAPE '!'"))
+    w = Window.partitionBy("_uid").orderBy(
+        F.octet_length("rule").desc(), F.col("allow").desc(), F.col("rule").asc()
+    )
+    best = (
+        cand.select("_uid", "rule", "allow", F.row_number().over(w).alias("_rk"))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return u.join(best, "_uid", "left").select(
+        *[c for c in urls.columns],  # host/path/rule names must be free
+        "host",
+        "path",
+        "rule",
+        F.col("allow").alias("rule_allow"),
+        F.coalesce(F.col("allow"), F.lit(True)).alias("crawl_ok"),
+    )
