@@ -5181,6 +5181,30 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_gate(urls, rules).drop("rule_allow").orderBy("doc_id")
 
 
+_CODE_SNIPPET = (
+    "def f(x):\n"
+    "    y = (x + 1);\n"
+    "    return [y, x];\n"
+    "# done with it\n"
+    "const z = 42;"
+)
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing gate (X233) over documents with a
+    deterministic code snippet injected at doc_id % 9 == 0 — the oracle
+    replays every line/token/symbol count and the 5-signal vote."""
+    from corpusama_spark.operators.textstats import code_prose_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(9)) == 0, F.lit(_CODE_SNIPPET))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return code_prose_stats(docs)
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5574,6 +5598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_gain": q_dict_gain,
         # -- X232: robots.txt compliance gate -------------------------------------
         "robots_gate": q_robots_gate,
+        # -- X233: code-vs-prose routing gate --------------------------------------
+        "code_detect": q_code_detect,
     }
 
 
@@ -12635,6 +12661,66 @@ def oracle_sql() -> dict[str, str]:
         FROM urls LEFT JOIN (SELECT * FROM cand WHERE rk = 1) b
           ON urls.doc_id = b.doc_id
         ORDER BY urls.doc_id
+    """
+    out["code_detect"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 0 THEN
+                       'def f(x):' || chr(10) ||
+                       '    y = (x + 1);' || chr(10) ||
+                       '    return [y, x];' || chr(10) ||
+                       '# done with it' || chr(10) ||
+                       'const z = 42;'
+                   ELSE text END AS text
+            FROM documents),
+        feats AS (
+            SELECT doc_id,
+                   coalesce(text, '') AS t,
+                   list_filter(string_split(coalesce(text, ''), chr(10)),
+                               l -> length(trim(l)) > 0) AS lines,
+                   list_filter(string_split_regex(trim(coalesce(text, '')),
+                                                  '\\s+'),
+                               x -> length(x) > 0) AS toks
+            FROM base),
+        counts AS (
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(toks) AS n_tokens,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '^(  |\\t)'))) AS ind,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '[;{}]\\s*$'))) AS semi_c,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '^\\s*(//|#|/\\*|\\*|--)\\s'))) AS comm,
+                   length(t) AS n_chars,
+                   length(t) - length(regexp_replace(t,
+                       '[{}()\\[\\];=<>]', '', 'g')) AS sym,
+                   len(list_filter(toks, x -> regexp_matches(x,
+                       '^(def|class|import|return|function|var|let|const|void|int|float|public|private|static|elif|except|catch|lambda|struct|enum|impl|fn|pub|package|interface|extends|implements|null|nullptr|None|self)$'))) AS kw,
+                   len(list_filter(toks, x -> regexp_matches(x,
+                       '^([a-z]+[A-Z][A-Za-z0-9]*|[a-z0-9]+_[a-z0-9_]+)$'))) AS ident
+            FROM feats),
+        shares AS (
+            SELECT doc_id, n_lines, n_tokens,
+                   CASE WHEN n_lines > 0 THEN round(ind / CAST(n_lines AS DOUBLE), 6) ELSE 0.0 END AS indent_share,
+                   CASE WHEN n_lines > 0 THEN round(semi_c / CAST(n_lines AS DOUBLE), 6) ELSE 0.0 END AS semi_share,
+                   CASE WHEN n_lines > 0 THEN round(comm / CAST(n_lines AS DOUBLE), 6) ELSE 0.0 END AS comment_share,
+                   CASE WHEN n_chars > 0 THEN round(sym / CAST(n_chars AS DOUBLE), 6) ELSE 0.0 END AS symbol_density,
+                   CASE WHEN n_tokens > 0 THEN round(kw / CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END AS kw_rate,
+                   CASE WHEN n_tokens > 0 THEN round(ident / CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END AS ident_rate
+            FROM counts)
+        SELECT *,
+               ((CASE WHEN symbol_density >= 0.03 THEN 1 ELSE 0 END)
+              + (CASE WHEN kw_rate >= 0.05 THEN 1 ELSE 0 END)
+              + (CASE WHEN semi_share >= 0.2 THEN 1 ELSE 0 END)
+              + (CASE WHEN indent_share >= 0.3 THEN 1 ELSE 0 END)
+              + (CASE WHEN ident_rate >= 0.15 THEN 1 ELSE 0 END)) AS code_points,
+               ((CASE WHEN symbol_density >= 0.03 THEN 1 ELSE 0 END)
+              + (CASE WHEN kw_rate >= 0.05 THEN 1 ELSE 0 END)
+              + (CASE WHEN semi_share >= 0.2 THEN 1 ELSE 0 END)
+              + (CASE WHEN indent_share >= 0.3 THEN 1 ELSE 0 END)
+              + (CASE WHEN ident_rate >= 0.15 THEN 1 ELSE 0 END)) >= 2 AS is_code
+        FROM shares ORDER BY doc_id
     """
     out["rollout_power"] = """
         WITH per AS (

@@ -819,3 +819,90 @@ def confusable_stats(
         ),
         (F.col("n_spoof") > 0).alias("spoof_flag"),
     ).orderBy(id_col)
+
+
+# ---------------------------------------------------------------------------
+# X233: code-vs-prose detection. Web crawls are full of source code (gists,
+# docs pages, pastebins); a training pipeline needs to ROUTE it — code-specific
+# filters, separate mixing weight, or exclusion — before prose quality gates
+# mis-score it (Gopher's symbol-ratio rule simply drops it as "low quality").
+# Detection is structural, not lexical-model: code has indented line blocks,
+# ;-terminated lines, brace/paren density, language keywords as standalone
+# tokens, and camelCase/snake_case identifiers — five independent signals, a
+# points vote so no single regex decides. All pure-JVM scan-stage expressions
+# over the line/token arrays (RE2-safe regexes, so the DuckDB oracle replays
+# every count exactly).
+# ---------------------------------------------------------------------------
+
+# standalone-token keywords; common English words (for, if, while, new,
+# this, from, match, true) are EXCLUDED — they fire on ordinary prose
+_CODE_KEYWORDS = (
+    r"^(def|class|import|return|function|var|let|const|void|int|float|"
+    r"public|private|static|elif|except|catch|lambda|struct|enum|impl|"
+    r"fn|pub|package|interface|extends|implements|null|nullptr|None|self)$"
+)
+_CAMEL_OR_SNAKE = r"^([a-z]+[A-Z][A-Za-z0-9]*|[a-z0-9]+_[a-z0-9_]+)$"
+
+
+def code_prose_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-doc code-likeness: line-structure shares (indented, ;-EOL,
+    comment-marker lines), symbol density, keyword-token rate and
+    identifier-token rate, a 5-signal integer vote ``code_points``
+    (symbol ≥ .03 / keyword ≥ .05 / semi ≥ .2 / indent ≥ .3 /
+    identifier ≥ .15) and ``is_code`` at ``min_points`` of 5. Empty or
+    NULL text scores all-zero, prose. Shares round to 6dp; every count
+    is an integer, so the decision is bit-identical cross-engine.
+
+    Scale shape: one scan, zero joins, zero shuffles — the same
+    whole-stage-codegen pass every other text gate rides.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    indent_lines = F.size(F.filter(lines, lambda l: l.rlike(r"^(  |\t)")))
+    semi_lines = F.size(F.filter(lines, lambda l: l.rlike(r"[;{}]\s*$")))
+    comment_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*(//|#|/\*|\*|--)\s"))
+    )
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: F.length(x) > 0)
+    n_tokens = F.size(toks)
+    kw_tokens = F.size(F.filter(toks, lambda x: x.rlike(_CODE_KEYWORDS)))
+    ident_tokens = F.size(F.filter(toks, lambda x: x.rlike(_CAMEL_OR_SNAKE)))
+    n_chars = F.length(t)
+    n_symbols = F.length(t) - F.length(
+        F.regexp_replace(t, r"[{}()\[\];=<>]", "")
+    )
+
+    def share(num, den):
+        return F.when(den > 0, F.round(num / den.cast("double"), 6)).otherwise(
+            F.lit(0.0)
+        )
+
+    out = df.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        n_tokens.cast("long").alias("n_tokens"),
+        share(indent_lines, n_lines).alias("indent_share"),
+        share(semi_lines, n_lines).alias("semi_share"),
+        share(comment_lines, n_lines).alias("comment_share"),
+        share(n_symbols, n_chars).alias("symbol_density"),
+        share(kw_tokens, n_tokens).alias("kw_rate"),
+        share(ident_tokens, n_tokens).alias("ident_rate"),
+    )
+    points = (
+        (F.col("symbol_density") >= 0.03).cast("int")
+        + (F.col("kw_rate") >= 0.05).cast("int")
+        + (F.col("semi_share") >= 0.2).cast("int")
+        + (F.col("indent_share") >= 0.3).cast("int")
+        + (F.col("ident_rate") >= 0.15).cast("int")
+    )
+    return out.select(
+        "*",
+        points.alias("code_points"),
+        (points >= min_points).alias("is_code"),
+    ).orderBy(id_col)
