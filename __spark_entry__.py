@@ -5205,6 +5205,26 @@ def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_prose_stats(docs)
 
 
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quantiles per source (X234): the n_chars value
+    below which half / 90% / 99% of the TOKEN MASS sits — the mixture-
+    planning question unweighted quantiles answer wrongly. BIGINT
+    rational crossing, oracle replays it exactly."""
+    from corpusama_spark.operators.quantiles import weighted_group_quantiles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("val"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).cast("long").alias("w"),
+    )
+    return weighted_group_quantiles(docs, "source", "val", "w", [0.5, 0.9, 0.99])
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5600,6 +5620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         # -- X233: code-vs-prose routing gate --------------------------------------
         "code_detect": q_code_detect,
+        # -- X234: exact weighted group quantiles ----------------------------------
+        "weighted_quantiles": q_weighted_quantiles,
     }
 
 
@@ -12721,6 +12743,31 @@ def oracle_sql() -> dict[str, str]:
               + (CASE WHEN indent_share >= 0.3 THEN 1 ELSE 0 END)
               + (CASE WHEN ident_rate >= 0.15 THEN 1 ELSE 0 END)) >= 2 AS is_code
         FROM shares ORDER BY doc_id
+    """
+    out["weighted_quantiles"] = """
+        WITH base AS (
+            SELECT source, n_chars AS val,
+                   len(list_filter(
+                       string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                       x -> length(x) > 0)) AS w
+            FROM documents),
+        g AS (
+            SELECT source, val, CAST(sum(w) AS BIGINT) AS w
+            FROM base WHERE val IS NOT NULL AND w > 0
+            GROUP BY 1, 2),
+        c AS (
+            SELECT source, val,
+                   sum(w) OVER (PARTITION BY source ORDER BY val) AS cw,
+                   sum(w) OVER (PARTITION BY source) AS tw
+            FROM g),
+        qd AS (
+            SELECT CAST(q AS DOUBLE) AS q, num, den
+            FROM (VALUES (0.5, 1, 2), (0.9, 9, 10), (0.99, 99, 100))
+                 t(q, num, den))
+        SELECT source, qd.q, min(val) AS value
+        FROM c, qd
+        WHERE cw * den >= num * tw
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     out["rollout_power"] = """
         WITH per AS (

@@ -359,3 +359,71 @@ def conformal_thresholds(
         .orderBy(group_col or "group", "alpha")
     )
     return cov
+
+
+def weighted_group_quantiles(
+    df: DataFrame,
+    key: str,
+    val: str,
+    weight: str,
+    qs: list[float],
+) -> DataFrame:
+    """Exact weighted quantiles per group (X234): (key, q, value) where
+    value is the smallest ``val`` whose cumulative ``weight`` reaches
+    q·W — the weighted type-1 quantile. The question mixture planning
+    actually asks ("the median document *by token mass*, not by count";
+    "the byte size below which half the shard volume sits") — unweighted
+    quantiles answer a different, usually wrong, question when rows have
+    wildly different sizes.
+
+    Exactness: each q is converted to a rational num/den (denominator
+    ≤ 1000, covering .5/.95/.999-style grades) and the crossing test is
+    pure BIGINT ``cw·den ≥ num·W`` — no float boundary, so a quantile
+    landing exactly on a cumulative step decides identically in every
+    engine. Rows with NULL or non-positive weight are excluded.
+
+    Scale shape: the (key, val) pre-aggregation collapses the corpus to
+    distinct values per group FIRST (ties merge, so the later window
+    never depends on intra-tie row order); the cumulative window and the
+    per-(key, q) min ride the same key partitioning. qs explode is
+    |qs|-fold on the collapsed table, not the corpus.
+    """
+    from fractions import Fraction
+
+    rats = [
+        (q, Fraction(q).limit_denominator(1000)) for q in qs
+    ]
+    grouped = (
+        df.where(
+            F.col(val).isNotNull()
+            & F.col(weight).isNotNull()
+            & (F.col(weight) > 0)
+        )
+        .groupBy(key, val)
+        .agg(F.sum(F.col(weight).cast("long")).alias("_w"))
+    )
+    part = Window.partitionBy(key)
+    cum = grouped.select(
+        key,
+        val,
+        F.sum("_w").over(part.orderBy(F.col(val))).alias("_cw"),
+        F.sum("_w").over(part).alias("_W"),
+    )
+    qrows = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.lit(r.numerator).alias("num"),
+                F.lit(r.denominator).alias("den"),
+            )
+            for q, r in rats
+        ]
+    )
+    exploded = cum.select("*", F.explode(qrows).alias("_q")).where(
+        F.col("_cw") * F.col("_q.den") >= F.col("_q.num") * F.col("_W")
+    )
+    return (
+        exploded.groupBy(key, F.col("_q.q").alias("q"))
+        .agg(F.min(val).alias("value"))
+        .orderBy(key, "q")
+    )
