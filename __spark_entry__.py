@@ -5225,6 +5225,47 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_group_quantiles(docs, "source", "val", "w", [0.5, 0.9, 0.99])
 
 
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness schedule (X235) over a frontier derived from
+    documents: host from source (half the hosts carry explicit
+    crawl-delays), per-host 0-based fetch seq ordered by md5(url),
+    eta = seq*delay, md5-hash host-sticky worker. Oracle replays the
+    window, join, and hash."""
+    from corpusama_spark.operators.crawl import politeness_schedule
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"), F.col("doc_id")
+        ).alias("url"),
+    )
+    delays = (
+        docs.select("source")
+        .distinct()
+        .where(F.pmod(F.length("source"), F.lit(2)) == 0)
+        .select(
+            F.concat(F.col("source"), F.lit(".example")).alias("host"),
+            (F.length("source") * 250).cast("long").alias("delay_ms"),
+        )
+    )
+    return politeness_schedule(frontier, delays, workers=8).orderBy("doc_id")
+
+
+def q_crawl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-worker politeness wall-clock bounds (X235): n_urls, n_hosts,
+    the max n*delay span and which host sets it — the lower bound no
+    cluster size beats."""
+    from corpusama_spark.operators.crawl import (
+        politeness_audit,
+        politeness_schedule,
+    )
+
+    sched = q_crawl_schedule(spark, sf_dir)
+    return politeness_audit(sched)
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5622,6 +5663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_detect": q_code_detect,
         # -- X234: exact weighted group quantiles ----------------------------------
         "weighted_quantiles": q_weighted_quantiles,
+        # -- X235: crawl politeness scheduling ---------------------------------------
+        "crawl_schedule": q_crawl_schedule,
+        "crawl_audit": q_crawl_audit,
     }
 
 
@@ -12768,6 +12812,59 @@ def oracle_sql() -> dict[str, str]:
         FROM c, qd
         WHERE cw * den >= num * tw
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    out["crawl_schedule"] = """
+        WITH frontier AS (
+            SELECT doc_id, source || '.example' AS host,
+                   'https://' || source || '.example/p/' || doc_id AS url
+            FROM documents),
+        delays AS (
+            SELECT DISTINCT source || '.example' AS host,
+                   CAST(length(source) * 250 AS BIGINT) AS delay_ms
+            FROM documents WHERE length(source) % 2 = 0),
+        seqd AS (
+            SELECT f.doc_id, f.host, f.url,
+                   CAST(row_number() OVER (
+                       PARTITION BY f.host ORDER BY md5(f.url), f.url)
+                       - 1 AS BIGINT) AS seq,
+                   coalesce(d.delay_ms, 1000) AS delay_ms
+            FROM frontier f LEFT JOIN delays d ON f.host = d.host)
+        SELECT doc_id, host, url, seq, delay_ms,
+               seq * delay_ms AS eta_ms,
+               CAST((('0x' || substr(md5(host), 1, 8))::BIGINT % 8) AS INT)
+                   AS worker
+        FROM seqd ORDER BY doc_id
+    """
+    out["crawl_audit"] = """
+        WITH frontier AS (
+            SELECT doc_id, source || '.example' AS host,
+                   'https://' || source || '.example/p/' || doc_id AS url
+            FROM documents),
+        delays AS (
+            SELECT DISTINCT source || '.example' AS host,
+                   CAST(length(source) * 250 AS BIGINT) AS delay_ms
+            FROM documents WHERE length(source) % 2 = 0),
+        seqd AS (
+            SELECT f.host,
+                   coalesce(d.delay_ms, 1000) AS delay_ms,
+                   CAST((('0x' || substr(md5(f.host), 1, 8))::BIGINT % 8)
+                        AS INT) AS worker
+            FROM frontier f LEFT JOIN delays d ON f.host = d.host),
+        per_host AS (
+            SELECT worker, host, count(*) AS n_urls,
+                   count(*) * max(delay_ms) AS span_ms
+            FROM seqd GROUP BY 1, 2),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY worker
+                       ORDER BY span_ms DESC, host ASC) AS rk
+            FROM per_host)
+        SELECT worker,
+               CAST(sum(n_urls) AS BIGINT) AS n_urls,
+               count(*) AS n_hosts,
+               max(span_ms) AS bound_ms,
+               max(CASE WHEN rk = 1 THEN host END) AS bottleneck_host
+        FROM ranked GROUP BY worker ORDER BY worker
     """
     out["rollout_power"] = """
         WITH per AS (
