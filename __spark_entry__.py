@@ -5266,6 +5266,22 @@ def q_crawl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return politeness_audit(sched)
 
 
+def q_phash_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash distortion-robustness audit (X236; rows-only: decode+DCT
+    UDF): per distortion family, mean/max hamming bit flips and the
+    share of images whose distorted twin survives the band radius the
+    X14 image dedup uses — the evidence for the threshold."""
+    from corpusama_spark.functions.imageops import (
+        phash_distortion_flips,
+        phash_robustness,
+    )
+    from corpusama_spark.sources.synth import captions_from_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    flips = phash_distortion_flips(captions_from_documents(docs))
+    return phash_robustness(flips, band_radius=8)
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5666,6 +5682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- X235: crawl politeness scheduling ---------------------------------------
         "crawl_schedule": q_crawl_schedule,
         "crawl_audit": q_crawl_audit,
+        # -- X236: phash distortion-robustness audit (rows-only) --------------------
+        "phash_robustness": q_phash_robustness,
     }
 
 

@@ -1108,3 +1108,105 @@ def textiness_gate(
         .alias("text_likely"),
         F.col("reason").alias("textiness_reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X236: phash distortion-robustness audit. X14 bands phash64 for image
+# near-dup dedup and X227 measures band recall AT a given bit distance —
+# this answers the question in between: which real-world DISTORTIONS land
+# within that distance at all? A re-served image is rarely byte-identical:
+# it's been resized, brightness-shifted, letterboxed, or cropped. The audit
+# applies deterministic distortions to each image (decode once per row, all
+# in one Arrow batch), re-hashes, and reports per-family bit-flip stats plus
+# the share that survives the configured banding radius — the evidence for
+# choosing the dedup threshold before loosening it corpus-wide.
+# ---------------------------------------------------------------------------
+
+DISTORTIONS = ("identity", "resize_half", "brighten", "crop_border", "letterbox")
+
+
+def _distort(arr: np.ndarray, kind: str) -> np.ndarray:
+    h, w = arr.shape[:2]
+    if kind == "identity":
+        return arr
+    if kind == "resize_half":
+        return resize_nn(arr, max(w // 2, 1), max(h // 2, 1))
+    if kind == "brighten":
+        return np.clip(arr.astype(np.int16) + 24, 0, 255).astype(np.uint8)
+    if kind == "crop_border":
+        dy, dx = max(h // 10, 1), max(w // 10, 1)
+        if h - 2 * dy < 1 or w - 2 * dx < 1:
+            return arr
+        return arr[dy : h - dy, dx : w - dx]
+    if kind == "letterbox":
+        pad = max(h // 8, 1)
+        out = np.zeros((h + 2 * pad, w, 3), dtype=np.uint8)
+        out[pad : pad + h] = arr
+        return out
+    raise ValueError(f"unknown distortion {kind!r}")
+
+
+def phash_distortion_flips(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+    kinds: tuple = DISTORTIONS,
+) -> DataFrame:
+    """(id, kind, flips): hamming bit flips between each image's phash
+    and the phash of its ``kind``-distorted twin; corrupt images emit no
+    rows (the tolerated-failure path). Decode happens ONCE per row for
+    all kinds, inside an Arrow batch; only (id, kind, flips) integers
+    leave Python — bytes never shuffle.
+
+    Rows-only contract (decode + DCT aren't SQL); the aggregation twin
+    ``phash_robustness`` is plain relational on top of this output.
+    """
+    kinds = tuple(kinds)
+
+    @F.pandas_udf("array<struct<kind: string, flips: int>>")
+    def _flips(bs: pd.Series, fmts: pd.Series) -> pd.Series:
+        out = []
+        for b, fmt in zip(bs, fmts):
+            try:
+                arr = decode_image(bytes(b), fmt)
+                base = phash64(arr)
+                row = []
+                for k in kinds:
+                    d = phash64(_distort(arr, k))
+                    row.append(
+                        {"kind": k, "flips": int(bin((base ^ d) & ((1 << 64) - 1)).count("1"))}
+                    )
+                out.append(row)
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return (
+        df.select(id_col, _flips(F.col(bytes_col), F.col(fmt_col)).alias("_f"))
+        .where(F.col("_f").isNotNull())
+        .select(id_col, F.explode("_f").alias("x"))
+        .select(id_col, F.col("x.kind").alias("kind"), F.col("x.flips").alias("flips"))
+    )
+
+
+def phash_robustness(
+    flips: DataFrame, band_radius: int = 8
+) -> DataFrame:
+    """Per-distortion summary of phash_distortion_flips output:
+    (kind, n, mean_flips, max_flips, survive_share) where survive_share
+    is the fraction of images whose distorted twin stays within
+    ``band_radius`` bits — i.e. would still be CAUGHT by the X14/X227
+    banded dedup at that radius. One map-side-combinable groupBy."""
+    return (
+        flips.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("flips"), 6).alias("mean_flips"),
+            F.max("flips").alias("max_flips"),
+            F.round(
+                F.avg((F.col("flips") <= band_radius).cast("double")), 6
+            ).alias("survive_share"),
+        )
+        .orderBy("kind")
+    )
