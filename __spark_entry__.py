@@ -5282,6 +5282,31 @@ def q_phash_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_robustness(flips, band_radius=8)
 
 
+def q_partial_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrant-phash partial-duplicate pairs (X237; rows-only:
+    decode+DCT): captions table with twins injected for every 5th image
+    (new id = md5-suffixed) — twins match on all four quadrants with
+    full_dist 0; any natural near-dups ride along. The collage
+    (partial_only) semantics are pinned by tests/test_partial_dup.py."""
+    from corpusama_spark.functions.imageops import quadrant_phashes
+    from corpusama_spark.operators.dedup import partial_dup_pairs
+    from corpusama_spark.sources.synth import captions_from_documents
+
+    caps = captions_from_documents(_t(spark, sf_dir, "documents")).select(
+        "image_id", "bytes", "fmt"
+    )
+    twins = caps.where(
+        F.pmod(F.conv(F.substring("image_id", 1, 4), 16, 10).cast("long"), F.lit(5))
+        == 0
+    ).select(
+        F.concat(F.col("image_id"), F.lit("-twin")).alias("image_id"),
+        "bytes",
+        "fmt",
+    )
+    hashes = quadrant_phashes(caps.unionByName(twins))
+    return partial_dup_pairs(hashes)
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5684,6 +5709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_audit": q_crawl_audit,
         # -- X236: phash distortion-robustness audit (rows-only) --------------------
         "phash_robustness": q_phash_robustness,
+        # -- X237: quadrant-phash partial-duplicate pairs (rows-only) ---------------
+        "partial_dups": q_partial_dups,
     }
 
 

@@ -1210,3 +1210,67 @@ def phash_robustness(
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# X237 (hash stage): quadrant perceptual hashes for PARTIAL-duplicate
+# detection. Whole-image phash (X13) misses crop/collage reuse — an image
+# whose top-left quarter is lifted from another image lands 30+ bits away on
+# the full hash. Hashing the four quadrants separately lets the dedup side
+# (operators/dedup.py partial_dup_pairs) band-join per quadrant: a region
+# reused verbatim still collides on ITS quadrant even when the rest differs.
+# ---------------------------------------------------------------------------
+
+QUAD_SCHEMA = (
+    "struct<ph_full: long, ph_q0: long, ph_q1: long, ph_q2: long, ph_q3: long>"
+)
+
+
+def _quadrants(arr: np.ndarray):
+    h, w = arr.shape[:2]
+    hy, hx = max(h // 2, 1), max(w // 2, 1)
+    return (
+        arr[:hy, :hx],
+        arr[:hy, hx:] if w > 1 else arr[:hy, :hx],
+        arr[hy:, :hx] if h > 1 else arr[:hy, :hx],
+        arr[hy:, hx:] if (h > 1 and w > 1) else arr[:hy, :hx],
+    )
+
+
+def quadrant_phashes(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """(id, ph_full, ph_q0..ph_q3): the full phash plus one per quadrant
+    (q0 top-left, q1 top-right, q2 bottom-left, q3 bottom-right). One
+    decode per row inside an Arrow batch — five int64 leave Python,
+    bytes never shuffle. Corrupt images emit no row."""
+
+    @F.pandas_udf(QUAD_SCHEMA)
+    def _qhash(bs: pd.Series, fmts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b, fmt in zip(bs, fmts):
+            try:
+                arr = decode_image(bytes(b), fmt)
+                qs = [phash64(q) for q in _quadrants(arr)]
+                rows.append((phash64(arr), qs[0], qs[1], qs[2], qs[3]))
+            except Exception:
+                rows.append((None, None, None, None, None))
+        return pd.DataFrame(
+            rows, columns=["ph_full", "ph_q0", "ph_q1", "ph_q2", "ph_q3"]
+        )
+
+    return (
+        df.select(id_col, _qhash(F.col(bytes_col), F.col(fmt_col)).alias("_h"))
+        .where(F.col("_h.ph_full").isNotNull())
+        .select(
+            id_col,
+            F.col("_h.ph_full").alias("ph_full"),
+            F.col("_h.ph_q0").alias("ph_q0"),
+            F.col("_h.ph_q1").alias("ph_q1"),
+            F.col("_h.ph_q2").alias("ph_q2"),
+            F.col("_h.ph_q3").alias("ph_q3"),
+        )
+    )

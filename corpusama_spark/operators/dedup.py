@@ -1545,3 +1545,116 @@ def hamming_band_recall(
         )
         .orderBy("hamming")
     )
+
+
+def partial_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "image_id",
+    bands: int = 4,
+    hamming_k: int = 3,
+    full_gap: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Partial-duplicate image pairs (X237) over quadrant_phashes output:
+    a pair reports when ANY quadrant matches within ``hamming_k`` bits —
+    catching crop/collage reuse where one region is lifted verbatim into
+    an otherwise different image, which the whole-image phash family
+    (X14) structurally misses.
+
+    Output (id_a < id_b): matched_quads (sorted list), n_quads_matched,
+    min_quad_dist, full_dist, and ``partial_only`` — true when the full
+    hashes sit ``> full_gap`` bits apart, i.e. this pair is INVISIBLE to
+    full-hash dedup and only the region match found it.
+
+    Scale shape: the X14 kernel per quadrant — band keys are JVM
+    shift/mask ints, the equi-join key is (quad, band, band_key), flood
+    buckets (blank quadrants: letterbox bars, white backgrounds are the
+    classic ones) are dropped at ``max_bucket`` exactly like
+    minhash_lsh_pairs, candidates verify on bit_count(xor) and never
+    touch pixels. Pigeonhole: hamming_k < bands loses no pair."""
+    from pyspark.sql import Window
+
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    quads = hashes.select(
+        F.col(id_col).alias("id"),
+        "ph_full",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("quad"), F.col(f"ph_q{q}").alias("code")
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("_q"),
+    ).select("id", "ph_full", F.col("_q.quad").alias("quad"), F.col("_q.code").alias("code"))
+    banded = quads.select(
+        "id",
+        "quad",
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("code", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        "id", "quad", "code", F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key")
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("quad", "band", "band_key")
+        banded = banded.withColumn("_n", F.count("*").over(w)).where(
+            F.col("_n") <= max_bucket
+        ).drop("_n")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.quad") == F.col("b.quad"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.quad").alias("quad"),
+            F.bit_count(
+                F.col("a.code").bitwiseXOR(F.col("b.code"))
+            ).alias("qdist"),
+        )
+        .where(F.col("qdist") <= hamming_k)
+        .groupBy("id_a", "id_b", "quad")
+        .agg(F.min("qdist").alias("qdist"))
+    )
+    fulls = hashes.select(F.col(id_col).alias("id"), "ph_full")
+    agg = cand.groupBy("id_a", "id_b").agg(
+        F.sort_array(F.collect_set("quad")).alias("matched_quads"),
+        F.count("*").cast("long").alias("n_quads_matched"),
+        F.min("qdist").alias("min_quad_dist"),
+    )
+    out = (
+        agg.join(fulls.withColumnRenamed("id", "id_a").withColumnRenamed("ph_full", "_fa"), "id_a")
+        .join(fulls.withColumnRenamed("id", "id_b").withColumnRenamed("ph_full", "_fb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "matched_quads",
+            "n_quads_matched",
+            "min_quad_dist",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("full_dist"),
+        )
+    )
+    return out.select(
+        "*", (F.col("full_dist") > full_gap).alias("partial_only")
+    ).orderBy("id_a", "id_b")
