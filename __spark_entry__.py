@@ -5307,6 +5307,28 @@ def q_partial_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial_dup_pairs(hashes)
 
 
+def q_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling budget allocation (X238): targets = natural doc mix
+    (count*1000), caps = even-doc_id n_chars supply per source, budget =
+    a fixed 100k tokens so several sources saturate and re-flow; every
+    boundary test is cross-multiplied BIGINT, allocations BIGINT div —
+    the oracle replays the identical window + boundary algebra."""
+    from corpusama_spark.operators.curation import waterfill_allocation
+
+    src_tbl = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            (F.count("*") * 1000).cast("long").alias("target_w"),
+            F.coalesce(
+                F.sum(F.when(F.pmod("doc_id", F.lit(2)) == 0, F.col("n_chars"))),
+                F.lit(0),
+            ).cast("long").alias("cap"),
+        )
+    )
+    return waterfill_allocation(src_tbl, budget=100_000)
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5711,6 +5733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_robustness": q_phash_robustness,
         # -- X237: quadrant-phash partial-duplicate pairs (rows-only) ---------------
         "partial_dups": q_partial_dups,
+        # -- X238: water-filling budget allocation ----------------------------------
+        "waterfill": q_waterfill,
     }
 
 
@@ -12910,6 +12934,62 @@ def oracle_sql() -> dict[str, str]:
                max(span_ms) AS bound_ms,
                max(CASE WHEN rk = 1 THEN host END) AS bottleneck_host
         FROM ranked GROUP BY worker ORDER BY worker
+    """
+    out["waterfill"] = """
+        WITH src AS (
+            SELECT source AS k,
+                   CAST(count(*) * 1000 AS BIGINT) AS t,
+                   CAST(coalesce(sum(CASE WHEN doc_id % 2 = 0
+                                          THEN n_chars END), 0) AS BIGINT)
+                       AS cap
+            FROM documents GROUP BY 1),
+        live AS (SELECT * FROM src WHERE t > 0 AND cap > 0),
+        pre AS (
+            SELECT k, t, cap,
+                   CAST(sum(cap) OVER w AS BIGINT) AS capsum,
+                   CAST(sum(t) OVER w AS BIGINT) AS tsum,
+                   CAST(sum(t) OVER () AS BIGINT) AS t_all,
+                   CAST(sum(cap) OVER () AS BIGINT) AS totcap,
+                   row_number() OVER w AS rk
+            FROM live
+            WINDOW w AS (ORDER BY CAST(cap AS DOUBLE) / t, k)),
+        ks AS (
+            SELECT max(CASE WHEN (t_all - tsum) > 0
+                             AND cap * (t_all - tsum)
+                                 <= (100000 - capsum) * t
+                            THEN rk END) AS kstar,
+                   max(totcap) AS ktotcap
+            FROM pre),
+        boundary AS (
+            SELECT coalesce(ks.kstar, 0) AS kstar,
+                   coalesce(p.capsum, 0) AS bcapsum,
+                   coalesce(p.tsum, 0) AS btsum,
+                   ks.ktotcap AS totcap,
+                   (SELECT max(t_all) FROM pre) AS bT
+            FROM ks LEFT JOIN pre p ON p.rk = ks.kstar),
+        alloc AS (
+            SELECT p.k, p.t, p.cap,
+                   CASE WHEN 100000 >= b.totcap THEN p.cap
+                        WHEN p.rk <= b.kstar THEN p.cap
+                        ELSE least(p.cap,
+                                   CAST(((100000 - b.bcapsum) * p.t)
+                                       // (b.bT - b.btsum) AS BIGINT))
+                        END AS alloc
+            FROM pre p CROSS JOIN boundary b),
+        flagged AS (
+            SELECT k, t, cap, alloc, alloc >= cap AS capped FROM alloc
+            UNION ALL
+            SELECT k, t, cap, CAST(0 AS BIGINT), false
+            FROM src WHERE t <= 0 OR cap <= 0),
+        fin AS (
+            SELECT *,
+                   CAST(least(100000,
+                              sum(CASE WHEN t > 0 THEN cap ELSE 0 END)
+                                  OVER ())
+                        - sum(alloc) OVER () AS BIGINT) AS leftover
+            FROM flagged)
+        SELECT k AS source, t AS target_w, cap, alloc, capped, leftover
+        FROM fin ORDER BY source
     """
     out["rollout_power"] = """
         WITH per AS (

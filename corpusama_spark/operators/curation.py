@@ -1147,3 +1147,138 @@ def interleave_schedule(
         ).alias("disc"),
     )
     return own_caches(out, ranged)
+
+
+def waterfill_allocation(
+    df: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    target_col: str = "target_w",
+    cap_col: str = "cap",
+) -> DataFrame:
+    """Water-filling token-budget allocation (X238): given per-source
+    integer target weights (the mixture you WANT — e.g. X47 temperature
+    fractions scaled to parts-per-million) and integer availability caps
+    (tokens that actually exist after dedup/filtering), allocate an
+    integer ``budget`` as
+
+        alloc_i = min(cap_i, floor(λ · t_i)),  λ chosen so Σ alloc ≈ budget
+
+    — proportional-to-target everywhere the data suffices, capped where
+    it doesn't, with the freed budget re-flowing to uncapped sources.
+    This is the reconciliation step between "target mixture" and "what
+    the corpus can supply" that a naive pro-rata allocation gets wrong
+    the moment one source runs dry.
+
+    EXACTNESS: sources sort by fill ratio cap/t; every boundary test is
+    CROSS-MULTIPLIED BIGINT (cap_k·trem_k ≤ (B−capsum_k)·t_k — no float
+    λ anywhere), and uncapped allocations are BIGINT floor division
+    ((B−capsum)·t_i) DIV trem — bit-identical in any engine. Floors may
+    leave a few tokens unallocated; ``leftover`` on every row reports
+    it honestly (callers top-up the largest source or ignore).
+
+    Scale shape: this runs on the SOURCE table — thousands of rows at
+    most by construction — so the single-partition prefix-sum window is
+    fine (the temperature_fractions precedent); the corpus never enters.
+    Zero-target rows allocate 0; budget ≥ Σcap degenerates to cap.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(target_col).cast("long").alias("t"),
+        F.col(cap_col).cast("long").alias("cap"),
+    ).where(F.col("t").isNotNull() & F.col("cap").isNotNull())
+    live = base.where((F.col("t") > 0) & (F.col("cap") > 0))
+    dead = base.where((F.col("t") <= 0) | (F.col("cap") <= 0))
+
+    w = Window.orderBy(
+        (F.col("cap") / F.col("t")).asc(), F.col("k").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = live.select(
+        "k",
+        "t",
+        "cap",
+        F.sum("cap").over(w).alias("capsum"),
+        F.sum("t").over(w).alias("tsum"),
+        F.sum("t").over(wall).alias("t_all"),
+        F.sum("cap").over(wall).alias("totcap"),
+        F.row_number().over(
+            Window.orderBy((F.col("cap") / F.col("t")).asc(), F.col("k").asc())
+        ).alias("rk"),
+    )
+    B = F.lit(int(budget)).cast("long")
+    # prefix k is saturated iff r_k <= lambda_k, cross-multiplied in BIGINT
+    trem = F.col("t_all") - F.col("tsum")
+    sat = (trem > 0) & (
+        F.col("cap") * trem <= (B - F.col("capsum")) * F.col("t")
+    )
+    kstar = pre.select(
+        F.max(F.when(sat, F.col("rk"))).alias("kstar"),
+        F.max("totcap").alias("ktotcap"),
+        F.max("t_all").alias("kT"),
+    )
+    boundary = (
+        pre.select("rk", "capsum", "tsum")
+        .join(
+            F.broadcast(kstar),
+            F.col("rk") == F.coalesce(F.col("kstar"), F.lit(-1)),
+            "right",
+        )
+        .select(
+            F.coalesce(F.col("kstar"), F.lit(0)).alias("kstar"),
+            F.coalesce(F.col("capsum"), F.lit(0)).alias("bcapsum"),
+            F.coalesce(F.col("tsum"), F.lit(0)).alias("btsum"),
+            F.col("ktotcap").alias("totcap"),
+            F.col("kT").alias("bT"),
+        )
+    )
+    joined = (
+        pre.select("k", "t", "cap", "rk")
+        .join(F.broadcast(boundary), how="cross")
+        .withColumn("_num", (B - F.col("bcapsum")) * F.col("t"))
+        .withColumn("_den", F.col("bT") - F.col("btsum"))
+    )
+    alloc = (
+        F.when(B >= F.col("totcap"), F.col("cap"))
+        .when(F.col("rk") <= F.col("kstar"), F.col("cap"))
+        .otherwise(
+            F.least(
+                F.col("cap"),
+                # BIGINT `div`, not floor(double /): at 10^12-token
+                # budgets the double mantissa would round the allocation
+                F.expr("_num div _den"),
+            )
+        )
+    )
+    out = joined.select(
+        F.col("k").alias(key_col),
+        F.col("t").alias(target_col),
+        F.col("cap").alias(cap_col),
+        alloc.alias("alloc"),
+        (alloc >= F.col("cap")).alias("capped"),
+    )
+    dead_out = dead.select(
+        F.col("k").alias(key_col),
+        F.col("t").alias(target_col),
+        F.col("cap").alias(cap_col),
+        F.lit(0).cast("long").alias("alloc"),
+        F.lit(False).alias("capped"),
+    )
+    allrows = out.unionByName(dead_out)
+    wsum = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # achievable = min(budget, total cap of LIVE sources); dead rows
+    # (zero target or zero cap) can never absorb budget
+    achievable = F.least(
+        B,
+        F.sum(
+            F.when(F.col(target_col) > 0, F.col(cap_col)).otherwise(F.lit(0))
+        ).over(wsum),
+    )
+    return allrows.select(
+        "*",
+        (achievable - F.sum("alloc").over(wsum)).alias("leftover"),
+    ).orderBy(key_col)
