@@ -63,9 +63,20 @@ def commit_snapshot(
     buckets: list[int],
     n_rows: int,
     n_keep: int,
+    schema: list[dict] | None = None,
 ) -> int:
     """Atomically append one snapshot; returns its id. Parent pointer is
-    the current latest (None for the first commit)."""
+    the current latest (None for the first commit).
+
+    ``schema`` (X239, the Iceberg schema-evolution shape): a list of
+    {"name", "type", "default"} entries recording the TABLE SCHEMA this
+    snapshot was written under (Spark DDL type strings; defaults must be
+    JSON-encodable). Omit it to inherit the last recorded schema —
+    ``schema_as_of`` walks the chain. Recording a schema that ADDS
+    columns is an add-column evolution: older buckets lack the column on
+    disk and ``read_as_of`` fills the recorded default at read time
+    (Iceberg's initial-default semantics); reads as of an OLDER snapshot
+    drop the new column entirely — time travel includes the schema."""
     p = pathlib.Path(snap_dir)
     p.mkdir(parents=True, exist_ok=True)
     parent = latest_snapshot_id(snap_dir)
@@ -77,6 +88,11 @@ def commit_snapshot(
         "buckets": sorted(int(b) for b in buckets),
         "summary": {"n_rows": int(n_rows), "n_keep": int(n_keep)},
     }
+    if schema is not None:
+        for c in schema:
+            if set(c) != {"name", "type", "default"}:
+                raise ValueError(f"schema entry needs name/type/default: {c}")
+        doc["schema"] = schema
     tmp = p / f".tmp-{_PREFIX}{snap_id:06d}.json"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(doc, fh)
@@ -101,6 +117,22 @@ def buckets_as_of(snap_dir: str, snapshot_id: int | None = None) -> set[int]:
     return out
 
 
+def schema_as_of(
+    snap_dir: str, snapshot_id: int | None = None
+) -> list[dict] | None:
+    """The table schema in effect at ``snapshot_id`` (latest when None):
+    the most recent ``schema`` recorded at or before it, walking the
+    same metadata chain as ``buckets_as_of``. None when no snapshot ever
+    recorded one (pre-evolution logs stay fully compatible)."""
+    eff = None
+    for s in snapshots(snap_dir):
+        if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+            break
+        if "schema" in s:
+            eff = s["schema"]
+    return eff
+
+
 def read_as_of(
     spark: SparkSession,
     out_path: str,
@@ -111,10 +143,54 @@ def read_as_of(
     partition-pruned scan of exactly the committed buckets (the bucket
     column is the physical partition key, so pruning is free)."""
     committed = sorted(buckets_as_of(snap_dir, snapshot_id))
-    df = spark.read.parquet(out_path)
+    schema = schema_as_of(snap_dir, snapshot_id)
+    reader = spark.read
+    if schema is not None:
+        # buckets written under different schema versions differ in
+        # footer columns; merge so every column is visible before the
+        # default fill
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(out_path)
     if not committed:
-        return df.where(F.lit(False))
-    return df.where(F.col("bucket").isin(committed))
+        df = df.where(F.lit(False))
+    else:
+        df = df.where(F.col("bucket").isin(committed))
+    if schema is None:
+        return df
+    # per-column provenance: buckets committed STRICTLY BEFORE the
+    # snapshot that introduced a column were written without it — their
+    # rows take the recorded initial default (Iceberg initial-default
+    # semantics). Rows written after the column existed keep their
+    # stored value, including genuine NULLs.
+    intro: dict[str, int] = {}
+    prov: dict[str, set] = {}
+    for s in snapshots(snap_dir):
+        if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+            break
+        for c in s.get("schema", []):
+            intro.setdefault(c["name"], s["snapshot_id"])
+        for name, bs in s.get("schema_provenance", {}).items():
+            prov.setdefault(name, set()).update(bs)
+    cols = []
+    for c in schema:
+        default = F.lit(c["default"]).cast(c["type"])
+        if c["name"] not in df.columns:
+            # newer than any committed data file: all-default
+            cols.append(default.alias(c["name"]))
+            continue
+        col = F.col(c["name"])
+        pre = set(prov.get(c["name"], set()))
+        if c["name"] in intro and c["default"] is not None:
+            pre |= buckets_as_of(snap_dir, intro[c["name"]] - 1)
+        pre = sorted(pre) if c["default"] is not None else []
+        if pre:
+            col = F.when(
+                F.col("bucket").isin(pre) & col.isNull(), default
+            ).otherwise(col)
+        cols.append(col.alias(c["name"]))
+    if "bucket" in df.columns and all(c["name"] != "bucket" for c in schema):
+        cols.append(F.col("bucket"))
+    return df.select(*cols)
 
 
 def expiry_plan(snap_dir: str, keep_last: int = 2) -> dict:
@@ -188,6 +264,32 @@ def expire_snapshots(snap_dir: str, keep_last: int = 2) -> dict:
             "n_keep": sum(s["summary"]["n_keep"] for s in old),
         },
     }
+    old_schemas = [s["schema"] for s in old if "schema" in s]
+    if old_schemas:
+        # the schema in effect at the squash horizon — keeps
+        # schema_as_of(retained ids) identical after compaction
+        base["schema"] = old_schemas[-1]
+    # provenance: a column INTRODUCED inside the expired range loses its
+    # "which buckets predate me" answer once the chain compacts — record
+    # it in the base (merging provenance from any earlier squash)
+    provenance: dict[str, list] = {}
+    for s in old:
+        for name, bs in s.get("schema_provenance", {}).items():
+            provenance.setdefault(name, [])
+            provenance[name] = sorted(set(provenance[name]) | set(bs))
+    seen_cols: set = set()
+    buckets_before: set = set()
+    for s in old:
+        for c in s.get("schema", []):
+            if c["name"] not in seen_cols:
+                seen_cols.add(c["name"])
+                if buckets_before:
+                    provenance[c["name"]] = sorted(
+                        set(provenance.get(c["name"], [])) | buckets_before
+                    )
+        buckets_before |= set(s["buckets"])
+    if provenance:
+        base["schema_provenance"] = provenance
     p = pathlib.Path(snap_dir)
     tmp = p / f".tmp-squash-{base['snapshot_id']:06d}.json"
     with open(tmp, "w", encoding="utf-8") as fh:
