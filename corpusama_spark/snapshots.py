@@ -113,6 +113,8 @@ def buckets_as_of(snap_dir: str, snapshot_id: int | None = None) -> set[int]:
     for s in snapshots(snap_dir):
         if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
             break
+        if s.get("staged"):
+            continue  # write-audit-publish: invisible until published
         out.update(s["buckets"])
     return out
 
@@ -128,6 +130,8 @@ def schema_as_of(
     for s in snapshots(snap_dir):
         if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
             break
+        if s.get("staged"):
+            continue
         if "schema" in s:
             eff = s["schema"]
     return eff
@@ -167,6 +171,8 @@ def read_as_of(
     for s in snapshots(snap_dir):
         if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
             break
+        if s.get("staged"):
+            continue
         for c in s.get("schema", []):
             intro.setdefault(c["name"], s["snapshot_id"])
         for name, bs in s.get("schema_provenance", {}).items():
@@ -208,6 +214,16 @@ def expiry_plan(snap_dir: str, keep_last: int = 2) -> dict:
             "retain_ids": [s["snapshot_id"] for s in snaps],
             "base_buckets": [],
             "time_travel_horizon": snaps[0]["snapshot_id"] if snaps else None,
+        }
+    staged = [s for s in snaps if s.get("staged")]
+    if staged:
+        # WAP in flight: resolve (publish/abandon) before compaction —
+        # squashing around a pending audit would renumber its parent
+        return {
+            "expire_ids": [],
+            "retain_ids": [s["snapshot_id"] for s in snaps],
+            "base_buckets": [],
+            "time_travel_horizon": snaps[0]["snapshot_id"],
         }
     old, kept = snaps[:-keep_last], snaps[-keep_last:]
     if len(old) == 1 and old[0].get("squashed"):
@@ -300,3 +316,149 @@ def expire_snapshots(snap_dir: str, keep_last: int = 2) -> dict:
     for sid in plan["expire_ids"][:-1]:
         _snap_path(snap_dir, sid).unlink(missing_ok=True)
     return plan
+
+
+# ---------------------------------------------------------------------------
+# X240: snapshot workflow ops — the three Iceberg idioms a production
+# pipeline leans on beyond plain commits:
+#   * write-audit-publish: a wave lands as a STAGED snapshot invisible to
+#     readers, quality gates run against it, then one atomic publish (or
+#     abandon) — bad data never becomes readable history;
+#   * incremental scan: exactly the rows added between two snapshots (the
+#     downstream-consumer contract: "give me what's new since I last ran");
+#   * tags: named immutable refs ("training-v1") so jobs pin a snapshot by
+#     meaning, not by remembering an integer.
+# All metadata-log ops: atomic rename, no data files touched.
+# ---------------------------------------------------------------------------
+
+
+def commit_staged(
+    snap_dir: str,
+    run_id: str,
+    buckets: list[int],
+    n_rows: int,
+    n_keep: int,
+    schema: list[dict] | None = None,
+) -> int:
+    """Commit a snapshot in STAGED state (write-audit-publish): it holds
+    its id in the chain but ``buckets_as_of``/``read_as_of``/
+    ``schema_as_of`` skip it until ``publish_snapshot``. Audit the wave
+    via ``read_staged`` first."""
+    sid = commit_snapshot(snap_dir, run_id, buckets, n_rows, n_keep, schema)
+    path = _snap_path(snap_dir, sid)
+    with open(path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    doc["staged"] = True
+    tmp = path.parent / f".tmp-stage-{sid:06d}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    return sid
+
+
+def read_staged(
+    spark: SparkSession, out_path: str, snap_dir: str, snapshot_id: int
+) -> DataFrame:
+    """The rows a STAGED snapshot would add — the audit input."""
+    snaps = {s["snapshot_id"]: s for s in snapshots(snap_dir)}
+    s = snaps[snapshot_id]
+    bs = sorted(s["buckets"])
+    df = spark.read.parquet(out_path)
+    return df.where(F.col("bucket").isin(bs)) if bs else df.where(F.lit(False))
+
+
+def publish_snapshot(snap_dir: str, snapshot_id: int) -> None:
+    """Atomically flip a staged snapshot to published (the WAP publish).
+    Idempotent; raises on an unknown id."""
+    path = _snap_path(snap_dir, snapshot_id)
+    if not path.exists():
+        raise ValueError(f"no snapshot {snapshot_id}")
+    with open(path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    if not doc.get("staged"):
+        return
+    doc.pop("staged")
+    tmp = path.parent / f".tmp-pub-{snapshot_id:06d}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def abandon_snapshot(snap_dir: str, snapshot_id: int) -> None:
+    """Drop a STAGED snapshot (audit failed). Refuses to drop published
+    history — that's ``expire_snapshots``' job, with its contracts. The
+    freed id is reused by the next commit: an abandoned snapshot never
+    became readable history, so no reader could have pinned it."""
+    path = _snap_path(snap_dir, snapshot_id)
+    if not path.exists():
+        return
+    with open(path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    if not doc.get("staged"):
+        raise ValueError(
+            f"snapshot {snapshot_id} is published; expire, don't abandon"
+        )
+    path.unlink()
+
+
+def read_incremental(
+    spark: SparkSession,
+    out_path: str,
+    snap_dir: str,
+    from_id: int | None,
+    to_id: int | None = None,
+) -> DataFrame:
+    """Rows added AFTER ``from_id`` up to ``to_id`` (latest when None) —
+    the Iceberg incremental-scan shape. from_id=None means everything up
+    to to_id. Bucket-pruned like read_as_of; published snapshots only."""
+    newer = buckets_as_of(snap_dir, to_id)
+    older = buckets_as_of(snap_dir, from_id) if from_id is not None else set()
+    delta = sorted(newer - older)
+    df = spark.read.parquet(out_path)
+    return (
+        df.where(F.col("bucket").isin(delta)) if delta else df.where(F.lit(False))
+    )
+
+
+def create_tag(snap_dir: str, name: str, snapshot_id: int | None = None) -> int:
+    """Pin an immutable named ref to a snapshot (latest published when
+    None). Re-tagging an existing name to a DIFFERENT id raises — tags
+    are immutable (Iceberg tags; use a new name for a new pin)."""
+    sid = snapshot_id if snapshot_id is not None else latest_snapshot_id(snap_dir)
+    if sid is None:
+        raise ValueError("no snapshots to tag")
+    known = {s["snapshot_id"] for s in snapshots(snap_dir)}
+    if sid not in known:
+        raise ValueError(f"no snapshot {sid}")
+    p = pathlib.Path(snap_dir) / "tags"
+    p.mkdir(parents=True, exist_ok=True)
+    path = p / f"{name}.json"
+    if path.exists():
+        with open(path, encoding="utf-8") as fh:
+            cur = json.load(fh)["snapshot_id"]
+        if cur != sid:
+            raise ValueError(f"tag {name!r} pinned to {cur}, not re-pinnable")
+        return sid
+    tmp = p / f".tmp-{name}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"name": name, "snapshot_id": sid}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    return sid
+
+
+def read_tag(
+    spark: SparkSession, out_path: str, snap_dir: str, name: str
+) -> DataFrame:
+    """read_as_of at the tagged snapshot (schema-as-of included)."""
+    path = pathlib.Path(snap_dir) / "tags" / f"{name}.json"
+    if not path.exists():
+        raise ValueError(f"no tag {name!r}")
+    with open(path, encoding="utf-8") as fh:
+        sid = json.load(fh)["snapshot_id"]
+    return read_as_of(spark, out_path, snap_dir, sid)
