@@ -5329,6 +5329,31 @@ def q_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(src_tbl, budget=100_000)
 
 
+def q_lexicon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Obfuscation-folded lexicon gate (X241) over documents with
+    placeholder terms injected per doc_id class — raw, leet-folded
+    ("b4dw0rd"), symbol-folded ("$lurx!!") — so the oracle replays the
+    fold map, tokenizer, obfuscation attribution, and the gate."""
+    from corpusama_spark.functions.lexicon import lexicon_gate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.pmod("doc_id", F.lit(8)) == 0, F.lit(" badword"))
+            .when(F.pmod("doc_id", F.lit(8)) == 1, F.lit(" b4dw0rd"))
+            .when(F.pmod("doc_id", F.lit(8)) == 2, F.lit(" $lurx!!"))
+            .when(F.pmod("doc_id", F.lit(8)) == 3, F.lit(" spamterm"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    lex = spark.createDataFrame(
+        [("badword", 2), ("slurx", 3), ("spamterm", 1)],
+        "term string, severity int",
+    )
+    return lexicon_gate(docs, lex, max_hits=0, max_severity=1).orderBy("doc_id")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5735,6 +5760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_dups": q_partial_dups,
         # -- X238: water-filling budget allocation ----------------------------------
         "waterfill": q_waterfill,
+        # -- X241: obfuscation-folded lexicon gate ----------------------------------
+        "lexicon_gate": q_lexicon_gate,
     }
 
 
@@ -12990,6 +13017,61 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged)
         SELECT k AS source, t AS target_w, cap, alloc, capped, leftover
         FROM fin ORDER BY source
+    """
+    out["lexicon_gate"] = """
+        WITH docs AS (
+            SELECT doc_id,
+                   coalesce(text, '') ||
+                   CASE doc_id % 8
+                     WHEN 0 THEN ' badword'
+                     WHEN 1 THEN ' b4dw0rd'
+                     WHEN 2 THEN ' $lurx!!'
+                     WHEN 3 THEN ' spamterm'
+                     ELSE '' END AS text
+            FROM documents),
+        lex(term, sev) AS (
+            SELECT * FROM (VALUES ('badword', 2), ('slurx', 3),
+                                  ('spamterm', 1))),
+        raws AS (
+            SELECT doc_id, raw
+            FROM docs,
+                 UNNEST(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     x -> length(x) > 0)) AS u(raw)),
+        toks AS (
+            SELECT doc_id, raw, tok
+            FROM raws,
+                 UNNEST(list_filter(
+                     string_split_regex(
+                         translate(raw, '431057$@', 'aeiostsa'),
+                         '[^a-z0-9]+'),
+                     x -> length(x) > 0)) AS u(tok)),
+        hits AS (
+            SELECT t.doc_id, t.tok, l.sev,
+                   CASE WHEN list_contains(
+                            list_filter(
+                                string_split_regex(t.raw, '[^a-z0-9]+'),
+                                x -> length(x) > 0),
+                            t.tok)
+                        THEN 0 ELSE 1 END AS obf
+            FROM toks t JOIN lex l ON t.tok = l.term),
+        per AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(sum(obf) AS BIGINT) AS n_obfuscated,
+                   CAST(max(sev) AS INT) AS max_severity,
+                   array_to_string(list_sort(list_distinct(list(tok))), ',')
+                       AS terms
+            FROM hits GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(p.n_hits, 0) AS n_hits,
+               coalesce(p.n_obfuscated, 0) AS n_obfuscated,
+               CAST(coalesce(p.max_severity, 0) AS INT) AS max_severity,
+               coalesce(p.terms, '') AS terms,
+               (coalesce(p.n_hits, 0) <= 0
+                AND coalesce(p.max_severity, 0) <= 1) AS keep
+        FROM docs d LEFT JOIN per p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id
     """
     out["rollout_power"] = """
         WITH per AS (
