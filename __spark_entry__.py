@@ -5354,6 +5354,18 @@ def q_lexicon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexicon_gate(docs, lex, max_hits=0, max_severity=1).orderBy("doc_id")
 
 
+def q_skin_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skin-share routing pre-filter (X242; rows-only: decode UDF) over
+    the synthesized captions table — the cheap decode-stage tier that
+    routes the suspicious slice to an expensive NSFW scorer, same
+    tiering as IVF-before-brute-force."""
+    from corpusama_spark.functions.imageops import skin_gate
+    from corpusama_spark.sources.synth import captions_from_documents
+
+    caps = captions_from_documents(_t(spark, sf_dir, "documents"))
+    return skin_gate(caps).orderBy("image_id")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5762,6 +5774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waterfill": q_waterfill,
         # -- X241: obfuscation-folded lexicon gate ----------------------------------
         "lexicon_gate": q_lexicon_gate,
+        # -- X242: skin-share routing pre-filter (rows-only) ------------------------
+        "skin_route": q_skin_route,
     }
 
 

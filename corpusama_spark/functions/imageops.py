@@ -1274,3 +1274,87 @@ def quadrant_phashes(
             F.col("_h.ph_q3").alias("ph_q3"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X242: skin-share pre-filter. Production NSFW filtering runs a model; at
+# 10^12 images you don't run the model on everything — you run a cheap
+# decode-stage heuristic that routes the suspicious slice to the expensive
+# scorer (the same tiering as IVF-before-brute-force). The classic RGB skin
+# rule (Peer et al. 2003 / Fleck-Forsyth family, public) is that pre-filter:
+# per-image share of skin-classified pixels, plus the center-crop share
+# (subject-centered composition raises prior). A real model slots in behind
+# the same seam (FastTextAdapter precedent).
+# ---------------------------------------------------------------------------
+
+
+def _skin_mask(arr: np.ndarray) -> np.ndarray:
+    r = arr[..., 0].astype(np.int16)
+    g = arr[..., 1].astype(np.int16)
+    b = arr[..., 2].astype(np.int16)
+    mx = np.maximum(np.maximum(r, g), b)
+    mn = np.minimum(np.minimum(r, g), b)
+    return (
+        (r > 95)
+        & (g > 40)
+        & (b > 20)
+        & (mx - mn > 15)
+        & (np.abs(r - g) > 15)
+        & (r > g)
+        & (r > b)
+    )
+
+
+def skin_gate(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+    max_share: float = 0.4,
+    max_center_share: float = 0.6,
+) -> DataFrame:
+    """(id, skin_share, center_skin_share, route_to_scorer): share of
+    skin-rule pixels over the whole frame and over the center half-crop;
+    ``route_to_scorer`` flags images exceeding EITHER threshold for the
+    expensive model tier. Shares are exact pixel-count ratios rounded to
+    6dp (integer counts → one division). Corrupt images emit no row —
+    they're already dropped by the decode gate upstream.
+
+    Rows-only (decode UDF); numpy-mirror pytest. Decode once per row in
+    an Arrow batch; two integers + two doubles cross the boundary."""
+
+    @F.pandas_udf(
+        "struct<skin_share: double, center_skin_share: double>"
+    )
+    def _skin(bs: pd.Series, fmts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for raw, fmt in zip(bs, fmts):
+            try:
+                arr = decode_image(bytes(raw), fmt)
+                m = _skin_mask(arr)
+                h, w = m.shape
+                total = round(float(m.sum()) / (h * w), 6)
+                cy, cx = h // 4, w // 4
+                c = m[cy : cy + max(h // 2, 1), cx : cx + max(w // 2, 1)]
+                center = round(float(c.sum()) / c.size, 6) if c.size else 0.0
+                rows.append((total, center))
+            except Exception:
+                rows.append((None, None))
+        return pd.DataFrame(rows, columns=["skin_share", "center_skin_share"])
+
+    out = (
+        df.select(id_col, _skin(F.col(bytes_col), F.col(fmt_col)).alias("_s"))
+        .where(F.col("_s.skin_share").isNotNull())
+        .select(
+            id_col,
+            F.col("_s.skin_share").alias("skin_share"),
+            F.col("_s.center_skin_share").alias("center_skin_share"),
+        )
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("skin_share") > max_share)
+            | (F.col("center_skin_share") > max_center_share)
+        ).alias("route_to_scorer"),
+    )
