@@ -5366,6 +5366,65 @@ def q_skin_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skin_gate(caps).orderBy("image_id")
 
 
+def q_crawl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical crawl report (X243): keep-rate and byte totals at
+    (tld, registered domain, host) levels in ONE pass via GROUP BY
+    ROLLUP — subtotal rows carry NULLs per ANSI, matched exactly by the
+    DuckDB twin. Map-side combinable; the rollup costs one exchange."""
+    from corpusama_spark.functions.urls import registered_domain, url_host
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    host = F.concat(
+        F.when(m == 0, F.lit("www.")).when(m == 1, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit(".co.uk")).otherwise(
+            F.lit(".org")
+        ),
+    )
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        host.alias("host"),
+        registered_domain(host).alias("domain"),
+        F.regexp_extract(host, r"([^.]+)$", 1).alias("tld"),
+        (F.col("n_chars") >= 200).cast("int").alias("keep"),
+    )
+    return (
+        base.rollup("tld", "domain", "host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.round(F.avg("keep"), 6).alias("keep_rate"),
+        )
+        .orderBy(
+            F.col("tld").asc_nulls_first(),
+            F.col("domain").asc_nulls_first(),
+            F.col("host").asc_nulls_first(),
+        )
+    )
+
+
+def q_url_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host spam-signal triage (X244): deterministic dirty frontier
+    derived from documents — deep subdomain chains, digit-stuffed
+    labels, hyphen floods, punycode, abuse TLDs — five signals + vote,
+    all replayed by the oracle."""
+    from corpusama_spark.functions.urls import url_spam_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www."), F.col("source"), F.lit(".org/a")))
+        .when(m == 1, F.concat(F.lit("http://a.b.c.d."), F.col("source"), F.lit(".tk/x")))
+        .when(m == 2, F.concat(F.lit("https://get-rich-fast-"), F.col("doc_id"), F.lit("-now.top/")))
+        .when(m == 3, F.concat(F.lit("https://xn--spoof-"), F.col("source"), F.lit(".com/p")))
+        .otherwise(F.concat(F.lit("https://img"), F.col("doc_id"), F.lit("0"), F.col("doc_id"), F.lit(".cdn.example.org/i")))
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return url_spam_score(urls).orderBy("doc_id")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5776,6 +5835,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_gate": q_lexicon_gate,
         # -- X242: skin-share routing pre-filter (rows-only) ------------------------
         "skin_route": q_skin_route,
+        # -- X243: hierarchical crawl rollup report ---------------------------------
+        "crawl_rollup": q_crawl_rollup,
+        # -- X244: host spam-signal triage ------------------------------------------
+        "url_spam": q_url_spam,
     }
 
 
@@ -13086,6 +13149,96 @@ def oracle_sql() -> dict[str, str]:
                 AND coalesce(p.max_severity, 0) <= 1) AS keep
         FROM docs d LEFT JOIN per p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id
+    """
+    out["crawl_rollup"] = """
+        WITH base AS (
+            SELECT doc_id, n_chars,
+                   (CASE doc_id % 3 WHEN 0 THEN 'www.'
+                                    WHEN 1 THEN 'cdn.' ELSE '' END)
+                   || source
+                   || (CASE WHEN doc_id % 2 = 0 THEN '.co.uk'
+                            ELSE '.org' END) AS host,
+                   CASE WHEN doc_id >= 0 THEN n_chars >= 200 END AS keep
+            FROM documents),
+        parts AS (
+            SELECT doc_id, n_chars, host, keep,
+                   string_split(host, '.') AS lab
+            FROM base),
+        dom AS (
+            SELECT doc_id, n_chars, host, keep,
+                   lab[len(lab)] AS tld,
+                   CASE WHEN len(lab) >= 3
+                             AND lab[len(lab) - 1] = 'co'
+                             AND lab[len(lab)] = 'uk'
+                        THEN lab[len(lab) - 2] || '.co.uk'
+                        ELSE lab[len(lab) - 1] || '.' || lab[len(lab)]
+                   END AS domain
+            FROM parts)
+        SELECT tld, domain, host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6)
+                   AS keep_rate
+        FROM dom
+        GROUP BY ROLLUP (tld, domain, host)
+        ORDER BY tld NULLS FIRST, domain NULLS FIRST, host NULLS FIRST
+    """
+    out["url_spam"] = """
+        WITH urls AS (
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'https://www.' || source || '.org/a'
+                     WHEN 1 THEN 'http://a.b.c.d.' || source || '.tk/x'
+                     WHEN 2 THEN 'https://get-rich-fast-' || doc_id
+                                 || '-now.top/'
+                     WHEN 3 THEN 'https://xn--spoof-' || source || '.com/p'
+                     ELSE 'https://img' || doc_id || '0' || doc_id
+                          || '.cdn.example.org/i'
+                   END AS url
+            FROM documents),
+        hosts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                       '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)',
+                       1)) AS host
+            FROM urls),
+        sig AS (
+            SELECT doc_id, url, host,
+                   CAST(len(list_filter(string_split(host, '.'),
+                                        x -> length(x) > 0)) AS BIGINT)
+                       AS n_labels,
+                   replace(host, '.', '') AS nondot,
+                   replace(replace(host, 'xn--', ''), '.', '') AS dehyph
+            FROM hosts),
+        sig2 AS (
+            SELECT doc_id, url, host, n_labels,
+                   CASE WHEN length(nondot) > 0
+                        THEN round((length(nondot)
+                              - length(regexp_replace(nondot, '[0-9]', '',
+                                                      'g')))
+                             / CAST(length(nondot) AS DOUBLE), 6)
+                        ELSE 0.0 END AS digit_share,
+                   CAST(length(dehyph)
+                        - length(replace(dehyph, '-', '')) AS BIGINT)
+                       AS n_hyphens,
+                   contains(host, 'xn--') AS is_punycode,
+                   regexp_extract(host, '([^.]+)$', 1)
+                       IN ('tk','ml','ga','cf','gq','top','icu') AS spammy_tld
+            FROM sig)
+        SELECT doc_id, url, host, n_labels, digit_share, n_hyphens,
+               is_punycode, spammy_tld,
+               ((CASE WHEN n_labels >= 5 THEN 1 ELSE 0 END)
+              + (CASE WHEN digit_share >= 0.25 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_hyphens >= 3 THEN 1 ELSE 0 END)
+              + (CASE WHEN is_punycode THEN 1 ELSE 0 END)
+              + (CASE WHEN spammy_tld THEN 1 ELSE 0 END)) AS spam_points,
+               ((CASE WHEN n_labels >= 5 THEN 1 ELSE 0 END)
+              + (CASE WHEN digit_share >= 0.25 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_hyphens >= 3 THEN 1 ELSE 0 END)
+              + (CASE WHEN is_punycode THEN 1 ELSE 0 END)
+              + (CASE WHEN spammy_tld THEN 1 ELSE 0 END)) >= 2
+                   AS is_spammy_host
+        FROM sig2 ORDER BY doc_id
     """
     out["rollout_power"] = """
         WITH per AS (

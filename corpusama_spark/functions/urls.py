@@ -402,3 +402,80 @@ def robots_gate(
         F.col("allow").alias("rule_allow"),
         F.coalesce(F.col("allow"), F.lit(True)).alias("crawl_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X244: host spam signals. Crawl-frontier triage before any fetch happens:
+# spammy link farms telegraph themselves in the HOSTNAME — deep subdomain
+# chains (a.b.c.d.spam.tk), digit-stuffed labels, hyphen floods, punycode
+# (IDN homograph vector), free-registration TLDs with documented abuse
+# rates. Five integer/boolean signals and a vote, all scan-stage JVM — the
+# URL-side twin of the X233 code-detection vote.
+# ---------------------------------------------------------------------------
+
+# free-registration TLDs with persistently documented abuse shares
+# (public Spamhaus/APWG reporting); a deployment swaps in its own list
+_SPAMMY_TLDS = ("tk", "ml", "ga", "cf", "gq", "top", "icu")
+
+
+def host_spam_signals(host: Column) -> Column:
+    """struct(n_labels, digit_share, n_hyphens, is_punycode, spammy_tld,
+    spam_points) for a casefolded hostname column. digit_share is over
+    the host's non-dot characters, 6dp. The vote: depth ≥ 5 labels /
+    digit share ≥ .25 / ≥ 3 hyphens / punycode / spammy TLD — one point
+    each."""
+    h = F.coalesce(host, F.lit(""))
+    n_labels = F.size(F.filter(F.split(h, r"\."), lambda x: F.length(x) > 0))
+    nondot = F.regexp_replace(h, r"\.", "")
+    digits = F.length(nondot) - F.length(F.regexp_replace(nondot, r"[0-9]", ""))
+    digit_share = F.when(
+        F.length(nondot) > 0,
+        F.round(digits / F.length(nondot).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    # count hyphens with the punycode marker removed — 'xn--' is already
+    # the punycode signal; letting its hyphens trip the hyphen signal
+    # would double-count the same evidence
+    dehyph_base = F.regexp_replace(h, r"xn--", "")
+    n_hyphens = F.length(dehyph_base) - F.length(
+        F.regexp_replace(dehyph_base, r"-", "")
+    )
+    puny = h.contains("xn--")
+    tld = F.regexp_extract(h, r"([^.]+)$", 1)
+    spammy = tld.isin(*_SPAMMY_TLDS)
+    points = (
+        (n_labels >= 5).cast("int")
+        + (digit_share >= 0.25).cast("int")
+        + (n_hyphens >= 3).cast("int")
+        + puny.cast("int")
+        + spammy.cast("int")
+    )
+    return F.struct(
+        n_labels.cast("long").alias("n_labels"),
+        digit_share.alias("digit_share"),
+        n_hyphens.cast("long").alias("n_hyphens"),
+        puny.alias("is_punycode"),
+        spammy.alias("spammy_tld"),
+        points.alias("spam_points"),
+    )
+
+
+def url_spam_score(
+    urls: DataFrame, url_col: str = "url", min_points: int = 2
+) -> DataFrame:
+    """Input columns + host + the five signals + is_spammy_host at
+    ``min_points`` of 5. Pure scan stage, zero joins — runs on the
+    frontier BEFORE robots/politeness spend anything on the host."""
+    out = urls.select(
+        "*",
+        url_host(F.col(url_col)).alias("host"),
+    ).select("*", host_spam_signals(F.col("host")).alias("_s"))
+    return out.select(
+        *[c for c in out.columns if c != "_s"],
+        F.col("_s.n_labels").alias("n_labels"),
+        F.col("_s.digit_share").alias("digit_share"),
+        F.col("_s.n_hyphens").alias("n_hyphens"),
+        F.col("_s.is_punycode").alias("is_punycode"),
+        F.col("_s.spammy_tld").alias("spammy_tld"),
+        F.col("_s.spam_points").alias("spam_points"),
+        (F.col("_s.spam_points") >= min_points).alias("is_spammy_host"),
+    )
