@@ -5425,6 +5425,63 @@ def q_url_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(urls).orderBy("doc_id")
 
 
+def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-ops funnel (X245): spam triage (X244) -> robots
+    compliance (X232) -> canonical-URL dedup (X84) composed as ONE lazy
+    plan over a deterministic dirty frontier; output is the per-stage
+    survivor count — the curation_pipeline pattern applied to the crawl
+    family. The oracle replays every stage's logic, not the generator's
+    shortcuts."""
+    from corpusama_spark.functions.urls import (
+        canonical_url,
+        robots_gate,
+        url_spam_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www."), F.col("source"),
+                                F.lit(".org/a/"), F.pmod("doc_id", F.lit(40))))
+        .when(m == 1, F.concat(F.lit("http://a.b.c.d."), F.col("source"),
+                               F.lit(".tk/x/"), F.col("doc_id")))
+        .when(m == 2, F.concat(F.lit("HTTPS://www."), F.col("source"),
+                               F.lit(".org:443/a/"), F.pmod("doc_id", F.lit(40)),
+                               F.lit("?utm_source=f")))
+        .otherwise(F.concat(F.lit("https://www."), F.col("source"),
+                            F.lit(".org/private/"), F.col("doc_id")))
+    )
+    frontier = docs.select("doc_id", url.alias("url"))
+    rules = (
+        docs.select("source").distinct().select(
+            F.concat(F.lit("www."), F.col("source"), F.lit(".org")).alias("host"),
+            F.lit("/private").alias("rule"),
+            F.lit(False).alias("allow"),
+        )
+    )
+    spam_pass = url_spam_score(frontier).where(~F.col("is_spammy_host")).select(
+        "doc_id", "url"
+    )
+    robots_pass = robots_gate(spam_pass, rules).where(F.col("crawl_ok")).select(
+        "doc_id", "url"
+    )
+    uniq = robots_pass.select(canonical_url(F.col("url")).alias("c")).distinct()
+    stages = [
+        frontier.agg(F.lit(1).alias("stage_no"), F.lit("frontier").alias("stage"),
+                     F.count("*").cast("long").alias("n")),
+        spam_pass.agg(F.lit(2).alias("stage_no"), F.lit("spam_gate").alias("stage"),
+                      F.count("*").cast("long").alias("n")),
+        robots_pass.agg(F.lit(3).alias("stage_no"), F.lit("robots").alias("stage"),
+                        F.count("*").cast("long").alias("n")),
+        uniq.agg(F.lit(4).alias("stage_no"), F.lit("canonical_unique").alias("stage"),
+                 F.count("*").cast("long").alias("n")),
+    ]
+    out = stages[0]
+    for s_df in stages[1:]:
+        out = out.unionByName(s_df)
+    return out.orderBy("stage_no")
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5839,6 +5896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_rollup": q_crawl_rollup,
         # -- X244: host spam-signal triage ------------------------------------------
         "url_spam": q_url_spam,
+        # -- X245: crawl-ops funnel (spam -> robots -> canonical dedup) -------------
+        "crawl_funnel": q_crawl_funnel,
     }
 
 
@@ -13239,6 +13298,84 @@ def oracle_sql() -> dict[str, str]:
               + (CASE WHEN spammy_tld THEN 1 ELSE 0 END)) >= 2
                    AS is_spammy_host
         FROM sig2 ORDER BY doc_id
+    """
+    out["crawl_funnel"] = r"""
+        WITH frontier AS (
+            SELECT doc_id, source,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'https://www.' || source || '.org/a/'
+                                 || (doc_id % 40)
+                     WHEN 1 THEN 'http://a.b.c.d.' || source || '.tk/x/'
+                                 || doc_id
+                     WHEN 2 THEN 'HTTPS://www.' || source || '.org:443/a/'
+                                 || (doc_id % 40) || '?utm_source=f'
+                     ELSE 'https://www.' || source || '.org/private/'
+                          || doc_id END AS url
+            FROM documents),
+        hosts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                       '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)',
+                       1)) AS host
+            FROM frontier),
+        spam AS (
+            SELECT doc_id, url, host,
+                   ((CASE WHEN len(string_split(host, '.')) >= 5
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN length(replace(host, '.', '')) > 0
+                           AND (length(replace(host, '.', ''))
+                                - length(regexp_replace(replace(host, '.', ''),
+                                                        '[0-9]', '', 'g')))
+                               / CAST(length(replace(host, '.', ''))
+                                      AS DOUBLE) >= 0.25
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN length(replace(host, 'xn--', ''))
+                               - length(replace(replace(host, 'xn--', ''),
+                                                '-', '')) >= 3
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(host, 'xn--') THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_extract(host, '([^.]+)$', 1)
+                               IN ('tk','ml','ga','cf','gq','top','icu')
+                          THEN 1 ELSE 0 END)) AS pts
+            FROM hosts),
+        spam_pass AS (
+            SELECT doc_id, url, host FROM spam WHERE pts < 2),
+        robots_pass AS (
+            -- one Disallow /private rule per www.<source>.org host;
+            -- path+query match target, longest (only) rule decides
+            SELECT doc_id, url FROM spam_pass
+            WHERE NOT (
+                regexp_extract(regexp_replace(url,
+                    '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)',
+                    ''), '^(?::\d*)?([^#]*)', 1) LIKE '/private%'
+                AND host LIKE 'www.%.org')),
+        canon AS (
+            SELECT DISTINCT regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                       lower(regexp_extract(trim(url),
+                           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                       || regexp_replace(trim(url),
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                   '^(http://[^/?#:]+):80(/|\?|$)', '\1\2'),
+                   '^(https://[^/?#:]+):443(/|\?|$)', '\1\2'),
+                   '#.*$', ''),
+                   '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
+                   '', 'g'),
+                   '^([^?]*)&', '\1?'),
+                   '[?&]$', ''),
+                   '^(.+?)/+$', '\1') AS c
+            FROM robots_pass)
+        SELECT 1 AS stage_no, 'frontier' AS stage,
+               CAST((SELECT count(*) FROM frontier) AS BIGINT) AS n
+        UNION ALL
+        SELECT 2, 'spam_gate', CAST((SELECT count(*) FROM spam_pass) AS BIGINT)
+        UNION ALL
+        SELECT 3, 'robots', CAST((SELECT count(*) FROM robots_pass) AS BIGINT)
+        UNION ALL
+        SELECT 4, 'canonical_unique',
+               CAST((SELECT count(*) FROM canon) AS BIGINT)
+        ORDER BY stage_no
     """
     out["rollout_power"] = """
         WITH per AS (

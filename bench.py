@@ -148,6 +148,22 @@ BENCH_QUERIES = [
     "ncd_pairs",
     "pseudonymize",
     "hamming_recall",
+    # this-session additions (X228-X244): scan/join-stage families.
+    # rollout_power/waterfill/crawl_audit are absent — they run on the
+    # 20-row source table (driver-trivial, scheduling floor only).
+    "confusables",
+    "dict_build",
+    "dict_gain",
+    "robots_gate",
+    "code_detect",
+    "weighted_quantiles",
+    "crawl_schedule",
+    "lexicon_gate",
+    "phash_robustness",
+    "partial_dups",
+    "skin_route",
+    "crawl_rollup",
+    "url_spam",
 ]
 
 
