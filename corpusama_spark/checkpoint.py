@@ -72,6 +72,7 @@ def run_checkpointed(
     run_id: str = "run-0",
     fail_after_buckets: int | None = None,
     snapshot_dir: str | None = None,
+    wap_audit=None,
 ) -> int:
     """Run the filter job bucket-group-wise with mid-run restartability.
 
@@ -82,6 +83,16 @@ def run_checkpointed(
     Iceberg commit shape), enabling ``read_as_of`` time travel; restart
     derives done-ness from the manifest exactly as before, the snapshot
     chain is the externally-visible commit log.
+
+    ``wap_audit`` (X246; requires ``snapshot_dir``) turns each wave into
+    a write-audit-publish cycle: the wave commits STAGED (invisible to
+    every reader), ``wap_audit(metrics, written_df) -> bool`` judges it
+    BEFORE the manifest marks the wave done, and only a passing wave is
+    published + recorded. A rejected wave abandons its staged snapshot
+    and raises — the manifest never saw it, so a restart after fixing
+    the gate re-runs exactly that wave (the dynamic-partition-overwrite
+    write is idempotent). Bad data never becomes readable history OR
+    restart-skippable state.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pre_bucketed = "bucket" in captions.columns
@@ -109,6 +120,27 @@ def run_checkpointed(
             .partitionBy("bucket")
             .parquet(out_path)
         )
+        if wap_audit is not None and snapshot_dir is not None:
+            from corpusama_spark.snapshots import (
+                abandon_snapshot,
+                commit_staged,
+            )
+
+            m_w = metrics_row(obs)
+            staged_id = commit_staged(
+                snapshot_dir, run_id, wave, m_w["n_rows"], m_w["n_keep"]
+            )
+            written_preview = spark.read.parquet(out_path).where(
+                F.col("bucket").isin(wave)
+            )
+            if not wap_audit(m_w, written_preview):
+                abandon_snapshot(snapshot_dir, staged_id)
+                raise RuntimeError(
+                    f"WAP audit rejected wave {wave}: {m_w} — staged "
+                    "snapshot abandoned, wave left un-committed for re-run"
+                )
+        else:
+            staged_id = None
         # lineage re-aggregates the JUST-WRITTEN partitions (bucket-pruned,
         # two-column scan) instead of re-running the whole pipeline — at
         # 10^12 rows the old shape re-decoded every image a second time
@@ -156,11 +188,16 @@ def run_checkpointed(
                 F.date_trunc("second", F.current_timestamp()),
             ).write.mode("append").parquet(manifest_path)
         if snapshot_dir is not None:
-            from corpusama_spark.snapshots import commit_snapshot
+            if staged_id is not None:
+                from corpusama_spark.snapshots import publish_snapshot
 
-            commit_snapshot(
-                snapshot_dir, run_id, wave, m["n_rows"], m["n_keep"]
-            )
+                publish_snapshot(snapshot_dir, staged_id)
+            else:
+                from corpusama_spark.snapshots import commit_snapshot
+
+                commit_snapshot(
+                    snapshot_dir, run_id, wave, m["n_rows"], m["n_keep"]
+                )
         processed += len(wave)
         if fail_after_buckets is not None and processed >= fail_after_buckets:
             raise RuntimeError(f"injected failure after {processed} buckets")

@@ -47,6 +47,12 @@ def main() -> None:
         "(snapshots.read_as_of gives time travel)",
     )
     ap.add_argument("--run-id", default=None)
+    ap.add_argument(
+        "--wap-keep-rate", default=None, metavar="LO,HI",
+        help="write-audit-publish gate (needs --snapshots): each wave "
+        "commits staged and only publishes if its keep rate lies in "
+        "[LO,HI] — a wave outside the band aborts un-committed for re-run",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="corpusama-filter")
@@ -67,9 +73,16 @@ def main() -> None:
         print(f"stream drained: {q.lastProgress}")
     else:
         captions = spark.read.parquet(args.input)
+        wap_audit = None
+        if args.wap_keep_rate:
+            lo, hi = (float(x) for x in args.wap_keep_rate.split(","))
+
+            def wap_audit(m, _written, lo=lo, hi=hi):
+                return m["n_rows"] > 0 and lo <= m["n_keep"] / m["n_rows"] <= hi
+
         n = run_checkpointed(
             spark, captions, args.output, args.manifest, config,
-            run_id=run_id, snapshot_dir=args.snapshots,
+            run_id=run_id, snapshot_dir=args.snapshots, wap_audit=wap_audit,
         )
         print(f"{run_id}: processed {n} buckets")
     spark.stop()
