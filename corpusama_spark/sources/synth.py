@@ -207,7 +207,15 @@ def captions_from_documents(documents: DataFrame) -> DataFrame:
                 columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
             )
 
-    return documents.select("doc_id", "text").mapInPandas(gen, schema=CAPTIONS_SCHEMA)
+    src = documents.select("doc_id", "text")
+    # a small sf dir arrives as ONE parquet split; without this, image
+    # synthesis AND every decode-stage audit downstream run on one core.
+    # Generation is keyed per doc_id, so repartitioning cannot change
+    # any value (determinism tests pin this).
+    target = documents.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(gen, schema=CAPTIONS_SCHEMA)
 
 
 def captions_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
