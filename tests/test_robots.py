@@ -103,3 +103,15 @@ def test_robots_gate_partition_invariance(spark):
     a = sorted(map(tuple, robots_gate(urls.repartition(7), rules).collect()))
     b = sorted(map(tuple, robots_gate(urls.coalesce(1), rules).collect()))
     assert a == b
+
+
+def test_degenerate_inputs(spark):
+    from corpusama_spark.functions.urls import robots_gate
+
+    empty_rules = spark.createDataFrame([], "host string, rule string, allow boolean")
+    urls = spark.createDataFrame(
+        [(1, "not a url at all"), (2, ""), (3, None)], "id long, url string"
+    )
+    out = robots_gate(urls, empty_rules).collect()
+    # no rules -> RFC default allow, even for unparseable/NULL URLs
+    assert len(out) == 3 and all(r.crawl_ok for r in out)

@@ -84,3 +84,16 @@ def test_floor_leftover_reported(spark):
     rows = [("a", 3, 10**9), ("b", 8, 10**9)]
     out = _check(spark, rows, 100)
     assert sum(r.alloc for r in out.values()) <= 100
+
+
+def test_boundary_budgets_conserve(spark):
+    from corpusama_spark.operators.curation import waterfill_allocation
+
+    df = spark.createDataFrame(
+        [("a", 10, 100), ("b", 5, 50)], "source string, target_w long, cap long"
+    )
+    for b in (0, 1, 149, 150, 151):
+        rows = waterfill_allocation(df, b).collect()
+        tot = sum(r.alloc for r in rows)
+        assert tot <= min(b, 150)
+        assert rows[0].leftover == min(b, 150) - tot
