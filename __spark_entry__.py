@@ -5482,6 +5482,53 @@ def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage_no")
 
 
+def q_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index staleness audit (X247): literal frozen centroids (4
+    cells over the first 4 dims), train = even vec_ids, new batch = odd
+    vec_ids with a deterministic +0.8 shift on dim 0 — fill drift and
+    residual growth per cell, stale flag; the oracle replays the
+    broadcast re-assignment and both gates."""
+    from corpusama_spark.operators.embdiag import (
+        assign_to_centroids,
+        index_staleness,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    cents = spark.createDataFrame(
+        [(c, d, v) for c, vals in enumerate(
+            [(0.5, 0.5, 0.5, 0.5), (-0.5, 0.5, -0.5, 0.5),
+             (0.5, -0.5, 0.5, -0.5), (-0.5, -0.5, -0.5, -0.5)])
+         for d, v in enumerate(vals)],
+        "cell int, dim int, c double",
+    )
+    train = emb.where(F.pmod("vec_id", F.lit(2)) == 0)
+    new = emb.where(F.pmod("vec_id", F.lit(2)) == 1).select(
+        "vec_id",
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.8)),
+            F.slice("embedding", 2, 3),
+        ).alias("embedding"),
+    )
+    train_assign = assign_to_centroids(train, cents)
+    rep = index_staleness(train_assign, new, cents)
+    # NULL doubles (empty cells) pin to -1.0 in the CONTRACT projection
+    # only: the driver's hash compare renders Spark NULL vs pandas NaN
+    # differently (the rule_allow precedent)
+    return rep.select(
+        "cell", "n_train", "n_new", "train_share", "new_share",
+        F.coalesce("share_ratio", F.lit(-1.0)).alias("share_ratio"),
+        F.coalesce("train_resid", F.lit(-1.0)).alias("train_resid"),
+        F.coalesce("new_resid", F.lit(-1.0)).alias("new_resid"),
+        F.coalesce("resid_growth", F.lit(-1.0)).alias("resid_growth"),
+        "stale",
+    )
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5898,6 +5945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam": q_url_spam,
         # -- X245: crawl-ops funnel (spam -> robots -> canonical dedup) -------------
         "crawl_funnel": q_crawl_funnel,
+        # -- X247: IVF index staleness audit ----------------------------------------
+        "index_staleness": q_index_staleness,
     }
 
 
@@ -13376,6 +13425,82 @@ def oracle_sql() -> dict[str, str]:
         SELECT 4, 'canonical_unique',
                CAST((SELECT count(*) FROM canon) AS BIGINT)
         ORDER BY stage_no
+    """
+    out["index_staleness"] = """
+        WITH cents(cell, dim, c) AS (
+            SELECT * FROM (VALUES
+                (0, 0,  0.5), (0, 1,  0.5), (0, 2,  0.5), (0, 3,  0.5),
+                (1, 0, -0.5), (1, 1,  0.5), (1, 2, -0.5), (1, 3,  0.5),
+                (2, 0,  0.5), (2, 1, -0.5), (2, 2,  0.5), (2, 3, -0.5),
+                (3, 0, -0.5), (3, 1, -0.5), (3, 2, -0.5), (3, 3, -0.5))),
+        base AS (
+            SELECT vec_id,
+                   list_transform(embedding[1:4],
+                                  x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+        train_d AS (
+            SELECT vec_id, u.gi - 1 AS dim, e[u.gi] AS v
+            FROM base, UNNEST(range(1, 5)) AS u(gi)
+            WHERE vec_id % 2 = 0),
+        new_d AS (
+            SELECT vec_id, u.gi - 1 AS dim,
+                   CASE WHEN u.gi = 1 THEN e[u.gi] + 0.8 ELSE e[u.gi] END AS v
+            FROM base, UNNEST(range(1, 5)) AS u(gi)
+            WHERE vec_id % 2 = 1),
+        ta AS (
+            SELECT vec_id, cell, d2 FROM (
+                SELECT t.vec_id, c.cell,
+                       round(sum((t.v - c.c) * (t.v - c.c)), 6) AS d2,
+                       row_number() OVER (
+                           PARTITION BY t.vec_id
+                           ORDER BY round(sum((t.v - c.c) * (t.v - c.c)), 6),
+                                    c.cell) AS rnk
+                FROM train_d t JOIN cents c ON t.dim = c.dim
+                GROUP BY 1, 2) WHERE rnk = 1),
+        na AS (
+            SELECT vec_id, cell, d2 FROM (
+                SELECT t.vec_id, c.cell,
+                       round(sum((t.v - c.c) * (t.v - c.c)), 6) AS d2,
+                       row_number() OVER (
+                           PARTITION BY t.vec_id
+                           ORDER BY round(sum((t.v - c.c) * (t.v - c.c)), 6),
+                                    c.cell) AS rnk
+                FROM new_d t JOIN cents c ON t.dim = c.dim
+                GROUP BY 1, 2) WHERE rnk = 1),
+        t AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_train,
+                     round(avg(d2), 6) AS train_resid FROM ta GROUP BY 1),
+        n AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new,
+                     round(avg(d2), 6) AS new_resid FROM na GROUP BY 1),
+        j AS (
+            SELECT coalesce(t.cell, n.cell) AS cell,
+                   coalesce(n_train, 0) AS n_train,
+                   coalesce(n_new, 0) AS n_new,
+                   train_resid, new_resid,
+                   coalesce(n_train, 0)
+                       / CAST(sum(coalesce(n_train, 0)) OVER () AS DOUBLE)
+                       AS ts,
+                   coalesce(n_new, 0)
+                       / CAST(sum(coalesce(n_new, 0)) OVER () AS DOUBLE)
+                       AS ns
+            FROM t FULL JOIN n ON t.cell = n.cell),
+        fin AS (
+            SELECT cell, n_train, n_new,
+                   round(ts, 6) AS train_share,
+                   round(ns, 6) AS new_share,
+                   CASE WHEN ts > 0 THEN round(ns / ts, 6) END AS share_ratio,
+                   train_resid, new_resid,
+                   CASE WHEN train_resid > 0
+                        THEN round(new_resid / train_resid, 6)
+                   END AS resid_growth
+            FROM j)
+        SELECT cell, n_train, n_new, train_share, new_share,
+               coalesce(share_ratio, -1.0) AS share_ratio,
+               coalesce(train_resid, -1.0) AS train_resid,
+               coalesce(new_resid, -1.0) AS new_resid,
+               coalesce(resid_growth, -1.0) AS resid_growth,
+               (share_ratio IS NULL OR abs(share_ratio - 1.0) > 0.5
+                OR resid_growth > 2.0) AS stale
+        FROM fin ORDER BY cell
     """
     out["rollout_power"] = """
         WITH per AS (

@@ -38,7 +38,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -298,3 +298,112 @@ def top_principal_component(
             "top_pc array<double>"
         ),
     )
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, d2): nearest-centroid assignment of vectors against a
+    GIVEN (cell, dim, c) centroid table — the index-side primitive the
+    Lloyd trainers keep inline (pq.ivf_coarse's final pass, extracted so
+    staleness audits can re-assign NEW data without retraining). 6dp d2
+    pin, (d2, cell) tie-break — the kmeans determinism contract."""
+    dims = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("id", "dim", F.col("v").cast("double").alias("v"))
+    d2 = (
+        dims.join(F.broadcast(centroids), "dim")
+        .groupBy("id", "cell")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6
+            ).alias("d2")
+        )
+    )
+    pick = Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        d2.withColumn("rnk", F.row_number().over(pick))
+        .where(F.col("rnk") == 1)
+        .select("id", "cell", "d2")
+    )
+
+
+def index_staleness(
+    train_assign: DataFrame,
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drift_threshold: float = 0.5,
+    residual_ratio: float = 2.0,
+) -> DataFrame:
+    """IVF index staleness audit (X247): is the centroid table trained
+    yesterday still the right router for today's vectors? Per cell:
+    train_share vs the NEW batch's share (assigned against the SAME
+    frozen centroids), the share ratio, mean squared residual then and
+    now, and ``stale`` when the fill ratio drifts beyond
+    ``drift_threshold`` (|log-free ratio − 1|) or the residual grows
+    ``residual_ratio``×. The operational question behind it: a drifted
+    embedding distribution silently turns an IVF index into a skew bomb
+    (hot cells → hot partitions → straggler probes) long before recall
+    visibly degrades — this audit is the retrain trigger.
+
+    Inputs: ``train_assign`` = (id, cell, d2) recorded at build time
+    (ivf_coarse's assign output + d2), ``new_emb`` the fresh batch.
+    Everything relational: one broadcast-centroid re-assignment, two
+    bounded groupBys (≤ cells rows), one join. DuckDB-oracle-exact.
+    """
+    new_assign = assign_to_centroids(new_emb, centroids, id_col, vec_col)
+    t = train_assign.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_train"),
+        F.round(F.avg("d2"), 6).alias("train_resid"),
+    )
+    n = new_assign.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_new"),
+        F.round(F.avg("d2"), 6).alias("new_resid"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    joined = (
+        t.join(n, "cell", "full")
+        .select(
+            "cell",
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "train_resid",
+            "new_resid",
+        )
+        .select(
+            "*",
+            (F.col("n_train") / F.sum("n_train").over(wall)).alias("_ts"),
+            (F.col("n_new") / F.sum("n_new").over(wall)).alias("_ns"),
+        )
+    )
+    ratio = F.when(
+        F.col("_ts") > 0, F.round(F.col("_ns") / F.col("_ts"), 6)
+    )
+    resid_growth = F.when(
+        F.col("train_resid") > 0,
+        F.round(F.col("new_resid") / F.col("train_resid"), 6),
+    )
+    return joined.select(
+        "cell",
+        "n_train",
+        "n_new",
+        F.round("_ts", 6).alias("train_share"),
+        F.round("_ns", 6).alias("new_share"),
+        ratio.alias("share_ratio"),
+        "train_resid",
+        "new_resid",
+        resid_growth.alias("resid_growth"),
+        (
+            ratio.isNull()
+            | (F.abs(ratio - 1.0) > drift_threshold)
+            | (resid_growth > residual_ratio)
+        ).alias("stale"),
+    ).orderBy("cell")
