@@ -5529,6 +5529,39 @@ def q_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential data-quality metrics (X249, Schelter et al. ICDE'19
+    shape): per-partition mergeable states (counts, extrema, sums, HLL
+    registers) over documents partitioned by doc_id%8, merged to corpus
+    metrics. The oracle computes the same metrics GLOBALLY — the
+    mergeability identity (pytest-pinned) makes that a true value check."""
+    from corpusama_spark.operators.qualitystate import (
+        merge_quality_metrics,
+        quality_states,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "part", F.pmod("doc_id", F.lit(8)).cast("int")
+    )
+    states = quality_states(
+        docs, "part", numeric_cols=["n_chars"], string_cols=["lang", "source"]
+    )
+    m = merge_quality_metrics(states)
+    # contract projection pins NULLs (the rule_allow precedent):
+    # numeric stats of string columns -> -1.0, string stats of numeric
+    # columns -> ''
+    return m.select(
+        "column", "n", "n_null", "completeness",
+        F.coalesce("min_num", F.lit(-1.0)).alias("min_num"),
+        F.coalesce("max_num", F.lit(-1.0)).alias("max_num"),
+        F.coalesce("mean_num", F.lit(-1.0)).alias("mean_num"),
+        F.coalesce("min_str", F.lit("")).alias("min_str"),
+        F.coalesce("max_str", F.lit("")).alias("max_str"),
+        F.coalesce("avg_len", F.lit(-1.0)).alias("avg_len"),
+        "distinct_est",
+    )
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5947,6 +5980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_funnel": q_crawl_funnel,
         # -- X247: IVF index staleness audit ----------------------------------------
         "index_staleness": q_index_staleness,
+        # -- X249: differential data-quality states ---------------------------------
+        "quality_metrics": q_quality_metrics,
     }
 
 
@@ -13501,6 +13536,71 @@ def oracle_sql() -> dict[str, str]:
                (share_ratio IS NULL OR abs(share_ratio - 1.0) > 0.5
                 OR resid_growth > 2.0) AS stale
         FROM fin ORDER BY cell
+    """
+    out["quality_metrics"] = """
+        WITH long AS (
+            SELECT 'n_chars' AS col, CAST(n_chars AS DOUBLE) AS nv,
+                   CAST(NULL AS VARCHAR) AS sv,
+                   n_chars IS NULL AS is_nul,
+                   CAST(n_chars AS VARCHAR) AS hk
+            FROM documents
+            UNION ALL
+            SELECT 'lang', NULL, lang, lang IS NULL, lang FROM documents
+            UNION ALL
+            SELECT 'source', NULL, source, source IS NULL, source
+            FROM documents),
+        agg AS (
+            SELECT col,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN is_nul THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null,
+                   min(nv) AS min_num, max(nv) AS max_num,
+                   sum(nv) AS sum_num,
+                   min(sv) AS min_str, max(sv) AS max_str,
+                   CAST(sum(length(sv)) AS BIGINT) AS sum_len
+            FROM long GROUP BY 1),
+        h AS (
+            SELECT col,
+                   ('0x' || substr(md5(hk), 1, 15))::BIGINT AS hv
+            FROM long WHERE NOT is_nul),
+        r AS (SELECT col, hv % 64 AS reg, hv >> 6 AS w FROM h),
+        rk AS (
+            SELECT col, reg,
+                   max(CASE WHEN w > 0 THEN 55 - len(bin(w))
+                            ELSE 55 END) AS mrank
+            FROM r GROUP BY 1, 2),
+        z AS (
+            SELECT col,
+                   sum(pow(2.0::DOUBLE, -mrank)) + (64 - count(*)) AS z,
+                   CAST(64 - count(*) AS BIGINT)
+                       + CAST(sum(CASE WHEN mrank = 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS zeros
+            FROM rk GROUP BY 1),
+        hll AS (
+            SELECT col,
+                   round(CASE WHEN 2904.064::DOUBLE / z <= 160.0::DOUBLE
+                                   AND zeros > 0
+                              THEN 64.0::DOUBLE
+                                   * ln(64.0::DOUBLE / zeros)
+                              ELSE 2904.064::DOUBLE / z END, 6)
+                       AS distinct_est
+            FROM z)
+        SELECT a.col AS "column", a.n, a.n_null,
+               round(1.0 - a.n_null / CAST(a.n AS DOUBLE), 6)
+                   AS completeness,
+               coalesce(a.min_num, -1.0) AS min_num,
+               coalesce(a.max_num, -1.0) AS max_num,
+               coalesce(CASE WHEN a.n - a.n_null > 0
+                    THEN round(a.sum_num / (a.n - a.n_null), 6) END, -1.0)
+                   AS mean_num,
+               coalesce(a.min_str, '') AS min_str,
+               coalesce(a.max_str, '') AS max_str,
+               coalesce(CASE WHEN a.n - a.n_null > 0
+                    THEN round(a.sum_len / CAST(a.n - a.n_null AS DOUBLE), 6)
+               END, -1.0) AS avg_len,
+               h.distinct_est
+        FROM agg a JOIN hll h ON a.col = h.col
+        ORDER BY a.col
     """
     out["rollout_power"] = """
         WITH per AS (
