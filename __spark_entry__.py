@@ -5562,6 +5562,25 @@ def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline canary validation (X250; rows-only: full pipeline with
+    decode/LID UDFs): five known-verdict synthetic rows ride the real
+    pipeline over the synthesized captions table — expected vs actual
+    keep, scrub-bait re-scrub check, loud-missing semantics."""
+    from corpusama_spark.operators.validation import (
+        canary_rows,
+        inject_canaries,
+        verify_canaries,
+    )
+    from corpusama_spark.pipeline import FilterConfig, run_pipeline
+    from corpusama_spark.sources.synth import captions_from_documents
+
+    caps = captions_from_documents(_t(spark, sf_dir, "documents"))
+    canaries = canary_rows(spark)
+    decisions = run_pipeline(inject_canaries(caps, canaries), FilterConfig())
+    return verify_canaries(decisions, canaries)
+
+
 def q_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grayscale / flat-color gate over the synthesized captions table
     (X198, Hasler & Süsstrunk 2003; rows-only: decode UDF). Decode only
@@ -5982,6 +6001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_staleness": q_index_staleness,
         # -- X249: differential data-quality states ---------------------------------
         "quality_metrics": q_quality_metrics,
+        # -- X250: pipeline canary validation (rows-only) ---------------------------
+        "canary_report": q_canary_report,
     }
 
 
