@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pathlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from corpusama_spark.pipeline import FilterConfig, lineage, run_pipeline
@@ -148,9 +148,10 @@ def run_checkpointed(
             written = spark.read.parquet(out_path).where(
                 F.col("bucket").isin(wave)
             )
-            lineage(written, run_id, config.nbuckets).write.mode(
-                "append"
-            ).parquet(manifest_path)
+            lineage(
+                written, run_id, config.nbuckets,
+                rule_version=config.rule_version(),
+            ).write.mode("append").parquet(manifest_path)
         # commit verification: the in-flight counts the write observed must
         # equal what the committed manifest says for this wave — a torn or
         # short write fails the job here, before the wave is marked done
@@ -181,8 +182,12 @@ def run_checkpointed(
         empties = [b for b in wave if b not in {r.bucket for r in committed_rows}]
         if empties:
             spark.createDataFrame(
-                [(int(b), 0, 0, run_id) for b in empties],
-                "bucket int, n_rows long, n_keep long, run_id string",
+                [
+                    (int(b), 0, 0, run_id, config.rule_version())
+                    for b in empties
+                ],
+                "bucket int, n_rows long, n_keep long, run_id string, "
+                "rule_version string",
             ).withColumn(
                 "committed_at",
                 F.date_trunc("second", F.current_timestamp()),
@@ -202,3 +207,101 @@ def run_checkpointed(
         if fail_after_buckets is not None and processed >= fail_after_buckets:
             raise RuntimeError(f"injected failure after {processed} buckets")
     return processed
+
+
+def backfill_plan(
+    spark: SparkSession, manifest_path: str, config: FilterConfig
+) -> DataFrame:
+    """(bucket, rule_version, committed_at, needs_backfill): each
+    bucket's LATEST lineage row vs the current config's decision-rule
+    version (X251). A rule change (threshold bump, new gate) marks
+    exactly the buckets written under older rules — at 10^12 rows the
+    difference between "recompute 3% of buckets" and "recompute the
+    corpus" is this table. Manifests from before versioned lineage read
+    as 'legacy' (mergeSchema), which is always stale — the honest
+    default for provenance you don't have."""
+    cur = config.rule_version()
+    m = (
+        spark.read.option("mergeSchema", "true").parquet(manifest_path)
+        if pathlib.Path(manifest_path).exists()
+        else None
+    )
+    if m is None:
+        return spark.createDataFrame(
+            [],
+            "bucket int, rule_version string, committed_at timestamp, "
+            "needs_backfill boolean",
+        )
+    if "rule_version" not in m.columns:
+        m = m.withColumn("rule_version", F.lit(None).cast("string"))
+    # same-second commits tie under the truncated timestamp: prefer the
+    # current rule version on ties so a just-finished backfill wins
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("committed_at").desc(),
+        (F.coalesce("rule_version", F.lit("legacy")) == cur).desc(),
+    )
+    latest = (
+        m.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "bucket",
+            F.coalesce("rule_version", F.lit("legacy")).alias("rule_version"),
+            "committed_at",
+        )
+    )
+    return latest.select(
+        "*", (F.col("rule_version") != cur).alias("needs_backfill")
+    ).orderBy("bucket")
+
+
+def run_backfill(
+    spark: SparkSession,
+    captions: DataFrame,
+    out_path: str,
+    manifest_path: str,
+    config: FilterConfig = FilterConfig(),
+    run_id: str = "backfill-0",
+    snapshot_dir: str | None = None,
+) -> int:
+    """Selective recompute: re-run ONLY the buckets whose latest lineage
+    carries a different decision-rule version (plus any never-done
+    buckets). Data writes are the same idempotent dynamic-partition
+    overwrites as the normal waves; fresh lineage rows supersede the
+    stale ones (latest-wins in backfill_plan and restart alike)."""
+    plan = backfill_plan(spark, manifest_path, config)
+    stale = {r.bucket for r in plan.where(F.col("needs_backfill")).collect()}
+    done_fresh = {
+        r.bucket for r in plan.where(~F.col("needs_backfill")).collect()
+    }
+    if not stale and done_fresh:
+        # nothing stale: defer to the normal restart for never-done work
+        return run_checkpointed(
+            spark, captions, out_path, manifest_path, config,
+            run_id=run_id, snapshot_dir=snapshot_dir,
+        )
+    df = add_bucket(captions, config.nbuckets)
+    todo = sorted(
+        set(range(config.nbuckets)) - done_fresh
+    )
+    if not todo:
+        return 0
+    # reuse the wave loop by presenting a manifest-done set that marks
+    # ONLY fresh buckets as complete: run the stale+pending buckets
+    part = df.where(F.col("bucket").isin([int(b) for b in todo]))
+    n = run_checkpointed(
+        spark,
+        part,
+        out_path,
+        manifest_path + "_backfill_" + config.rule_version(),
+        config,
+        run_id=run_id,
+        snapshot_dir=snapshot_dir,
+    )
+    # fold fresh lineage into the MAIN manifest so future plans see the
+    # new version (the scratch manifest is the wave-restart scope)
+    scratch = manifest_path + "_backfill_" + config.rule_version()
+    if pathlib.Path(scratch).exists():
+        spark.read.parquet(scratch).write.mode("append").parquet(
+            manifest_path
+        )
+    return n

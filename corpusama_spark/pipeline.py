@@ -70,6 +70,20 @@ class FilterConfig:
     num_partitions: int | None = None  # None: 2x defaultParallelism
     fused_langid: bool = True
 
+    def rule_version(self) -> str:
+        """Deterministic 12-hex version of the DECISION-relevant fields
+        (X251): execution knobs (partitions, bucketing, plan choice) are
+        EXCLUDED — two configs that keep/drop identically share a
+        version, so changing parallelism never triggers a backfill."""
+        import hashlib
+
+        decision_fields = (
+            self.target_lang, self.min_portion, self.min_len,
+            self.min_caption_chars, self.min_tokens, self.threshold,
+            self.max_langs, self.ppl_threshold,
+        )
+        return hashlib.md5(repr(decision_fields).encode()).hexdigest()[:12]
+
 
 def load_config(source: str) -> FilterConfig:
     """S14: build a FilterConfig from a YAML document (a path or the YAML
@@ -340,8 +354,15 @@ def metrics(decisions: DataFrame) -> DataFrame:
     )
 
 
-def lineage(decisions: DataFrame, run_id: str, nbuckets: int = 64) -> DataFrame:
-    """Per-partition lineage rows (north_rule): bucket → counts + run stamp."""
+def lineage(
+    decisions: DataFrame,
+    run_id: str,
+    nbuckets: int = 64,
+    rule_version: str = "legacy",
+) -> DataFrame:
+    """Per-partition lineage rows (north_rule): bucket → counts + run
+    stamp + the DECISION-rule version that produced the bucket (X251 —
+    what backfill_plan diffs against the current config)."""
     return decisions.groupBy(
         F.pmod(F.col("phash"), F.lit(nbuckets)).cast("int").alias("bucket")
     ).agg(
@@ -349,4 +370,5 @@ def lineage(decisions: DataFrame, run_id: str, nbuckets: int = 64) -> DataFrame:
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
         F.lit(run_id).alias("run_id"),
         F.date_trunc("second", F.current_timestamp()).alias("committed_at"),
+        F.lit(rule_version).alias("rule_version"),
     )
