@@ -5640,6 +5640,73 @@ def q_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single.join(multi, "query_id").orderBy("query_id")
 
 
+def _mor_tables(spark: SparkSession, sf_dir: str):
+    """Deterministic MOR fixture over orders: data files keyed by
+    o_orderkey%8, sequence = o_orderkey%3+1, positional deletes at seq 2
+    for every 11th order, equality deletes (key = customer) at seq 3 for
+    every 13th customer."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    data = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+        (F.pmod("o_orderkey", F.lit(3)) + 1).cast("long").alias("data_seq"),
+        F.concat(
+            F.lit("f"), F.pmod("o_orderkey", F.lit(8)).cast("string")
+        ).alias("file_path"),
+    ).withColumn(
+        "pos",
+        F.row_number()
+        .over(Window.partitionBy("file_path").orderBy("k"))
+        .cast("long"),
+    )
+    pos_del = data.where(F.pmod("k", F.lit(11)) == 0).select(
+        "file_path", "pos", F.lit(2).cast("long").alias("delete_seq")
+    )
+    eq_del = (
+        data.where(F.pmod("cust", F.lit(13)) == 0)
+        .select("cust", F.lit(3).cast("long").alias("delete_seq"))
+        .distinct()
+    )
+    return data, pos_del, eq_del
+
+
+def q_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read scan (X252, Iceberg v2 row-level deletes): data
+    minus positional (delete_seq >= data_seq) and equality
+    (data_seq < delete_seq, so later re-inserts survive) delete files,
+    applied as two aggregated anti-join passes — no table rewrite. The
+    oracle replays both sequence rules; prices sum as exact integer
+    cents so the hash is float-order-proof."""
+    from corpusama_spark.operators.deletes import apply_mor_deletes
+
+    data, pos_del, eq_del = _mor_tables(spark, sf_dir)
+    live = apply_mor_deletes(data, pos_del, eq_del, keys=("cust",))
+    return (
+        live.groupBy("data_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum(F.round(F.col("price") * 100).cast("long")).alias(
+                "cents_live"
+            ),
+        )
+        .orderBy("data_seq")
+    )
+
+
+def q_mor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR delete-debt accounting (X252): per data sequence, how many
+    rows each delete kind would subtract at scan time (pos-hit rows
+    attributed to the positional file, the more specific claim) — the
+    ratio that triggers Iceberg's rewrite_data_files maintenance."""
+    from corpusama_spark.operators.deletes import mor_delete_audit
+
+    data, pos_del, eq_del = _mor_tables(spark, sf_dir)
+    return mor_delete_audit(data, pos_del, eq_del, keys=("cust",))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -6003,6 +6070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": q_quality_metrics,
         # -- X250: pipeline canary validation (rows-only) ---------------------------
         "canary_report": q_canary_report,
+        # -- X252: Iceberg-v2 merge-on-read delete files ----------------------------
+        "mor_read": q_mor_read,
+        "mor_audit": q_mor_audit,
     }
 
 
@@ -13644,4 +13714,54 @@ def oracle_sql() -> dict[str, str]:
                mde <= 0.01 AS can_detect_1pct
         FROM m ORDER BY source
     """
+    _mor_base = """
+        WITH data AS (
+            SELECT o_orderkey AS k, o_custkey AS cust,
+                   o_totalprice AS price,
+                   CAST(o_orderkey % 3 + 1 AS BIGINT) AS data_seq,
+                   'f' || CAST(o_orderkey % 8 AS VARCHAR) AS file_path,
+                   CAST(row_number() OVER (PARTITION BY o_orderkey % 8
+                                           ORDER BY o_orderkey)
+                        AS BIGINT) AS pos
+            FROM orders),
+        pos_del AS (
+            SELECT file_path, pos, CAST(2 AS BIGINT) AS delete_seq
+            FROM data WHERE k % 11 = 0),
+        eq_del AS (
+            SELECT DISTINCT cust, CAST(3 AS BIGINT) AS delete_seq
+            FROM data WHERE cust % 13 = 0),
+        pd AS (SELECT file_path, pos, max(delete_seq) AS ds
+               FROM pos_del GROUP BY 1, 2),
+        ed AS (SELECT cust, max(delete_seq) AS ds FROM eq_del GROUP BY 1),
+        flagged AS (
+            SELECT d.*,
+                   (pd.ds IS NOT NULL AND pd.ds >= d.data_seq) AS pos_hit,
+                   (ed.ds IS NOT NULL AND ed.ds > d.data_seq) AS eq_hit
+            FROM data d
+            LEFT JOIN pd ON d.file_path = pd.file_path AND d.pos = pd.pos
+            LEFT JOIN ed ON d.cust = ed.cust)
+    """
+    out["mor_read"] = (
+        _mor_base
+        + """
+        SELECT data_seq, CAST(count(*) AS BIGINT) AS n_live,
+               CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_live
+        FROM flagged WHERE NOT pos_hit AND NOT eq_hit
+        GROUP BY 1 ORDER BY 1
+    """
+    )
+    out["mor_audit"] = (
+        _mor_base
+        + """
+        SELECT data_seq, CAST(count(*) AS BIGINT) AS n_input,
+               CAST(sum(CASE WHEN pos_hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos_del,
+               CAST(sum(CASE WHEN eq_hit AND NOT pos_hit THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_eq_del,
+               CAST(sum(CASE WHEN NOT pos_hit AND NOT eq_hit THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_live
+        FROM flagged GROUP BY 1 ORDER BY 1
+    """
+    )
     return out
