@@ -5707,6 +5707,31 @@ def q_mor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mor_delete_audit(data, pos_del, eq_del, keys=("cust",))
 
 
+def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between two table states (X253, the Iceberg
+    changelog-scan / Delta CDF shape): before = orders without every 5th
+    key, after = orders without every 7th key and with every 3rd price
+    bumped — emits insert / delete / update_before / update_after rows
+    only (unchanged rows cost nothing downstream). One full outer join +
+    one generate; the oracle replays all four cases as unions."""
+    from corpusama_spark.operators.upsert import row_changelog
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    before = o.where(F.pmod("k", F.lit(5)) != 0)
+    after = o.where(F.pmod("k", F.lit(7)) != 0).withColumn(
+        "cents",
+        F.when(
+            F.pmod("k", F.lit(3)) == 0, F.col("cents") + 1000
+        ).otherwise(F.col("cents")),
+    )
+    return row_changelog(before, after, ("k",), ["cents"]).orderBy(
+        "k", "change"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -6073,6 +6098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- X252: Iceberg-v2 merge-on-read delete files ----------------------------
         "mor_read": q_mor_read,
         "mor_audit": q_mor_audit,
+        # -- X253: row-level CDC changelog between snapshots ------------------------
+        "changelog": q_changelog,
     }
 
 
@@ -13764,4 +13791,28 @@ def oracle_sql() -> dict[str, str]:
         FROM flagged GROUP BY 1 ORDER BY 1
     """
     )
+    out["changelog"] = """
+        WITH o AS (
+            SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+        b AS (SELECT * FROM o WHERE k % 5 <> 0),
+        a AS (SELECT k,
+                     CASE WHEN k % 3 = 0 THEN cents + 1000 ELSE cents END
+                         AS cents
+              FROM o WHERE k % 7 <> 0)
+        SELECT k, cents, change FROM (
+            SELECT a.k, a.cents, 'insert' AS change
+            FROM a LEFT JOIN b ON a.k = b.k WHERE b.k IS NULL
+            UNION ALL
+            SELECT b.k, b.cents, 'delete'
+            FROM b LEFT JOIN a ON a.k = b.k WHERE a.k IS NULL
+            UNION ALL
+            SELECT b.k, b.cents, 'update_before'
+            FROM b JOIN a ON a.k = b.k WHERE a.cents <> b.cents
+            UNION ALL
+            SELECT a.k, a.cents, 'update_after'
+            FROM b JOIN a ON a.k = b.k WHERE a.cents <> b.cents)
+        ORDER BY k, change
+    """
     return out

@@ -45,6 +45,64 @@ def merge_dataframes(
     )
 
 
+def row_changelog(
+    before: DataFrame,
+    after: DataFrame,
+    keys: tuple[str, ...] | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change-data-capture between two table states — the
+    Iceberg changelog-scan / Delta CDF shape (both public): emit
+    ``insert`` rows (key only in ``after``), ``delete`` rows (key only
+    in ``before``) and ``update_before``/``update_after`` image pairs
+    (key in both, any compare column differing null-safely). Unchanged
+    rows emit nothing — at 10^12 rows the changelog is proportional to
+    the CHANGE, which is what makes downstream incremental consumers
+    (index refresh, aggregate maintenance, replication) affordable.
+
+    One full outer hash join on the keys plus one generate — no window,
+    no second scan. ``compare_cols`` defaults to every non-key column
+    shared by both sides. Output schema: *keys, *compare_cols,
+    ``change`` string.
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in before.columns if c not in keys and c in after.columns
+        ]
+    b = before.select(*keys, *compare_cols).alias("b")
+    a = after.select(*keys, *compare_cols).alias("a")
+    cond = None
+    for k in keys:
+        e = F.col(f"b.{k}").eqNullSafe(F.col(f"a.{k}"))
+        cond = e if cond is None else (cond & e)
+    j = b.join(a, cond, "full")
+    in_b = F.col(f"b.{keys[0]}").isNotNull()
+    in_a = F.col(f"a.{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"b.{c}").eqNullSafe(F.col(f"a.{c}"))
+
+    def _img(side: str, change: str):
+        return F.struct(
+            *[F.col(f"{side}.{k}").alias(k) for k in keys],
+            *[F.col(f"{side}.{c}").alias(c) for c in compare_cols],
+            F.lit(change).alias("change"),
+        )
+
+    emit = (
+        F.when(in_b & ~in_a, F.array(_img("b", "delete")))
+        .when(~in_b & in_a, F.array(_img("a", "insert")))
+        .when(
+            in_b & in_a & changed,
+            F.array(_img("b", "update_before"), _img("a", "update_after")),
+        )
+        # unchanged: a typed empty array (slice keeps the struct type)
+        .otherwise(F.slice(F.array(_img("b", "none")), 1, 0))
+    )
+    return j.select(F.inline(emit))
+
+
 def merge_parquet(
     spark: SparkSession,
     target_path: str,
