@@ -64,9 +64,14 @@ def commit_snapshot(
     n_rows: int,
     n_keep: int,
     schema: list[dict] | None = None,
+    spec_id: int | None = None,
 ) -> int:
     """Atomically append one snapshot; returns its id. Parent pointer is
     the current latest (None for the first commit).
+
+    ``spec_id`` (X254, partition-spec evolution): the partition spec
+    this snapshot's data files were written under; ``live_specs`` /
+    ``plan_scan_for_key`` plan multi-spec reads from it.
 
     ``schema`` (X239, the Iceberg schema-evolution shape): a list of
     {"name", "type", "default"} entries recording the TABLE SCHEMA this
@@ -93,6 +98,10 @@ def commit_snapshot(
             if set(c) != {"name", "type", "default"}:
                 raise ValueError(f"schema entry needs name/type/default: {c}")
         doc["schema"] = schema
+    if spec_id is not None:
+        if spec_id not in partition_specs(snap_dir):
+            raise ValueError(f"unregistered spec_id {spec_id}")
+        doc["spec_id"] = int(spec_id)
     tmp = p / f".tmp-{_PREFIX}{snap_id:06d}.json"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(doc, fh)
@@ -422,6 +431,177 @@ def read_incremental(
     return (
         df.where(F.col("bucket").isin(delta)) if delta else df.where(F.lit(False))
     )
+
+
+def evolve_spec(snap_dir: str, nbuckets: int) -> int:
+    """Register a NEW partition spec (X254; Iceberg partition-spec
+    evolution — metadata-only, no data moves). Returns the new spec_id.
+    The first registration is spec 0; each evolution increments. Writers
+    pick up the latest spec; data already written keeps its old spec —
+    the table legitimately holds files under SEVERAL specs at once, and
+    ``plan_scan_for_key`` plans across all of them (Iceberg's
+    multi-spec split planning)."""
+    p = pathlib.Path(snap_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    specs = partition_specs(snap_dir)
+    spec_id = (max(specs) + 1) if specs else 0
+    if specs and specs[max(specs)]["nbuckets"] == int(nbuckets):
+        raise ValueError(
+            f"current spec already buckets by {nbuckets}; evolution must change it"
+        )
+    tmp = p / f".tmp-spec-{spec_id:04d}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"spec_id": spec_id, "nbuckets": int(nbuckets)}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, p / f"spec-{spec_id:04d}.json")
+    return spec_id
+
+
+def partition_specs(snap_dir: str) -> dict[int, dict]:
+    """All registered partition specs, keyed by spec_id."""
+    p = pathlib.Path(snap_dir)
+    out: dict[int, dict] = {}
+    if not p.exists():
+        return out
+    for f in sorted(p.glob("spec-*.json")):
+        with open(f, encoding="utf-8") as fh:
+            doc = json.load(fh)
+        out[doc["spec_id"]] = doc
+    return out
+
+
+def current_spec(snap_dir: str) -> dict | None:
+    specs = partition_specs(snap_dir)
+    return specs[max(specs)] if specs else None
+
+
+def live_specs(snap_dir: str, snapshot_id: int | None = None) -> set[int]:
+    """Spec ids that still own committed data as of a snapshot: every
+    spec recorded by a published snapshot's ``spec_id``, minus specs
+    fully migrated away by a ``replace_spec`` snapshot (its
+    ``retired_specs`` list)."""
+    live: set[int] = set()
+    for s in snapshots(snap_dir):
+        if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+            break
+        if s.get("staged"):
+            continue
+        if "spec_id" in s:
+            live.add(s["spec_id"])
+        for r in s.get("retired_specs", []):
+            live.discard(r)
+    return live
+
+
+def plan_scan_for_key(
+    snap_dir: str, phash: int, snapshot_id: int | None = None
+) -> list[tuple[int, int]]:
+    """Split planning for an equality predicate on the bucketing key
+    under MIXED partition specs: the physical ``(pspec, bucket)``
+    partitions that can contain ``phash``. One partition per live spec —
+    a reader scans len(live_specs) partitions instead of the whole
+    table, which is the Iceberg guarantee that spec evolution never
+    degrades pruning to a full scan."""
+    specs = partition_specs(snap_dir)
+    out = []
+    for sid in sorted(live_specs(snap_dir, snapshot_id)):
+        n = specs[sid]["nbuckets"]
+        out.append((sid, int(phash) % n))
+    return out
+
+
+def write_with_spec(df: DataFrame, out_path: str, snap_dir: str) -> dict:
+    """Write rows under the CURRENT spec: bucket = pmod(phash, nbuckets),
+    physical layout partitioned by (pspec, bucket). Returns the spec
+    used (callers record its spec_id in their commit)."""
+    spec = current_spec(snap_dir)
+    if spec is None:
+        raise ValueError("no partition spec registered; call evolve_spec first")
+    (
+        df.withColumn(
+            "bucket",
+            F.pmod(F.col("phash"), F.lit(spec["nbuckets"])).cast("int"),
+        )
+        .withColumn("pspec", F.lit(spec["spec_id"]))
+        .write.partitionBy("pspec", "bucket")
+        .mode("append")
+        .parquet(out_path)
+    )
+    return spec
+
+
+def rewrite_spec(
+    spark: SparkSession,
+    out_path: str,
+    snap_dir: str,
+    run_id: str,
+) -> int:
+    """Migrate every old-spec partition to the current spec (Iceberg
+    rewrite_data_files to spec): re-bucket rows from retired-candidate
+    specs under the latest spec, append them, and commit a snapshot that
+    records the old specs as ``retired_specs`` so readers stop planning
+    against them. Data under old paths becomes dead (expiry can vacuum
+    it); the row set under ``read_with_specs`` is pinned unchanged by
+    test."""
+    spec = current_spec(snap_dir)
+    old = sorted(live_specs(snap_dir) - {spec["spec_id"]})
+    if not old:
+        return latest_snapshot_id(snap_dir) or 0
+    df = spark.read.parquet(out_path).where(F.col("pspec").isin(old))
+    moved = df.drop("bucket", "pspec")
+    n = moved.count()
+    (
+        moved.withColumn(
+            "bucket",
+            F.pmod(F.col("phash"), F.lit(spec["nbuckets"])).cast("int"),
+        )
+        .withColumn("pspec", F.lit(spec["spec_id"]))
+        .write.partitionBy("pspec", "bucket")
+        .mode("append")
+        .parquet(out_path)
+    )
+    parent = latest_snapshot_id(snap_dir)
+    snap_id = (parent or 0) + 1
+    p = pathlib.Path(snap_dir)
+    doc = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "run_id": run_id,
+        "buckets": [],
+        "spec_id": spec["spec_id"],
+        "retired_specs": old,
+        "summary": {"n_rows": int(n), "n_keep": int(n)},
+    }
+    tmp = p / f".tmp-{_PREFIX}{snap_id:06d}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, _snap_path(snap_dir, snap_id))
+    return snap_id
+
+
+def read_with_specs(
+    spark: SparkSession,
+    out_path: str,
+    snap_dir: str,
+    phash: int | None = None,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read the spec-partitioned table: only live specs' partitions (a
+    retired spec's files are dead data awaiting vacuum). With ``phash``,
+    prune to exactly the partitions ``plan_scan_for_key`` returns."""
+    df = spark.read.parquet(out_path)
+    live = sorted(live_specs(snap_dir, snapshot_id))
+    df = df.where(F.col("pspec").isin(live))
+    if phash is not None:
+        plan = plan_scan_for_key(snap_dir, phash, snapshot_id)
+        cond = F.lit(False)
+        for sid, b in plan:
+            cond = cond | ((F.col("pspec") == sid) & (F.col("bucket") == b))
+        df = df.where(cond & (F.col("phash") == phash))
+    return df
 
 
 def snapshot_changelog(
