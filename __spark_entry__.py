@@ -5732,6 +5732,29 @@ def q_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (X256, ColBERT shape): the
+    embeddings table reinterpreted as multi-vector docs (doc = vec_id/4,
+    4 units each), queries = the first 3 docs' unit sets; score(q,d) =
+    sum over terms of max over units of cosine, top-5 per query. Fully
+    relational (zip_with dot, two groupBys, rank window); the oracle
+    replays the identical fold at 6dp."""
+    from corpusama_spark.operators.ranking import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    units = emb.select(
+        F.floor(F.col("vec_id") / 4).cast("long").alias("doc_id"),
+        F.pmod("vec_id", F.lit(4)).cast("long").alias("unit_id"),
+        F.col("embedding").alias("vec"),
+    )
+    queries_mv = units.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("unit_id").alias("term_id"),
+        "vec",
+    )
+    return maxsim_topk(units, queries_mv, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -6100,6 +6123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_audit": q_mor_audit,
         # -- X253: row-level CDC changelog between snapshots ------------------------
         "changelog": q_changelog,
+        # -- X256: late-interaction MaxSim retrieval --------------------------------
+        "maxsim": q_maxsim,
     }
 
 
@@ -13814,5 +13839,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.k, a.cents, 'update_after'
             FROM b JOIN a ON a.k = b.k WHERE a.cents <> b.cents)
         ORDER BY k, change
+    """
+    out["maxsim"] = """
+        WITH d AS (
+            SELECT vec_id // 4 AS doc_id, vec_id % 4 AS unit_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+            FROM embeddings),
+        dn AS (
+            SELECT doc_id, unit_id, dv,
+                   sqrt(list_sum(list_transform(dv, x -> x * x))) AS n
+            FROM d),
+        q AS (
+            SELECT doc_id AS query_id, unit_id AS term_id,
+                   dv AS qv, n AS qn
+            FROM dn WHERE doc_id < 3),
+        pair AS (
+            SELECT q.query_id, q.term_id, dn.doc_id,
+                   round(CASE WHEN q.qn > 0 AND dn.n > 0 THEN
+                       list_sum(list_transform(range(1, 65),
+                                               i -> qv[i] * dv[i]))
+                           / (q.qn * dn.n)
+                       ELSE 0 END, 6) AS c
+            FROM q CROSS JOIN dn),
+        tm AS (SELECT query_id, term_id, doc_id, max(c) AS m
+               FROM pair GROUP BY 1, 2, 3),
+        sc AS (SELECT query_id, doc_id, round(sum(m), 6) AS maxsim
+               FROM tm GROUP BY 1, 2),
+        r AS (
+            SELECT query_id, doc_id, maxsim,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY maxsim DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM sc)
+        SELECT query_id, doc_id, maxsim, rank
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank
     """
     return out

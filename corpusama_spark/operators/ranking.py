@@ -278,3 +278,79 @@ def rrf_fuse(
     # fresh sampled boundaries and invalidate the collected offsets;
     # the ContextCleaner reclaims it once unreferenced.
     return out
+
+
+def maxsim_topk(
+    doc_units: DataFrame,
+    query_units: DataFrame,
+    k: int = 5,
+    id_cols: tuple[str, str] = ("doc_id", "unit_id"),
+    q_cols: tuple[str, str] = ("query_id", "term_id"),
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Late-interaction (ColBERT-shape; Khattab & Zaharia 2020, public)
+    MaxSim retrieval over MULTI-vector representations: score(q, d) =
+    Σ_terms max_units cos(term_vec, unit_vec), top-k docs per query.
+    Single-vector cosine (similarity.topk_cosine) collapses a document
+    to one point and loses which PART matched; MaxSim keeps per-unit
+    vectors (sentences, image regions, caption tokens) and lets every
+    query term pick its best-matching unit — the standard quality step
+    up for retrieval-based curation (hard-negative mining, eval-set
+    contamination at passage granularity).
+
+    Relational end-to-end: per-row norms in the scan stage, one
+    broadcast join of the (small) query-term side against doc units, a
+    zip_with/aggregate dot product, then two groupBys (max over units,
+    sum over terms) and a per-query rank window. Scores round to 6dp so
+    the DuckDB oracle replays exactly.
+
+    Scale shape: this is the AUDIT tier — the full term×unit join is
+    |query_units| × |doc_units| and only sane with a broadcast-size
+    query side. The 10^12-doc path runs the existing ANN tier
+    (similarity.axis_lsh_topk / pq.ivfpq_topk) per TERM to shortlist
+    candidate docs, then applies this exact MaxSim only to the
+    shortlist — same tiering as IVF-before-brute-force.
+    """
+    d_id, d_unit = id_cols
+    q_id, q_term = q_cols
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+    )  # noqa: E731
+    d = doc_units.select(
+        d_id,
+        d_unit,
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_dv"),
+    ).withColumn("_dn", norm(F.col("_dv")))
+    q = query_units.select(
+        q_id,
+        q_term,
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_qv"),
+    ).withColumn("_qn", norm(F.col("_qv")))
+    dot = F.aggregate(
+        F.zip_with("_qv", "_dv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cos = F.when(
+        (F.col("_qn") > 0) & (F.col("_dn") > 0),
+        dot / (F.col("_qn") * F.col("_dn")),
+    ).otherwise(F.lit(0.0))
+    pair = (
+        d.join(F.broadcast(q))
+        .withColumn("_cos", F.round(cos, 6))
+        .groupBy(q_id, q_term, d_id)
+        .agg(F.max("_cos").alias("_term_max"))
+    )
+    scored = pair.groupBy(q_id, d_id).agg(
+        F.round(F.sum("_term_max"), 6).alias("maxsim")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(q_id).orderBy(
+        F.desc("maxsim"), F.col(d_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(q_id, "rank")
+    )
