@@ -604,6 +604,123 @@ def read_with_specs(
     return df
 
 
+def bucket_commit_seq(
+    snap_dir: str, snapshot_id: int | None = None
+) -> dict[int, int]:
+    """bucket -> the snapshot id that last committed it at or before the
+    horizon. This IS the data sequence number of every row in that
+    bucket: the engine never needs a per-row seq column because a bucket
+    is rewritten atomically by dynamic partition overwrite (latest
+    commit wins for the whole partition)."""
+    out: dict[int, int] = {}
+    for s in snapshots(snap_dir):
+        if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+            break
+        if s.get("staged"):
+            continue
+        for b in s["buckets"]:
+            out[b] = s["snapshot_id"]
+    return out
+
+
+def commit_eq_delete(
+    keys_df: DataFrame,
+    out_path: str,
+    snap_dir: str,
+    run_id: str,
+    key_cols: tuple[str, ...] = ("image_id",),
+) -> int:
+    """Commit an EQUALITY-DELETE snapshot (X257; Iceberg v2 row-level
+    deletes riding the commit chain): the key values land as a small
+    delete file under ``<out_path>/_deletes/eq/snap=<id>/`` and the
+    snapshot records it — no data file is rewritten. ``read_as_of_mor``
+    subtracts them at scan time with the spec's strict rule
+    (data_seq < delete_seq), so a later re-insert of a deleted key
+    survives, and time travel to a snapshot BEFORE the delete still
+    sees the rows. This is GDPR/takedown erasure priced at the delete,
+    not the table.
+
+    NOTE: the logical rows become unreadable immediately; the physical
+    bytes persist until the owning bucket is rewritten or expired — a
+    hard-erasure deployment schedules ``compact_mor``-style rewrites of
+    affected buckets (listed in the snapshot doc) on its compliance
+    deadline, exactly as real Iceberg deployments do."""
+    parent = latest_snapshot_id(snap_dir)
+    snap_id = (parent or 0) + 1
+    rel = f"_deletes/eq/snap={snap_id:06d}"
+    keys_df.select(*key_cols).distinct().write.mode("overwrite").parquet(
+        f"{out_path.rstrip('/')}/{rel}"
+    )
+    p = pathlib.Path(snap_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    doc = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "run_id": run_id,
+        "buckets": [],
+        "eq_delete": {"path": rel, "key_cols": list(key_cols)},
+        "summary": {"n_rows": 0, "n_keep": 0},
+    }
+    tmp = p / f".tmp-{_PREFIX}{snap_id:06d}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    target = _snap_path(snap_dir, snap_id)
+    if target.exists():
+        tmp.unlink()
+        raise RuntimeError(f"snapshot {snap_id} already committed")
+    os.rename(tmp, target)
+    return snap_id
+
+
+def read_as_of_mor(
+    spark: SparkSession,
+    out_path: str,
+    snap_dir: str,
+    snapshot_id: int | None = None,
+    keys: tuple[str, ...] = ("image_id",),
+) -> DataFrame:
+    """Time-travel read WITH merge-on-read equality deletes applied:
+    ``read_as_of`` minus every eq-delete snapshot at or before the
+    horizon. Per-row data_seq comes from the metadata chain
+    (bucket -> last committing snapshot), joined in as a broadcast-size
+    literal map — rows need no sequence column. Strict Iceberg rule:
+    a delete at snapshot s kills rows whose bucket was committed at a
+    snapshot < s and spares re-inserts committed at >= s."""
+    from corpusama_spark.operators.deletes import apply_mor_deletes
+
+    base = read_as_of(spark, out_path, snap_dir, snapshot_id)
+    dels = []
+    for s in snapshots(snap_dir):
+        if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+            break
+        if s.get("staged") or "eq_delete" not in s:
+            continue
+        d = spark.read.parquet(
+            f"{out_path.rstrip('/')}/{s['eq_delete']['path']}"
+        ).withColumn(
+            "delete_seq", F.lit(s["snapshot_id"]).cast("long")
+        )
+        dels.append(d)
+    if not dels:
+        return base
+    eq = dels[0]
+    for d in dels[1:]:
+        eq = eq.unionByName(d)
+    seq_map = bucket_commit_seq(snap_dir, snapshot_id)
+    seq_expr = F.lit(None).cast("long")
+    if seq_map:
+        pairs = []
+        for b, sid in sorted(seq_map.items()):
+            pairs.extend([F.lit(int(b)), F.lit(int(sid))])
+        mapping = F.create_map(*pairs)
+        seq_expr = mapping[F.col("bucket").cast("int")].cast("long")
+    data = base.withColumn("data_seq", seq_expr)
+    live = apply_mor_deletes(data, None, eq, keys=keys)
+    return live.drop("data_seq")
+
+
 def snapshot_changelog(
     spark: SparkSession,
     out_path: str,
