@@ -5755,6 +5755,34 @@ def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(units, queries_mv, k=5)
 
 
+def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (X258): the per-group rollup of the
+    AFTER state computed by applying signed changelog deltas to the
+    BEFORE state's aggregate — the table is never re-read. The oracle
+    recomputes the rollup from the after state directly, so the match
+    proves the IVM identity maintain(state(b), Δ(b,a)) == state(a)."""
+    from corpusama_spark.operators.ivm import aggregate_state, apply_changelog
+    from corpusama_spark.operators.upsert import row_changelog
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.pmod("o_orderkey", F.lit(10)).cast("long").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    before = o.where(F.pmod("k", F.lit(5)) != 0)
+    after = o.where(F.pmod("k", F.lit(7)) != 0).withColumn(
+        "cents",
+        F.when(
+            F.pmod("k", F.lit(3)) == 0, F.col("cents") + 1000
+        ).otherwise(F.col("cents")),
+    )
+    log = row_changelog(before, after, ("k",), ["g", "cents"])
+    maintained = apply_changelog(
+        aggregate_state(before, ["g"], ["cents"]), log, ["g"], ["cents"]
+    )
+    return maintained.orderBy("g")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -6125,6 +6153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog": q_changelog,
         # -- X256: late-interaction MaxSim retrieval --------------------------------
         "maxsim": q_maxsim,
+        # -- X258: changelog-driven incremental view maintenance --------------------
+        "ivm_rollup": q_ivm_rollup,
     }
 
 
@@ -13873,5 +13903,20 @@ def oracle_sql() -> dict[str, str]:
             FROM sc)
         SELECT query_id, doc_id, maxsim, rank
         FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    out["ivm_rollup"] = """
+        WITH o AS (
+            SELECT o_orderkey AS k,
+                   CAST(o_orderkey % 10 AS BIGINT) AS g,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+        a AS (SELECT k, g,
+                     CASE WHEN k % 3 = 0 THEN cents + 1000 ELSE cents END
+                         AS cents
+              FROM o WHERE k % 7 <> 0)
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(count(cents) AS BIGINT) AS nn_cents
+        FROM a GROUP BY 1 ORDER BY g
     """
     return out
