@@ -5783,6 +5783,22 @@ def q_ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.orderBy("g")
 
 
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ANN quality (X259): nDCG@5 of the axis-sign-LSH tier vs
+    the brute-force ideal — charges the tier for ORDER, not just hits
+    (what recall@k can't see). Axis-sign buckets are arithmetic-free, so
+    the oracle rebuilds the identical candidate set and replays the
+    log2-discounted sums at 6dp."""
+    from corpusama_spark.operators.similarity import axis_lsh_topk, ndcg_audit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = axis_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 8), k=5, nbits=6, ntables=8
+    )
+    ideal = q_topk_cosine(spark, sf_dir).withColumnRenamed("rnk", "rank")
+    return ndcg_audit(ann, ideal, k=5).orderBy("query_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -6155,6 +6171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim": q_maxsim,
         # -- X258: changelog-driven incremental view maintenance --------------------
         "ivm_rollup": q_ivm_rollup,
+        # -- X259: graded ANN quality (nDCG@5 vs brute-force ideal) -----------------
+        "ndcg": q_ndcg,
     }
 
 
@@ -13918,5 +13936,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cents) AS BIGINT) AS sum_cents,
                CAST(count(cents) AS BIGINT) AS nn_cents
         FROM a GROUP BY 1 ORDER BY g
+    """
+    out["ndcg"] = f"""
+        WITH cb AS (
+            SELECT vec_id, embedding,
+                   unnest({_sql_axis_buckets(6, 8)}) AS bucket
+            FROM embeddings),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+            FROM cb c JOIN cb q USING (bucket)
+            WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+        ann AS (
+            SELECT query_id, cand_id, cos_sim, rnk FROM (
+                SELECT query_id, cand_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, cand_id)
+                           AS rnk
+                FROM (
+                    SELECT cand.query_id, cand.cand_id,
+                           round(list_cosine_similarity(
+                               CAST(qe.embedding AS DOUBLE[]),
+                               CAST(ce.embedding AS DOUBLE[])), 6)
+                               AS cos_sim
+                    FROM cand
+                    JOIN embeddings qe ON qe.vec_id = cand.query_id
+                    JOIN embeddings ce ON ce.vec_id = cand.cand_id))
+            WHERE rnk <= 5),
+        brute AS (
+            SELECT query_id, cand_id, cos_sim, rnk FROM (
+                SELECT query_id, cand_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, cand_id)
+                           AS rnk
+                FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           round(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])), 6)
+                               AS cos_sim
+                    FROM embeddings c, embeddings q
+                    WHERE q.vec_id < 8 AND c.vec_id != q.vec_id))
+            WHERE rnk <= 5),
+        d AS (
+            SELECT query_id,
+                   round(sum(greatest(cos_sim, 0.0) / log2(rnk + 1)), 6)
+                       AS dcg
+            FROM ann GROUP BY 1),
+        i AS (
+            SELECT query_id,
+                   round(sum(greatest(cos_sim, 0.0) / log2(rnk + 1)), 6)
+                       AS idcg
+            FROM brute GROUP BY 1)
+        SELECT i.query_id,
+               coalesce(d.dcg, 0.0) AS dcg, i.idcg,
+               CASE WHEN i.idcg > 0
+                    THEN round(coalesce(d.dcg, 0.0) / i.idcg, 6)
+                    ELSE 0.0 END AS ndcg_at_5
+        FROM i LEFT JOIN d ON d.query_id = i.query_id
+        ORDER BY i.query_id
     """
     return out

@@ -583,6 +583,45 @@ def ann_recall(ann: DataFrame, brute: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def ndcg_audit(approx: DataFrame, ideal: DataFrame, k: int = 5) -> DataFrame:
+    """Graded retrieval quality: nDCG@k of an ANN tier against the
+    brute-force ideal (Järvelin & Kekäläinen 2002, public). recall@k
+    (ann_recall) counts HITS; nDCG also charges the tier for putting a
+    barely-relevant neighbor above a near-duplicate — the metric that
+    matters when downstream consumes the ORDER (semantic-dedup keep
+    choice, hard-negative mining take the top few).
+
+    Both inputs carry (query_id, cand_id, cos_sim, rank) — the schema
+    axis_lsh_topk / topk_cosine emit; gains are the TRUE cosines
+    (clamped at 0 so anti-correlated neighbors cannot make DCG
+    non-monotone), discount 1/log2(rank+1). Per query:
+    (dcg, idcg, ndcg_at_k), 6dp — one groupBy per side + one join,
+    DuckDB-replayable."""
+    gain = F.greatest(F.col("cos_sim"), F.lit(0.0))
+    disc = gain / F.log2(F.col("rank") + 1)
+    dcg = (
+        approx.where(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(F.round(F.sum(disc), 6).alias("dcg"))
+    )
+    idcg = (
+        ideal.where(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(F.round(F.sum(disc), 6).alias("idcg"))
+    )
+    return idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+        "idcg",
+        F.when(
+            F.col("idcg") > 0,
+            F.round(F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"ndcg_at_{k}"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding column utilities
 # ---------------------------------------------------------------------------
