@@ -187,3 +187,99 @@ def compact_bucket(spark, out_path: str, bucket: int) -> int:
     shutil.rmtree(d)
     os.rename(tmp, d)
     return n
+
+
+def erasure_status(spark, out_path: str, snap_dir: str) -> dict:
+    """Compliance view of the eq-delete lane (X260, closing X257's loop):
+    which buckets still PHYSICALLY hold rows that every current read
+    already subtracts. Logical erasure (commit_eq_delete) is immediate;
+    regulations want the bytes gone too, and that requires rewriting the
+    owning data files — this is the worklist. Returns {n_delete_keys,
+    residue_buckets, n_residue_rows}.
+
+    Cost shape: one column-pruned scan of the key column joined against
+    the (broadcast-small) union of delete files; a real deployment cuts
+    this further with per-file bloom sidecars (operators/bloom.py)."""
+    from pyspark.sql import functions as F
+
+    from corpusama_spark.snapshots import (
+        bucket_commit_seq,
+        snapshots as _snaps,
+    )
+
+    dels = []
+    key_cols = None
+    for s in _snaps(snap_dir):
+        if s.get("staged") or "eq_delete" not in s:
+            continue
+        key_cols = tuple(s["eq_delete"]["key_cols"])
+        d = spark.read.parquet(
+            f"{out_path.rstrip('/')}/{s['eq_delete']['path']}"
+        ).withColumn("delete_seq", F.lit(s["snapshot_id"]).cast("long"))
+        dels.append(d)
+    if not dels:
+        return {"n_delete_keys": 0, "residue_buckets": [], "n_residue_rows": 0}
+    eq = dels[0]
+    for d in dels[1:]:
+        eq = eq.unionByName(d)
+    eq_agg = eq.groupBy(*key_cols).agg(
+        F.max("delete_seq").alias("delete_seq")
+    )
+    seq_map = bucket_commit_seq(snap_dir)
+    raw = spark.read.parquet(out_path).select(*key_cols, "bucket")
+    pairs = []
+    for b, sid in sorted(seq_map.items()):
+        pairs.extend([F.lit(int(b)), F.lit(int(sid))])
+    data_seq = F.create_map(*pairs)[F.col("bucket").cast("int")].cast("long")
+    residue = (
+        raw.withColumn("_seq", data_seq)
+        .join(F.broadcast(eq_agg), list(key_cols))
+        .where(F.col("_seq") < F.col("delete_seq"))
+    )
+    per_bucket = residue.groupBy("bucket").count().collect()
+    return {
+        "n_delete_keys": eq_agg.count(),
+        "residue_buckets": sorted(int(r["bucket"]) for r in per_bucket),
+        "n_residue_rows": int(sum(r["count"] for r in per_bucket)),
+    }
+
+
+def rewrite_erased_buckets(
+    spark, out_path: str, snap_dir: str, run_id: str
+) -> dict:
+    """Hard erasure: rewrite every residue bucket with its MOR-dead rows
+    dropped, atomic per-bucket swap, then ONE snapshot re-committing
+    those buckets. Invariants (pytest-pinned): the logical table
+    (read_as_of_mor at latest) is identical before and after; the raw
+    files no longer contain the erased keys; a second run is a no-op.
+
+    Deliberate consequence: time travel to snapshots BEFORE the rewrite
+    no longer resurrects the erased rows in rewritten buckets — hard
+    erasure outranks time travel (the same trade real Iceberg makes when
+    compliance rewrites + expires old snapshots)."""
+    import shutil
+
+    from corpusama_spark.snapshots import commit_snapshot, read_as_of_mor
+
+    status = erasure_status(spark, out_path, snap_dir)
+    buckets = status["residue_buckets"]
+    if not buckets:
+        return {"rewritten_buckets": [], "n_rows_kept": 0}
+    from pyspark.sql import functions as F
+
+    kept_total = 0
+    for b in buckets:
+        keep = read_as_of_mor(spark, out_path, snap_dir).where(
+            F.col("bucket") == b
+        )
+        d = pathlib.Path(out_path) / f"{_BUCKET_PREFIX}{b}"
+        tmp = str(d) + "__erase_tmp"
+        keep.drop("bucket").write.mode("overwrite").parquet(tmp)
+        kept = spark.read.parquet(tmp).count()
+        kept_total += kept
+        shutil.rmtree(d)
+        os.rename(tmp, d)
+    commit_snapshot(
+        snap_dir, run_id, buckets, kept_total, kept_total
+    )
+    return {"rewritten_buckets": buckets, "n_rows_kept": kept_total}
