@@ -817,3 +817,84 @@ def read_tag(
     with open(path, encoding="utf-8") as fh:
         sid = json.load(fh)["snapshot_id"]
     return read_as_of(spark, out_path, snap_dir, sid)
+
+
+# ---------------------------------------------------------------------------
+# metadata tables (X261) — the Iceberg `table.history` / `table.partitions`
+# / `table.refs` surface: the commit log itself as QUERYABLE DataFrames, so
+# operational questions ("which run committed bucket 7?", "how fast is the
+# table growing per wave?", "what does training-v1 pin?") are ordinary SQL
+# instead of JSON spelunking. Driver-side O(#snapshots) parsing; the data
+# files are never touched except for partition file counts/bytes, which is
+# a listing (manifest-scale on a real catalog).
+# ---------------------------------------------------------------------------
+
+
+def metadata_history(spark: SparkSession, snap_dir: str) -> DataFrame:
+    """One row per snapshot, chain order: commit kind derived from the
+    doc (data / eq-delete / spec-rewrite / squashed base), WAP state,
+    summary counts."""
+    rows = []
+    for s in snapshots(snap_dir):
+        kind = "data"
+        if "eq_delete" in s:
+            kind = "eq_delete"
+        elif s.get("retired_specs"):
+            kind = "spec_rewrite"
+        elif s.get("squashed"):
+            kind = "squash_base"
+        rows.append(
+            (
+                s["snapshot_id"],
+                s.get("parent_id"),
+                s.get("run_id", ""),
+                kind,
+                bool(s.get("staged", False)),
+                len(s.get("buckets", [])),
+                int(s.get("summary", {}).get("n_rows", 0)),
+                int(s.get("summary", {}).get("n_keep", 0)),
+                "schema" in s,
+                s.get("spec_id"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, parent_id long, run_id string, kind string, "
+        "staged boolean, n_buckets long, n_rows long, n_keep long, "
+        "schema_change boolean, spec_id long",
+    )
+
+
+def metadata_partitions(
+    spark: SparkSession, snap_dir: str, out_path: str
+) -> DataFrame:
+    """One row per committed bucket: owning (last-committing) snapshot
+    plus physical file count and bytes from the listing."""
+    seq = bucket_commit_seq(snap_dir)
+    root = pathlib.Path(out_path)
+    rows = []
+    for b, sid in sorted(seq.items()):
+        d = root / f"bucket={b}"
+        files = (
+            [f for f in d.rglob("*.parquet") if f.is_file()]
+            if d.exists()
+            else []
+        )
+        rows.append(
+            (b, sid, len(files), sum(f.stat().st_size for f in files))
+        )
+    return spark.createDataFrame(
+        rows, "bucket long, committed_by long, n_files long, bytes long"
+    )
+
+
+def metadata_refs(spark: SparkSession, snap_dir: str) -> DataFrame:
+    """One row per named ref (tag): the immutable pins training jobs
+    address datasets by."""
+    p = pathlib.Path(snap_dir) / "tags"
+    rows = []
+    if p.exists():
+        for f in sorted(p.glob("*.json")):
+            with open(f, encoding="utf-8") as fh:
+                rows.append((f.stem, json.load(fh)["snapshot_id"]))
+    return spark.createDataFrame(rows, "name string, snapshot_id long")
