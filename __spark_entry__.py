@@ -5799,6 +5799,19 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_audit(ann, ideal, k=5).orderBy("query_id")
 
 
+def q_xmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval recall (X262, the CLIP eval shape): images
+    vec_id<16 as queries, captions doc_id<200 as the candidate pool —
+    where does each image's own caption rank under the portable
+    two-tower encoders? Catches encoder collapse that the paired-only
+    agreement score (X50) cannot see."""
+    from corpusama_spark.operators.alignment import xmodal_recall
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    images = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 16)
+    return xmodal_recall(docs, images, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -6173,6 +6186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_rollup": q_ivm_rollup,
         # -- X259: graded ANN quality (nDCG@5 vs brute-force ideal) -----------------
         "ndcg": q_ndcg,
+        # -- X262: cross-modal retrieval recall (CLIP-eval shape) -------------------
+        "xmodal_recall": q_xmodal_recall,
     }
 
 
@@ -13994,5 +14009,62 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END AS ndcg_at_5
         FROM i LEFT JOIN d ON d.query_id = i.query_id
         ORDER BY i.query_id
+    """
+    out["xmodal_recall"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       t -> len(t) > 0)) AS tok
+            FROM documents
+            WHERE doc_id < 200
+              AND text IS NOT NULL AND len(trim(text)) > 0),
+        h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+                   CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM tok),
+        wt AS (
+            SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS wt
+            FROM h GROUP BY 1, 2),
+        feat AS (
+            SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS n2
+            FROM wt GROUP BY 1),
+        img AS (
+            SELECT vec_id AS img, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_aggregate(
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x), 'sum')) AS vn
+            FROM embeddings WHERE vec_id < 16),
+        dots AS (
+            SELECT i.img, w.doc_id AS id,
+                   sum(w.wt * i.v[CAST(w.bucket AS INTEGER) + 1]) AS dot
+            FROM wt w CROSS JOIN img i
+            WHERE i.vn > 0
+            GROUP BY 1, 2),
+        scored AS (
+            SELECT d.img, d.id,
+                   round(d.dot / (sqrt(CAST(f.n2 AS DOUBLE)) * i.vn), 6)
+                       AS c
+            FROM dots d
+            JOIN feat f ON f.doc_id = d.id AND f.n2 > 0
+            JOIN img i ON i.img = d.img),
+        ranked AS (
+            SELECT img, id, c,
+                   row_number() OVER (PARTITION BY img
+                                      ORDER BY c DESC, id) AS rnk
+            FROM scored),
+        own AS (SELECT img, rnk AS true_rank FROM ranked WHERE id = img),
+        top1 AS (SELECT img, id AS top1_id FROM ranked WHERE rnk = 1)
+        SELECT i.img AS img_id,
+               CAST(coalesce(o.true_rank, -1) AS INTEGER) AS true_rank,
+               coalesce(o.true_rank, 1000000000) <= 5 AS hit_at_5,
+               CAST(coalesce(t.top1_id, -1) AS BIGINT) AS top1_id
+        FROM img i
+        LEFT JOIN own o ON o.img = i.img
+        LEFT JOIN top1 t ON t.img = i.img
+        WHERE i.vn > 0
+        ORDER BY img_id
     """
     return out

@@ -239,3 +239,84 @@ def bitext_filter(
         keep.alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+def xmodal_recall(
+    docs: DataFrame,
+    images: DataFrame,
+    k: int = 5,
+    dim: int | None = None,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    img_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-modal retrieval evaluation (X262) — the CLIP-paper eval
+    shape (Radford et al. 2021, public): for each query image, rank ALL
+    candidate captions by two-tower cosine and ask where the image's OWN
+    caption landed. Per image: (img_id, true_rank, hit_at_k, top1_id).
+    caption_image_agreement (X50) scores only the PAIRED caption — a
+    constant-feeling score can hide an encoder that ranks everyone's
+    caption equally high; retrieval recall is the metric that catches
+    that collapse.
+
+    Same portable encoders as X50 (md5 feature hashing JVM-side; dense
+    image vector), so the whole ranking replays in the oracle. The
+    caption side folds sparse (bucket, wt) pairs against the dense
+    vector — O(nnz·|queries|) with the query images broadcast: the
+    AUDIT tier. At 10^12 the query set is a sample and the candidate
+    pool is ANN-shortlisted per image (similarity tiers), exactly like
+    maxsim/topk_cosine's documented split.
+
+    ``true_rank`` is -1 when the image's own caption produced no
+    features (empty caption) — an honest miss, not an error."""
+    from pyspark.sql.window import Window
+
+    dim = dim if dim is not None else infer_dim(images, vec_col)
+    feats = caption_features(docs, dim, doc_id, text_col)
+    vec = F.col(vec_col).cast("array<double>")
+    img = images.select(
+        F.col(img_id).alias("img"),
+        vec.alias("_v"),
+        l2norm(vec).alias("_vn"),
+    ).where(F.col("_vn") > 0)
+    dot = F.aggregate(
+        F.col("comps"),
+        F.lit(0.0),
+        lambda acc, c: acc
+        + c["wt"].cast("double")
+        * F.element_at(F.col("_v"), c["bucket"].cast("int") + 1),
+    )
+    scored = (
+        feats.where(F.col("n2") > 0)
+        .join(F.broadcast(img))
+        .select(
+            "img",
+            "id",
+            F.round(
+                dot / (F.sqrt(F.col("n2").cast("double")) * F.col("_vn")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("img").orderBy(F.desc("cos"), F.asc("id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    own = ranked.where(F.col("id") == F.col("img")).select(
+        "img", F.col("rnk").alias("true_rank")
+    )
+    top1 = ranked.where(F.col("rnk") == 1).select(
+        "img", F.col("id").alias("top1_id")
+    )
+    base = img.select("img")
+    return (
+        base.join(own, "img", "left")
+        .join(top1, "img", "left")
+        .select(
+            F.col("img").alias("img_id"),
+            F.coalesce("true_rank", F.lit(-1)).alias("true_rank"),
+            (
+                F.coalesce("true_rank", F.lit(10**9)) <= F.lit(k)
+            ).alias(f"hit_at_{k}"),
+            F.coalesce("top1_id", F.lit(-1)).alias("top1_id"),
+        )
+        .orderBy("img_id")
+    )
