@@ -164,6 +164,15 @@ BENCH_QUERIES = [
     "skin_route",
     "crawl_rollup",
     "url_spam",
+    # session-6 additions (X252-X262): the data-bearing families.
+    # mor_audit/ivm_rollup share mor_read/changelog's scan shapes; the
+    # snapshot/maintenance ops (X254/X255/X257/X260/X261) are
+    # filesystem-metadata drives timed in pytest, not data throughput.
+    "mor_read",
+    "changelog",
+    "maxsim",
+    "ndcg",
+    "xmodal_recall",
 ]
 
 
