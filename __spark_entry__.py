@@ -5799,6 +5799,66 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ndcg_audit(ann, ideal, k=5).orderBy("query_id")
 
 
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit (X263): 8-bit Hilbert index over
+    (n_chars mod 256, doc_id mod 256), 64 equal key-range buckets,
+    per-bucket count + key range + (x, y) bounding-box spans — the
+    tighter-box-per-file story vs Z-order. The oracle replays the
+    unrolled xy2d rotation algebra stage by stage."""
+    from corpusama_spark.operators.layout import with_hilbert_key
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.pmod("n_chars", F.lit(256)).cast("long").alias("ox"),
+        F.pmod("doc_id", F.lit(256)).cast("long").alias("oy"),
+    )
+    keyed = with_hilbert_key(docs, "ox", "oy", bits=8)
+    return (
+        keyed.withColumn(
+            "bucket", F.floor(F.col("hilbert_key") / 1024).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("hilbert_key").alias("min_hk"),
+            F.max("hilbert_key").alias("max_hk"),
+            (F.max("ox") - F.min("ox")).alias("span_x"),
+            (F.max("oy") - F.min("oy")).alias("span_y"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _sql_hilbert_stages(bits: int = 8) -> str:
+    """Chained CTE stages replaying with_hilbert_key's unrolled xy2d
+    iteration; expects a CTE ``hsrc(ox, oy, hx, hy)`` and yields
+    ``hfin(ox, oy, hd)``."""
+    parts = ["h0 AS (SELECT ox, oy, hx, hy, CAST(0 AS BIGINT) AS hd FROM hsrc)"]
+    prev = "h0"
+    for step, i in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << i
+        # bit test, NOT (hx // s) % 2: the rotation's s-1-x flip can go
+        # negative mid-iteration, where SQL trunc-division/remainder
+        # diverge from two's-complement bit semantics
+        rx = f"(CASE WHEN (hx & {s}) != 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) != 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
+            f"WHEN {rx} = 1 THEN 3 WHEN {ry} = 1 THEN 1 ELSE 0 END)"
+        )
+        flip_x = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END)"
+        flip_y = f"(CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END)"
+        name = f"h{step + 1}"
+        parts.append(
+            f"{name} AS (SELECT ox, oy, "
+            f"CASE WHEN {ry} = 0 THEN {flip_y} ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN {flip_x} ELSE hy END AS hy, "
+            f"hd + {s * s} * {quad} AS hd FROM {prev})"
+        )
+        prev = name
+    parts.append(f"hfin AS (SELECT ox, oy, hd FROM {prev})")
+    return ",\n        ".join(parts)
+
+
 def q_xmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal retrieval recall (X262, the CLIP eval shape): images
     vec_id<16 as queries, captions doc_id<200 as the candidate pool —
@@ -6188,6 +6248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg": q_ndcg,
         # -- X262: cross-modal retrieval recall (CLIP-eval shape) -------------------
         "xmodal_recall": q_xmodal_recall,
+        # -- X263: Hilbert-curve layout audit ---------------------------------------
+        "hilbert_layout": q_hilbert_layout,
     }
 
 
@@ -14066,5 +14128,20 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN top1 t ON t.img = i.img
         WHERE i.vn > 0
         ORDER BY img_id
+    """
+    out["hilbert_layout"] = f"""
+        WITH hsrc AS (
+            SELECT CAST(n_chars % 256 AS BIGINT) AS ox,
+                   CAST(doc_id % 256 AS BIGINT) AS oy,
+                   CAST(n_chars % 256 AS BIGINT) AS hx,
+                   CAST(doc_id % 256 AS BIGINT) AS hy
+            FROM documents),
+        {_sql_hilbert_stages(8)}
+        SELECT hd // 1024 AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(hd) AS min_hk, max(hd) AS max_hk,
+               max(ox) - min(ox) AS span_x,
+               max(oy) - min(oy) AS span_y
+        FROM hfin GROUP BY 1 ORDER BY bucket
     """
     return out

@@ -258,3 +258,74 @@ def pruning_audit(
             6,
         ).alias("read_amplification"),
     ).orderBy("layout")
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bits: int = 8,
+    out: str = "hilbert_key",
+) -> DataFrame:
+    """Hilbert-curve index of two ``bits``-bit keys (X263) — the layout
+    curve with the CONTINUITY guarantee Z-order lacks: consecutive curve
+    positions are always Manhattan-adjacent cells (pytest-pinned), so a
+    contiguous key range never teleports across (x, y) space the way a
+    z-range does at quadrant seams. Net effect at 100 TB: tighter
+    bounding boxes per file for the same file count → better min/max
+    pruning on BOTH columns (the reason Hilbert is the default space
+    curve in e.g. Databricks liquid clustering discussions; algorithm is
+    the classic xy2d iteration, Wikipedia/Hamilton — public).
+
+    Implementation: the ``bits`` rotation steps are UNROLLED as staged
+    column expressions (withColumns per step keeps the expression tree
+    linear, not exponential) — pure JVM bit math in the scan stage, no
+    UDF, no shuffle; the DuckDB oracle replays the identical staged
+    algebra. Inputs are clamped into [0, 2^bits) with pmod."""
+    n = 1 << bits
+    df = df.withColumns(
+        {
+            "_hx": F.pmod(F.col(xcol).cast("long"), F.lit(n)),
+            "_hy": F.pmod(F.col(ycol).cast("long"), F.lit(n)),
+            "_hd": F.lit(0).cast("long"),
+        }
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = (F.col("_hx").bitwiseAND(F.lit(s)) > 0).cast("long")
+        ry = (F.col("_hy").bitwiseAND(F.lit(s)) > 0).cast("long")
+        d2 = F.col("_hd") + F.lit(s) * F.lit(s) * (
+            (F.lit(3) * rx).bitwiseXOR(ry)
+        )
+        # rotate the quadrant: flip when rx==1 inside ry==0, then swap
+        flip_x = F.when(rx == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+            F.col("_hx")
+        )
+        flip_y = F.when(rx == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+            F.col("_hy")
+        )
+        new_x = F.when(ry == 0, flip_y).otherwise(F.col("_hx"))
+        new_y = F.when(ry == 0, flip_x).otherwise(F.col("_hy"))
+        df = df.withColumns({"_hd": d2, "_hx": new_x, "_hy": new_y})
+    return df.withColumn(out, F.col("_hd")).drop("_hx", "_hy", "_hd")
+
+
+def hilbert_py(x: int, y: int, bits: int = 8) -> int:
+    """Driver-side mirror of ``with_hilbert_key`` (same xy2d iteration)
+    — used by tests and by planners that need the key for a literal
+    predicate without a Spark job."""
+    n = 1 << bits
+    x, y = x % n, y % n
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
