@@ -49,8 +49,14 @@ def orphan_scan(out_path: str, snap_dir: str) -> dict:
     stages) plus writer litter (_temporary dirs, .tmp/. staging files).
     Returns a dry-run plan: {live_buckets, orphan_buckets, orphan_files,
     orphan_bytes, litter}. Never deletes."""
+    from corpusama_spark.snapshots import storage_live_buckets
+
     root = pathlib.Path(out_path)
-    live = buckets_as_of(snap_dir)
+    # storage-live, not logically-live: a TTL-dropped bucket stays
+    # addressable to pre-drop time travel until snapshot expiry removes
+    # the snapshots that reach it — vacuuming earlier would corrupt
+    # time travel (X264 lifecycle: drop -> expire -> vacuum)
+    live = storage_live_buckets(snap_dir)
     orphan_buckets: list[int] = []
     orphan_files: list[str] = []
     orphan_bytes = 0

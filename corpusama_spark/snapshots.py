@@ -125,6 +125,9 @@ def buckets_as_of(snap_dir: str, snapshot_id: int | None = None) -> set[int]:
         if s.get("staged"):
             continue  # write-audit-publish: invisible until published
         out.update(s["buckets"])
+        # partition drops (X264, the DROP PARTITION / TTL shape) replay
+        # in chain order: a re-add after a drop is live again
+        out.difference_update(s.get("dropped_buckets", []))
     return out
 
 
@@ -244,7 +247,13 @@ def expiry_plan(snap_dir: str, keep_last: int = 2) -> dict:
             "base_buckets": [],
             "time_travel_horizon": old[0]["snapshot_id"],
         }
-    base_buckets = sorted({b for s in old for b in s["buckets"]})
+    # replay adds AND drops over the expired prefix so a TTL drop inside
+    # the squashed range stays dropped in the base snapshot
+    acc: set[int] = set()
+    for s in old:
+        acc.update(s["buckets"])
+        acc.difference_update(s.get("dropped_buckets", []))
+    base_buckets = sorted(acc)
     return {
         "expire_ids": [s["snapshot_id"] for s in old],
         "retain_ids": [s["snapshot_id"] for s in kept],
@@ -839,6 +848,8 @@ def metadata_history(spark: SparkSession, snap_dir: str) -> DataFrame:
         kind = "data"
         if "eq_delete" in s:
             kind = "eq_delete"
+        elif s.get("dropped_buckets"):
+            kind = "drop_partitions"
         elif s.get("retired_specs"):
             kind = "spec_rewrite"
         elif s.get("squashed"):
@@ -898,3 +909,73 @@ def metadata_refs(spark: SparkSession, snap_dir: str) -> DataFrame:
             with open(f, encoding="utf-8") as fh:
                 rows.append((f.stem, json.load(fh)["snapshot_id"]))
     return spark.createDataFrame(rows, "name string, snapshot_id long")
+
+
+# ---------------------------------------------------------------------------
+# partition drop + TTL retention (X264) — the Iceberg DROP PARTITION /
+# data-retention lifecycle: dropping a bucket is a METADATA commit (the
+# cheapest possible delete — no file touched, no row scanned); the bytes
+# stay addressable to pre-drop time travel until snapshot expiry squashes
+# past the drop, after which the orphan vacuum (operators/maintenance.py)
+# reclaims them. drop -> expire -> vacuum is the complete lifecycle, each
+# step atomic and auditable in metadata_history.
+# ---------------------------------------------------------------------------
+
+
+def drop_partitions(
+    snap_dir: str, run_id: str, buckets: list[int]
+) -> int:
+    """Commit a partition-drop snapshot: the listed buckets leave the
+    logical table at this point in the chain (buckets_as_of replays the
+    drop; re-adding later makes them live again). Dropping a bucket no
+    published snapshot has committed raises — a typo'd TTL job should
+    fail loudly, not record a no-op."""
+    missing = set(int(b) for b in buckets) - buckets_as_of(snap_dir)
+    if missing:
+        raise ValueError(f"cannot drop uncommitted buckets {sorted(missing)}")
+    parent = latest_snapshot_id(snap_dir)
+    snap_id = (parent or 0) + 1
+    p = pathlib.Path(snap_dir)
+    doc = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "run_id": run_id,
+        "buckets": [],
+        "dropped_buckets": sorted(int(b) for b in buckets),
+        "summary": {"n_rows": 0, "n_keep": 0},
+    }
+    tmp = p / f".tmp-{_PREFIX}{snap_id:06d}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    target = _snap_path(snap_dir, snap_id)
+    if target.exists():
+        tmp.unlink()
+        raise RuntimeError(f"snapshot {snap_id} already committed")
+    os.rename(tmp, target)
+    return snap_id
+
+
+def ttl_plan(snap_dir: str, older_than_snapshot: int) -> list[int]:
+    """Retention preview: currently-live buckets whose LAST commit is at
+    or before ``older_than_snapshot`` — the drop candidates for a
+    "expire data older than wave N" policy. Pure metadata."""
+    seq = bucket_commit_seq(snap_dir)
+    live = buckets_as_of(snap_dir)
+    return sorted(
+        b for b, sid in seq.items() if b in live and sid <= older_than_snapshot
+    )
+
+
+def storage_live_buckets(snap_dir: str) -> set[int]:
+    """Buckets whose FILES must stay on disk: every bucket added by any
+    snapshot still in the metadata log (including staged WAP commits and
+    logically-dropped buckets — both remain addressable, by publish or
+    by time travel, until expiry removes the snapshots that reach them).
+    The orphan vacuum keys off THIS, not the logical live set — vacuuming
+    a dropped-but-travel-reachable bucket would corrupt time travel."""
+    out: set[int] = set()
+    for s in snapshots(snap_dir):
+        out.update(s["buckets"])
+    return out
