@@ -29,11 +29,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SIGN = (
-    F.when(F.col("change").isin("insert", "update_after"), F.lit(1))
-    .when(F.col("change").isin("delete", "update_before"), F.lit(-1))
-    .otherwise(F.lit(0))
-)
+def _sign():
+    # built lazily: Column construction needs an active session, and this
+    # module is imported by others before any Spark context exists
+    return (
+        F.when(F.col("change").isin("insert", "update_after"), F.lit(1))
+        .when(F.col("change").isin("delete", "update_before"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
 
 
 def aggregate_state(
@@ -63,7 +66,7 @@ def apply_changelog(
     never read. Groups whose count reaches zero drop out, groups first
     seen in the delta appear; the result is exactly
     ``aggregate_state(after)`` (pinned by test + oracle)."""
-    delta = changelog.withColumn("_sign", _SIGN)
+    delta = changelog.withColumn("_sign", _sign())
     d_aggs = [F.sum("_sign").alias("_dn")]
     for c in sum_cols:
         d_aggs.append(F.sum(F.col(c) * F.col("_sign")).alias(f"_d_{c}"))
