@@ -5859,6 +5859,26 @@ def _sql_hilbert_stages(bits: int = 8) -> str:
     return ",\n        ".join(parts)
 
 
+def q_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way layout audit (X267): linear vs Z-order vs Hilbert file
+    assignment under the same 2-D predicate on a mod-256 key domain
+    (fair for all three: the Hilbert key wraps at 2^bits), 16 files,
+    parquet-footer min/max pruning — the OPTIMIZE decision table with
+    the continuity curve included."""
+    from corpusama_spark.operators.layout import pruning_audit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod("n_chars", F.lit(256)).alias("a"),
+        F.pmod("doc_id", F.lit(256)).alias("b"),
+    )
+    return pruning_audit(
+        docs, "doc_id", "a", "b",
+        a_range=(40.0, 120.0), b_range=(32.0, 96.0),
+        nfiles=16, bits=16, hilbert_bits=8,
+    )
+
+
 def q_xmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal retrieval recall (X262, the CLIP eval shape): images
     vec_id<16 as queries, captions doc_id<200 as the candidate pool —
@@ -6250,6 +6270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xmodal_recall": q_xmodal_recall,
         # -- X263: Hilbert-curve layout audit ---------------------------------------
         "hilbert_layout": q_hilbert_layout,
+        # -- X267: three-way layout pruning audit (linear / zorder / hilbert) -------
+        "hilbert_pruning": q_hilbert_pruning,
     }
 
 
@@ -14143,5 +14165,67 @@ def oracle_sql() -> dict[str, str]:
                max(ox) - min(ox) AS span_x,
                max(oy) - min(oy) AS span_y
         FROM hfin GROUP BY 1 ORDER BY bucket
+    """
+    _morton8 = " | ".join(
+        f"(((ca >> {i}) & 1) << {2 * i + 1})"
+        f" | (((cb >> {i}) & 1) << {2 * i})"
+        for i in range(16)
+    ).replace("ca", "least(greatest(a, 0), 65535)").replace(
+        "cb", "least(greatest(b, 0), 65535)"
+    )
+    out["hilbert_pruning"] = f"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id AS id,
+                   CAST(n_chars % 256 AS BIGINT) AS a,
+                   CAST(doc_id % 256 AS BIGINT) AS b
+            FROM documents),
+        hsrc AS (SELECT id, a AS ox, b AS oy, a AS hx, b AS hy FROM base),
+        {_sql_hilbert_stages(8).replace("SELECT ox", "SELECT id, ox")}
+        ,
+        tagged AS MATERIALIZED (
+            SELECT base.id, base.a, base.b,
+                   ntile(16) OVER (ORDER BY base.a, base.b, base.id)
+                       AS f_linear,
+                   ntile(16) OVER (ORDER BY ({_morton8}), base.id)
+                       AS f_zorder,
+                   ntile(16) OVER (ORDER BY hfin.hd, base.id) AS f_hilbert,
+                   CASE WHEN base.a BETWEEN 40.0 AND 120.0
+                             AND base.b BETWEEN 32.0 AND 96.0
+                        THEN 1 ELSE 0 END AS sel
+            FROM base JOIN hfin ON hfin.id = base.id),
+        lin AS (SELECT f_linear AS f, min(a) AS min_a, max(a) AS max_a,
+                       min(b) AS min_b, max(b) AS max_b,
+                       count(*) AS n, sum(sel) AS n_sel
+                FROM tagged GROUP BY 1),
+        zor AS (SELECT f_zorder AS f, min(a), max(a), min(b), max(b),
+                       count(*), sum(sel)
+                FROM tagged GROUP BY 1),
+        hil AS (SELECT f_hilbert AS f, min(a), max(a), min(b), max(b),
+                       count(*), sum(sel)
+                FROM tagged GROUP BY 1),
+        roll AS (
+            SELECT 'linear' AS layout, * FROM lin
+            UNION ALL SELECT 'zorder', * FROM zor
+            UNION ALL SELECT 'hilbert', * FROM hil),
+        agg AS (
+            SELECT layout,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN max_a >= 40.0 AND min_a <= 120.0
+                                 AND max_b >= 32.0 AND min_b <= 96.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+                   CAST(sum(n) AS BIGINT) AS rows_total,
+                   CAST(sum(CASE WHEN max_a >= 40.0 AND min_a <= 120.0
+                                 AND max_b >= 32.0 AND min_b <= 96.0
+                            THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+                   CAST(sum(n_sel) AS BIGINT) AS rows_selected
+            FROM roll GROUP BY layout)
+        SELECT layout, n_files, files_scanned, rows_total, rows_scanned,
+               rows_selected,
+               round(1.0 - files_scanned / CAST(n_files AS DOUBLE), 6)
+                   AS skip_ratio,
+               round(rows_scanned /
+                     CAST(greatest(rows_selected, 1) AS DOUBLE), 6)
+                   AS read_amplification
+        FROM agg ORDER BY layout
     """
     return out

@@ -177,6 +177,7 @@ def pruning_audit(
     b_range: tuple[float, float],
     nfiles: int = 16,
     bits: int = 16,
+    hilbert_bits: int | None = None,
 ) -> DataFrame:
     """Scan-pruning audit of two candidate file layouts under a 2-D
     predicate — the measured version of the module docstring's claim.
@@ -206,11 +207,23 @@ def pruning_audit(
     z = zorder_key(F.col("a"), F.col("b"), bits=bits)
     w_lin = Window.orderBy("a", "b", "id")
     w_z = Window.orderBy("zval", "id")
-    tagged = base.withColumn("zval", z).select(
-        "*",
+    base = base.withColumn("zval", z)
+    tile_cols = [
         F.ntile(int(nfiles)).over(w_lin).alias("f_linear"),
         F.ntile(int(nfiles)).over(w_z).alias("f_zorder"),
-    )
+    ]
+    if hilbert_bits is not None:
+        # third candidate layout (X267): the continuity curve — callers
+        # pass keys already within [0, 2^hilbert_bits) for a fair
+        # three-way comparison (with_hilbert_key pmods, so wider inputs
+        # would wrap rather than clamp like the Morton key)
+        base = with_hilbert_key(base, "a", "b", bits=hilbert_bits, out="hval")
+        tile_cols.append(
+            F.ntile(int(nfiles))
+            .over(Window.orderBy("hval", "id"))
+            .alias("f_hilbert")
+        )
+    tagged = base.select("*", *tile_cols)
     sel = (
         F.col("a").between(a_lo, a_hi) & F.col("b").between(b_lo, b_hi)
     ).cast("long")
@@ -242,6 +255,8 @@ def pruning_audit(
     out = _layout("f_linear", "linear").unionByName(
         _layout("f_zorder", "zorder")
     )
+    if hilbert_bits is not None:
+        out = out.unionByName(_layout("f_hilbert", "hilbert"))
     return out.select(
         "layout",
         "n_files",

@@ -55,3 +55,28 @@ def test_tighter_boxes_than_zorder_on_unaligned_ranges():
     # a contiguous hilbert range never teleports across quadrant seams;
     # summed over unaligned windows its boxes are strictly tighter
     assert h_total < z_total
+
+
+def test_three_way_pruning_audit_invariants(spark):
+    from corpusama_spark.operators.layout import pruning_audit
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 256, (i * 101) % 256) for i in range(2000)],
+        "id long, a long, b long",
+    )
+    rep = {
+        r.layout: r
+        for r in pruning_audit(
+            df, "id", "a", "b",
+            a_range=(30.0, 90.0), b_range=(100.0, 180.0),
+            nfiles=16, hilbert_bits=8,
+        ).collect()
+    }
+    assert set(rep) == {"linear", "zorder", "hilbert"}
+    # the predicate's true answer is layout-independent
+    sel = {r.rows_selected for r in rep.values()}
+    assert len(sel) == 1
+    # every layout's scan covers at least the selected rows
+    for r in rep.values():
+        assert r.rows_scanned >= r.rows_selected
+        assert r.n_files == 16
