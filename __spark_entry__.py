@@ -5859,6 +5859,36 @@ def _sql_hilbert_stages(bits: int = 8) -> str:
     return ",\n        ".join(parts)
 
 
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (X268): even-event intervals × odd-event
+    intervals from the events table (len = id%120 / id%90 seconds),
+    bucketize-verify with single-bucket claim — the oracle computes the
+    quadratic ground truth, so the match proves the bucketed plan finds
+    EXACTLY the overlap set with no duplicates."""
+    from corpusama_spark.operators.rangejoin import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    left = e.where(F.pmod("event_id", F.lit(2)) == 0).select(
+        F.col("event_id").alias("l_id"),
+        F.timestamp_micros("us").alias("l_start"),
+        F.timestamp_micros(
+            F.col("us") + F.pmod("event_id", F.lit(120)) * 1_000_000
+        ).alias("l_end"),
+    )
+    right = e.where(F.pmod("event_id", F.lit(2)) == 1).select(
+        F.col("event_id").alias("r_id"),
+        F.timestamp_micros("us").alias("r_start"),
+        F.timestamp_micros(
+            F.col("us") + F.pmod("event_id", F.lit(90)) * 1_000_000
+        ).alias("r_end"),
+    )
+    j = interval_overlap_join(left, right, width_us=120_000_000)
+    return j.select("l_id", "r_id", "overlap_us").orderBy("l_id", "r_id")
+
+
 def q_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-way layout audit (X267): linear vs Z-order vs Hilbert file
     assignment under the same 2-D predicate on a mod-256 key domain
@@ -6272,6 +6302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": q_hilbert_layout,
         # -- X267: three-way layout pruning audit (linear / zorder / hilbert) -------
         "hilbert_pruning": q_hilbert_pruning,
+        # -- X268: interval overlap join (bucketize-verify, single-bucket claim) ----
+        "overlap_join": q_overlap_join,
     }
 
 
@@ -14227,5 +14259,19 @@ def oracle_sql() -> dict[str, str]:
                      CAST(greatest(rows_selected, 1) AS DOUBLE), 6)
                    AS read_amplification
         FROM agg ORDER BY layout
+    """
+    out["overlap_join"] = """
+        WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        l AS (SELECT event_id AS l_id, us AS l_lo,
+                     us + (event_id % 120) * 1000000 AS l_hi
+              FROM e WHERE event_id % 2 = 0),
+        r AS (SELECT event_id AS r_id, us AS r_lo,
+                     us + (event_id % 90) * 1000000 AS r_hi
+              FROM e WHERE event_id % 2 = 1)
+        SELECT l_id, r_id,
+               least(l_hi, r_hi) - greatest(l_lo, r_lo) + 1 AS overlap_us
+        FROM l, r
+        WHERE l_lo <= r_hi AND r_lo <= l_hi
+        ORDER BY l_id, r_id
     """
     return out

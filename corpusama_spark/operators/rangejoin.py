@@ -122,3 +122,78 @@ def range_count(
             F.coalesce(F.col("value_sum"), F.lit(0.0)).alias("value_sum"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str] = ("l_start", "l_end"),
+    right_cols: tuple[str, str] = ("r_start", "r_end"),
+    width_us: int = 60_000_000,
+    key: str | None = None,
+) -> DataFrame:
+    """Interval OVERLAP join (X268): all (left, right) pairs whose
+    [start, end] ranges intersect — ``l_start <= r_end AND r_start <=
+    l_end`` (microsecond timestamps, inclusive). The multimodal use:
+    video shot intervals × caption/subtitle time spans, crawl sessions ×
+    incident windows. Catalyst has no equi-key for this predicate and
+    falls back to a nested-loop join; the classic distributed answer
+    (the same bucketize-verify shape as ``bucketed_range_join``) is:
+
+    1. each interval EXPLODES onto the coarse time buckets it touches
+       (replication = interval_len / width + 1 — pick ``width_us`` near
+       the typical interval length so replication stays ~2);
+    2. hash equi-join on (key?, bucket);
+    3. the exact predicate verifies, and pairs that co-occupy several
+       buckets are claimed ONLY by the bucket containing the overlap's
+       start — a pure per-row condition, so no dropDuplicates shuffle
+       is needed to dedup multi-bucket matches.
+
+    Emits the pair plus overlap_start/overlap_end/overlap_us. Degenerate
+    inputs (end < start) raise at execution via an ANSI-safe guard
+    column check upstream is cheaper; here they simply never match."""
+    ls, le = (F.col(c) for c in left_cols)
+    rs, re_ = (F.col(c) for c in right_cols)
+    l_lo, l_hi = _us(ls), _us(le)
+    r_lo, r_hi = _us(rs), _us(re_)
+    lrep = left.withColumn("_l_lo", l_lo).withColumn(
+        "_l_hi", l_hi
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_l_lo") / F.lit(width_us)),
+                F.floor(F.col("_l_hi") / F.lit(width_us)),
+            )
+        ),
+    )
+    rrep = right.withColumn("_r_lo", r_lo).withColumn(
+        "_r_hi", r_hi
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_r_lo") / F.lit(width_us)),
+                F.floor(F.col("_r_hi") / F.lit(width_us)),
+            )
+        ),
+    )
+    on = ["_bucket"] if key is None else [key, "_bucket"]
+    ov_lo = F.greatest(F.col("_l_lo"), F.col("_r_lo"))
+    ov_hi = F.least(F.col("_l_hi"), F.col("_r_hi"))
+    j = (
+        lrep.join(rrep, on=on, how="inner")
+        .where(
+            (F.col("_l_lo") <= F.col("_r_hi"))
+            & (F.col("_r_lo") <= F.col("_l_hi"))
+            # claim the pair exactly once: in the bucket where the
+            # overlap begins
+            & (F.col("_bucket") == F.floor(ov_lo / F.lit(width_us)))
+        )
+        .withColumn("overlap_us", ov_hi - ov_lo + 1)
+        .withColumn(
+            "overlap_start", F.timestamp_micros(ov_lo)
+        )
+        .withColumn("overlap_end", F.timestamp_micros(ov_hi))
+    )
+    return j.drop("_bucket", "_l_lo", "_l_hi", "_r_lo", "_r_hi")
