@@ -122,7 +122,7 @@ def buckets_as_of(snap_dir: str, snapshot_id: int | None = None) -> set[int]:
     for s in snapshots(snap_dir):
         if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
             break
-        if s.get("staged"):
+        if s.get("staged") or s.get("branch"):
             continue  # write-audit-publish: invisible until published
         out.update(s["buckets"])
         # partition drops (X264, the DROP PARTITION / TTL shape) replay
@@ -142,7 +142,7 @@ def schema_as_of(
     for s in snapshots(snap_dir):
         if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
             break
-        if s.get("staged"):
+        if s.get("staged") or s.get("branch"):
             continue
         if "schema" in s:
             eff = s["schema"]
@@ -183,7 +183,7 @@ def read_as_of(
     for s in snapshots(snap_dir):
         if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
             break
-        if s.get("staged"):
+        if s.get("staged") or s.get("branch"):
             continue
         for c in s.get("schema", []):
             intro.setdefault(c["name"], s["snapshot_id"])
@@ -227,7 +227,7 @@ def expiry_plan(snap_dir: str, keep_last: int = 2) -> dict:
             "base_buckets": [],
             "time_travel_horizon": snaps[0]["snapshot_id"] if snaps else None,
         }
-    staged = [s for s in snaps if s.get("staged")]
+    staged = [s for s in snaps if s.get("staged") or s.get("branch")]
     if staged:
         # WAP in flight: resolve (publish/abandon) before compaction —
         # squashing around a pending audit would renumber its parent
@@ -494,7 +494,7 @@ def live_specs(snap_dir: str, snapshot_id: int | None = None) -> set[int]:
     for s in snapshots(snap_dir):
         if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
             break
-        if s.get("staged"):
+        if s.get("staged") or s.get("branch"):
             continue
         if "spec_id" in s:
             live.add(s["spec_id"])
@@ -625,7 +625,7 @@ def bucket_commit_seq(
     for s in snapshots(snap_dir):
         if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
             break
-        if s.get("staged"):
+        if s.get("staged") or s.get("branch"):
             continue
         for b in s["buckets"]:
             out[b] = s["snapshot_id"]
@@ -704,7 +704,7 @@ def read_as_of_mor(
     for s in snapshots(snap_dir):
         if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
             break
-        if s.get("staged") or "eq_delete" not in s:
+        if s.get("staged") or s.get("branch") or "eq_delete" not in s:
             continue
         d = spark.read.parquet(
             f"{out_path.rstrip('/')}/{s['eq_delete']['path']}"
@@ -776,7 +776,7 @@ def _churned_buckets(
     re-committed cannot differ between the two reads."""
     out: set[int] = set()
     for s in snapshots(snap_dir):
-        if s.get("staged"):
+        if s.get("staged") or s.get("branch"):
             continue
         sid = s["snapshot_id"]
         if to_id is not None and sid > to_id:
@@ -979,3 +979,144 @@ def storage_live_buckets(snap_dir: str) -> set[int]:
     for s in snapshots(snap_dir):
         out.update(s["buckets"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# branches (X269) — mutable named refs with fast-forward publish (Iceberg
+# branches): build the NEXT corpus version on a branch while main stays
+# frozen for consumers, validate it (the same audits WAP runs on one
+# wave, applied to a whole line of commits), then fast-forward main in
+# one atomic metadata step. Differs from tags (immutable pins) and from
+# WAP staging (a single snapshot): a branch is a SEQUENCE of commits
+# with its own lineage.
+# ---------------------------------------------------------------------------
+
+
+def _branch_path(snap_dir: str, name: str) -> pathlib.Path:
+    return pathlib.Path(snap_dir) / "branches" / f"{name}.json"
+
+
+def create_branch(snap_dir: str, name: str) -> dict:
+    """Open a branch at the current main head. One live branch per name;
+    recreating an unmerged branch raises."""
+    p = _branch_path(snap_dir, name)
+    if p.exists():
+        raise ValueError(f"branch {name!r} already exists")
+    p.parent.mkdir(parents=True, exist_ok=True)
+    doc = {
+        "name": name,
+        "base_id": latest_snapshot_id(snap_dir) or 0,
+        "head_id": latest_snapshot_id(snap_dir) or 0,
+        "commits": [],
+    }
+    tmp = p.parent / f".tmp-{name}.json"
+    tmp.write_text(json.dumps(doc))
+    os.rename(tmp, p)
+    return doc
+
+
+def branch_info(snap_dir: str, name: str) -> dict:
+    p = _branch_path(snap_dir, name)
+    if not p.exists():
+        raise ValueError(f"no branch {name!r}")
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def commit_to_branch(
+    snap_dir: str,
+    name: str,
+    run_id: str,
+    buckets: list[int],
+    n_rows: int,
+    n_keep: int,
+) -> int:
+    """Commit a snapshot ON the branch: the snapshot doc carries
+    ``branch: name`` so every main reader (buckets_as_of / read_as_of /
+    time travel / restart) skips it, exactly like a WAP stage — but the
+    branch accumulates a LINEAGE of such commits, each parented on the
+    branch's previous head."""
+    info = branch_info(snap_dir, name)
+    parent = info["head_id"]
+    snap_id = (latest_snapshot_id(snap_dir) or 0) + 1
+    p = pathlib.Path(snap_dir)
+    doc = {
+        "snapshot_id": snap_id,
+        "parent_id": parent or None,
+        "run_id": run_id,
+        "branch": name,
+        "buckets": sorted(int(b) for b in buckets),
+        "summary": {"n_rows": int(n_rows), "n_keep": int(n_keep)},
+    }
+    tmp = p / f".tmp-{_PREFIX}{snap_id:06d}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    target = _snap_path(snap_dir, snap_id)
+    if target.exists():
+        tmp.unlink()
+        raise RuntimeError(f"snapshot {snap_id} already committed")
+    os.rename(tmp, target)
+    info["head_id"] = snap_id
+    info["commits"] = info["commits"] + [snap_id]
+    bp = _branch_path(snap_dir, name)
+    btmp = bp.parent / f".tmp-{name}.json"
+    btmp.write_text(json.dumps(info))
+    os.rename(btmp, bp)
+    return snap_id
+
+
+def read_branch(
+    spark: SparkSession, out_path: str, snap_dir: str, name: str
+) -> DataFrame:
+    """The table as the branch sees it: main as of the branch base plus
+    the branch's own commits, bucket-pruned like read_as_of."""
+    info = branch_info(snap_dir, name)
+    buckets = buckets_as_of(snap_dir, info["base_id"])
+    commits = set(info["commits"])
+    for s in snapshots(snap_dir):
+        if s["snapshot_id"] in commits:
+            buckets |= set(s["buckets"])
+            buckets -= set(s.get("dropped_buckets", []))
+    df = spark.read.parquet(out_path)
+    return (
+        df.where(F.col("bucket").isin(sorted(buckets)))
+        if buckets
+        else df.where(F.lit(False))
+    )
+
+
+def fast_forward(snap_dir: str, name: str) -> list[int]:
+    """Publish the branch into main atomically-per-commit: allowed ONLY
+    when main has not advanced past the branch base (the Iceberg
+    fast-forward rule — anything else is a merge, which this engine
+    refuses rather than invents). Each branch snapshot's ``branch``
+    marker is removed (the WAP publish mechanism), making its commits
+    visible to every main reader in chain order; the branch ref is then
+    deleted. Returns the published snapshot ids."""
+    info = branch_info(snap_dir, name)
+    main_head = 0
+    for s in snapshots(snap_dir):
+        if not s.get("branch") and not s.get("staged"):
+            main_head = s["snapshot_id"]
+    if main_head != info["base_id"]:
+        raise RuntimeError(
+            f"main advanced ({info['base_id']} -> {main_head}) since branch "
+            f"{name!r} was created: not fast-forwardable"
+        )
+    published = []
+    for sid in info["commits"]:
+        path = _snap_path(snap_dir, sid)
+        with open(path, encoding="utf-8") as fh:
+            doc = json.load(fh)
+        doc.pop("branch", None)
+        tmp = path.parent / f".tmp-ff-{sid:06d}.json"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, path)
+        published.append(sid)
+    _branch_path(snap_dir, name).unlink()
+    return published
