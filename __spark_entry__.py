@@ -5922,6 +5922,17 @@ def q_xmodal_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xmodal_recall(docs, images, k=5)
 
 
+def q_mwu_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum (X270): n_chars of 'en' vs 'es' documents —
+    the nonparametric twin of welch_length for heavy-tailed length
+    distributions; midranks from one distinct-value window, tie-corrected
+    z, algebra replayed exactly by the oracle."""
+    from corpusama_spark.operators.stats import mannwhitney_u
+
+    docs = _t(spark, sf_dir, "documents")
+    return mannwhitney_u(docs, "lang", "n_chars", "en", "es")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -6304,6 +6315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_pruning": q_hilbert_pruning,
         # -- X268: interval overlap join (bucketize-verify, single-bucket claim) ----
         "overlap_join": q_overlap_join,
+        # -- X270: Mann-Whitney rank-sum test ---------------------------------------
+        "mwu_test": q_mwu_test,
     }
 
 
@@ -14273,5 +14286,37 @@ def oracle_sql() -> dict[str, str]:
         FROM l, r
         WHERE l_lo <= r_hi AND r_lo <= l_hi
         ORDER BY l_id, r_id
+    """
+    out["mwu_test"] = """
+        WITH rows_ AS (
+            SELECT CAST(n_chars AS DOUBLE) AS v, lang = 'en' AS is_a
+            FROM documents
+            WHERE lang IN ('en', 'es') AND n_chars IS NOT NULL),
+        per_v AS (
+            SELECT v, CAST(count(*) AS DOUBLE) AS t,
+                   CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS t_a
+            FROM rows_ GROUP BY v),
+        ranked AS (
+            SELECT *, coalesce(sum(t) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0.0) AS cum_prev
+            FROM per_v),
+        agg AS (
+            SELECT sum(t_a) AS na, sum(t - t_a) AS nb,
+                   sum(t_a * (cum_prev + (t + 1) / 2)) AS r_a,
+                   sum(t * t * t - t) AS tie_term
+            FROM ranked)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               round(r_a - na * (na + 1) / 2, 6) AS u_a,
+               round(na * nb - (r_a - na * (na + 1) / 2), 6) AS u_b,
+               CASE WHEN na * nb / 12 * ((na + nb + 1)
+                         - tie_term / ((na + nb) * (na + nb - 1))) > 0
+                    THEN round((r_a - na * (na + 1) / 2 - na * nb / 2)
+                               / sqrt(na * nb / 12 * ((na + nb + 1)
+                                      - tie_term / ((na + nb)
+                                                    * (na + nb - 1)))), 6)
+               END AS z
+        FROM agg
     """
     return out

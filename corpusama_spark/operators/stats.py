@@ -628,3 +628,63 @@ def rollout_power(
         F.when(p > 0, F.round(mde / p, 6)).alias("mde_rel"),
         (mde <= 0.01).alias("can_detect_1pct"),
     ).orderBy(group_col)
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two named groups —
+    the NONPARAMETRIC twin of welch_ttest (X270): quality scores,
+    perplexities and length distributions are heavy-tailed enough that a
+    mean test can miss a shift a rank test sees (and vice versa; a gate
+    review should read both). Emits one row: n_a, n_b, u_a, u_b and the
+    tie-corrected normal z (no continuity correction — documented, so
+    the algebra replays identically in any engine; |z| > 1.96 is the
+    usual 5% flag).
+
+    Scale shape: one groupBy collapses the corpus to its DISTINCT
+    values with per-group counts, one tiny window over those distinct
+    values assigns midranks (ties share the average rank by
+    construction), and the rest is literal one-row algebra — the corpus
+    is read once, ranked never row-by-row.
+    """
+    v = F.col(value_col).cast("double")
+    rows = df.where(
+        F.col(group_col).isin(group_a, group_b) & v.isNotNull()
+    ).select(v.alias("v"), (F.col(group_col) == group_a).alias("is_a"))
+    per_v = rows.groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.sum(F.col("is_a").cast("long")).cast("double").alias("t_a"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "cum_prev", F.coalesce(F.sum("t").over(w), F.lit(0.0))
+    ).withColumn("midrank", F.col("cum_prev") + (F.col("t") + 1) / 2)
+    agg = ranked.agg(
+        F.sum("t_a").alias("na"),
+        F.sum(F.col("t") - F.col("t_a")).alias("nb"),
+        F.sum(F.col("t_a") * F.col("midrank")).alias("r_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_term"
+        ),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    u_a = F.col("r_a") - na * (na + 1) / 2
+    u_b = na * nb - u_a
+    var = (
+        na * nb / 12
+        * ((n + 1) - F.col("tie_term") / (n * (n - 1)))
+    )
+    z = F.when(var > 0, (u_a - na * nb / 2) / F.sqrt(var))
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(u_b, 6).alias("u_b"),
+        F.round(z, 6).alias("z"),
+    )

@@ -156,3 +156,37 @@ def test_daily_autocorrelation_constant_series_null(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp")
     out = daily_autocorrelation(df, "ts", max_lag=1).collect()
     assert out[0].r is None  # one event every day -> zero variance
+
+
+def test_mannwhitney_u_matches_scipy_formula(spark):
+    from corpusama_spark.operators.stats import mannwhitney_u
+
+    rows = [("a", v) for v in [1.0, 2.0, 2.0, 5.0, 7.0]] + [
+        ("b", v) for v in [2.0, 3.0, 3.0, 8.0, 9.0, 10.0]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mannwhitney_u(df, "g", "v", "a", "b").first()
+    # hand-computed midranks: 1:1, 2:(2+3+4)/3=3, 3:(5+6)/2=5.5, 5:7,
+    # 7:8, 8:9, 9:10, 10:11 -> R_a = 1+3+3+7+8 = 22
+    assert r.n_a == 5 and r.n_b == 6
+    assert r.u_a == 22 - 5 * 6 / 2 == 7.0
+    assert r.u_b == 5 * 6 - 7.0
+    # z must be negative (group a ranks lower) and tie-corrected
+    assert r.z < 0
+    import math
+    n = 11
+    tie = (3**3 - 3) + (2**3 - 2)
+    var = 5 * 6 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    assert abs(r.z - round((7.0 - 15.0) / math.sqrt(var), 6)) < 1e-9
+
+
+def test_mannwhitney_u_degenerate_all_ties(spark):
+    from corpusama_spark.operators.stats import mannwhitney_u
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 5.0)] * 3, "g string, v double"
+    )
+    r = mannwhitney_u(df, "g", "v", "a", "b").first()
+    # every value identical: U = n_a*n_b/2 exactly, variance 0 -> z NULL
+    assert r.u_a == r.u_b == 4.5
+    assert r.z is None
