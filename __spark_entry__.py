@@ -5933,6 +5933,32 @@ def q_mwu_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "lang", "n_chars", "en", "es")
 
 
+def q_snb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (X271): two passes over documents —
+    (prefix4, n_chars) and (suffix4, n_chars) sort keys, window 3 —
+    candidate pairs for the FS linkage lane; volume is exactly
+    n*(window-1) per pass by construction. Oracle replays both lead
+    windows and the union-dedup."""
+    from pyspark.sql import functions as FF
+
+    from corpusama_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    k1 = FF.concat_ws(
+        "|",
+        FF.substring(FF.lower(FF.trim("text")), 1, 4),
+        FF.col("n_chars").cast("string"),
+    )
+    k2 = FF.concat_ws(
+        "|",
+        FF.substring(FF.reverse(FF.lower(FF.trim("text"))), 1, 4),
+        FF.col("n_chars").cast("string"),
+    )
+    return sorted_neighborhood_pairs(
+        docs, k1, window=3, passes=[k2]
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
     harness verifies a 50-query window from the front, so the dict leads
@@ -6317,6 +6343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         # -- X270: Mann-Whitney rank-sum test ---------------------------------------
         "mwu_test": q_mwu_test,
+        # -- X271: sorted-neighborhood blocking -------------------------------------
+        "snb_pairs": q_snb_pairs,
     }
 
 
@@ -14318,5 +14346,32 @@ def oracle_sql() -> dict[str, str]:
                                                     * (na + nb - 1)))), 6)
                END AS z
         FROM agg
+    """
+    out["snb_pairs"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   substr(lower(trim(text)), 1, 4)
+                       || '|' || CAST(n_chars AS VARCHAR) AS k1,
+                   substr(reverse(lower(trim(text))), 1, 4)
+                       || '|' || CAST(n_chars AS VARCHAR) AS k2
+            FROM documents WHERE text IS NOT NULL),
+        p1 AS (
+            SELECT doc_id AS id,
+                   lead(doc_id, 1) OVER (ORDER BY k1, doc_id) AS n1,
+                   lead(doc_id, 2) OVER (ORDER BY k1, doc_id) AS n2
+            FROM d),
+        p2 AS (
+            SELECT doc_id AS id,
+                   lead(doc_id, 1) OVER (ORDER BY k2, doc_id) AS n1,
+                   lead(doc_id, 2) OVER (ORDER BY k2, doc_id) AS n2
+            FROM d),
+        stacked AS (
+            SELECT id, n1 AS other FROM p1 WHERE n1 IS NOT NULL
+            UNION ALL SELECT id, n2 FROM p1 WHERE n2 IS NOT NULL
+            UNION ALL SELECT id, n1 FROM p2 WHERE n1 IS NOT NULL
+            UNION ALL SELECT id, n2 FROM p2 WHERE n2 IS NOT NULL)
+        SELECT DISTINCT least(id, other) AS id_a,
+                        greatest(id, other) AS id_b
+        FROM stacked ORDER BY id_a, id_b
     """
     return out

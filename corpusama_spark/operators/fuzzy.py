@@ -546,3 +546,58 @@ def fs_linkage_table(
         .otherwise(F.lit("possible"))
         .alias("decision"),
     ).orderBy(F.desc("weight"), "g1", "g2", "g3")
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    sort_key: Column | str,
+    window: int = 3,
+    id_col: str = "doc_id",
+    passes: list[Column | str] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (X271; Hernández & Stolfo 1995, the
+    classic record-linkage candidate generator): sort by a fuzzy key and
+    pair each record with its next ``window``-1 neighbors. Complements
+    the hash/LSH blockers (minhash bands, simhash, ppjoin prefixes):
+    those need token overlap to collide, while a sort key like
+    "first 4 chars + length" catches prefix-corrupted or truncated
+    twins that share almost no shingles. Feeds agreement_patterns /
+    fs_linkage_table exactly like the LSH candidate sets do.
+
+    Multi-pass (the standard robustness trick — one bad sort key hides
+    true matches at a sort boundary): pass extra keys in ``passes``;
+    candidate sets union and dedup. Pairs are emitted (id_a < id_b).
+
+    Scale shape: ONE global sort per pass (range exchange over a short
+    key — the cheapest wide op there is) followed by a lead() window;
+    candidate volume is exactly n·(window-1) per pass, no flood
+    possible by construction (the property hash blockers need explicit
+    guards for)."""
+    from pyspark.sql.window import Window
+
+    keys = [sort_key] + list(passes or [])
+    outs = []
+    for i, k in enumerate(keys):
+        kc = F.col(k) if isinstance(k, str) else k
+        base = docs.select(F.col(id_col).alias("_id"), kc.alias("_snk"))
+        w = Window.orderBy("_snk", "_id")
+        cols = []
+        for d in range(1, int(window)):
+            cols.append(F.lead("_id", d).over(w).alias(f"_n{d}"))
+        paired = base.select("_id", *cols)
+        stacked = paired.select(
+            "_id",
+            F.explode(
+                F.array(*[F.col(f"_n{d}") for d in range(1, int(window))])
+            ).alias("_other"),
+        ).where(F.col("_other").isNotNull())
+        outs.append(
+            stacked.select(
+                F.least("_id", "_other").alias("id_a"),
+                F.greatest("_id", "_other").alias("id_b"),
+            )
+        )
+    allp = outs[0]
+    for o in outs[1:]:
+        allp = allp.unionByName(o)
+    return allp.dropDuplicates(["id_a", "id_b"])
