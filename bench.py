@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     "maxsim",
     "ndcg",
     "xmodal_recall",
+    "ivm_rollup",
+    "hilbert_pruning",
+    "overlap_join",
+    "snb_pairs",
 ]
 
 
