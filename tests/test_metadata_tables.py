@@ -54,3 +54,46 @@ def test_metadata_tables_are_queryable_sql(spark, tmp_path):
 
     refs = metadata_refs(spark, snaps).collect()
     assert [(r.name, r.snapshot_id) for r in refs] == [("training-v1", 2)]
+
+
+def test_fast_count_matches_scan_and_declines_honestly(spark, tmp_path):
+    from corpusama_spark.snapshots import (
+        drop_partitions,
+        fast_count,
+        read_as_of,
+    )
+
+    out, snaps = str(tmp_path / "o2"), str(tmp_path / "s2")
+
+    def _w(rows):
+        spark.createDataFrame(
+            rows, "image_id long, bucket int"
+        ).write.partitionBy("bucket").mode("append").parquet(out)
+
+    _w([(i, i % 2) for i in range(10)])
+    s1 = commit_snapshot(snaps, "r1", [0, 1], 10, 10)
+    _w([(i, 2) for i in range(10, 14)])
+    s2 = commit_snapshot(snaps, "r2", [2], 4, 4)
+    # metadata count == scan count, at head and time-traveled
+    assert fast_count(snaps) == read_as_of(spark, out, snaps).count() == 14
+    assert fast_count(snaps, s1) == 10
+    # a whole-wave overwrite stays answerable (old wave's contribution
+    # drops, the new one counts) — physically replace the bucket like
+    # dynamic partition overwrite does
+    import shutil
+
+    shutil.rmtree(f"{out}/bucket=2")
+    _w([(100, 2)])
+    commit_snapshot(snaps, "r3", [2], 1, 1)
+    assert fast_count(snaps) == read_as_of(spark, out, snaps).count() == 11
+    # dropping ONE bucket of a multi-bucket wave: the wave's per-bucket
+    # split is unknown from its single summary -> honest decline
+    drop_partitions(snaps, "ttl", [0])
+    assert fast_count(snaps) is None
+    # an eq-delete is likewise unknowable from metadata
+    commit_eq_delete(
+        spark.createDataFrame([(1,)], "image_id long"), out, snaps, "erase"
+    )
+    assert fast_count(snaps) is None
+    # but time travel BEFORE the drop/delete still answers from metadata
+    assert fast_count(snaps, s2) == 14
