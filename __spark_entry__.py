@@ -5961,15 +5961,71 @@ def q_snb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry. ORDER IS DELIBERATE: the driver's correctness
-    harness verifies a 50-query window from the front, so the dict leads
-    with the oracled queries that have never had a driver row (the whole
-    round-2/3 X-family, verified only by scripts/selfcheck.py so far),
-    then previously driver-green oracled queries and rows-only entries,
-    then each later round-4 family in landing order (every oracled entry
-    re-verifiable any time via scripts/selfcheck.py — the full sweep ran
-    green, 241/241, on 2026-08-20)."""
+    harness verifies a 50-query window from the front, so each round the
+    dict is rotated to lead with 50 oracled queries that have never had a
+    driver row (r03 and r04 verified 100 disjoint ones; this round-5
+    window adds 50 more, for 150/260 cumulative). Everything after the
+    window is previously driver-green or selfcheck-verified; every
+    oracled entry is re-verifiable any time via scripts/selfcheck.py
+    (the full 295-query sweep ran green, RC=0, on 2026-08-21)."""
     return {
-        # -- oracled, never driver-verified before round 4 ------------------
+        # -- ROUND-5 DRIVER WINDOW: 50 oracled queries with no driver row in
+        #    r01-r04 (r03+r04 covered 100 disjoint ones; this third rotation
+        #    brings cumulative driver coverage to 150/260 oracled). Includes the
+        #    three round-5 plan-shape fixes (snb_pairs, heaps_fit, mwu_test) so
+        #    their repartitioned rewrites get official driver rows. --------------
+        "kmeans_clusters": q_kmeans_clusters,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "ppjoin": q_ppjoin,
+        "oph_minhash": q_oph_minhash,
+        "suffix_spans": q_suffix_spans,
+        "fs_linkage": q_fs_linkage,
+        "bpe_merges": q_bpe_merges,
+        "sinkhorn": q_sinkhorn,
+        "drift_fdr": q_drift_fdr,
+        "auc": q_auc,
+        "pr_curve": q_pr_curve,
+        "cube_counts": q_cube_counts,
+        "pagerank": q_pagerank,
+        "token_pagerank": q_token_pagerank,
+        "mor_read": q_mor_read,
+        "changelog": q_changelog,
+        "ivm_rollup": q_ivm_rollup,
+        "maxsim": q_maxsim,
+        "ndcg": q_ndcg,
+        "xmodal_recall": q_xmodal_recall,
+        "hilbert_layout": q_hilbert_layout,
+        "hilbert_pruning": q_hilbert_pruning,
+        "overlap_join": q_overlap_join,
+        "mwu_test": q_mwu_test,
+        "snb_pairs": q_snb_pairs,
+        "heaps_fit": q_heaps_fit,
+        "token_entropy": q_token_entropy,
+        "lang_confusion": q_lang_confusion,
+        "containment": q_containment,
+        "tfidf_pairs": q_tfidf_pairs,
+        "jaccard_sweep": q_jaccard_sweep,
+        "cdc_dedup": q_cdc_dedup,
+        "bloom_pruning": q_bloom_pruning,
+        "lof": q_lof,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "multiprobe_recall": q_multiprobe_recall,
+        "hll_overlap": q_hll_overlap,
+        "rrf_fusion": q_rrf_fusion,
+        "mg_heavy": q_mg_heavy,
+        "cms_topk": q_cms_topk,
+        "hll_audit": q_hll_audit,
+        "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
+        "pseudonymize": q_pseudonymize,
+        "label_prop": q_label_prop,
+        "dict_build": q_dict_build,
+        "robots_gate": q_robots_gate,
+        "conformal": q_conformal,
+        # -- previously driver-green (r03/r04) or selfcheck-verified; every
+        #    oracled entry re-verifiable any time via scripts/selfcheck.py ------
         "winnow_fp": q_winnow_fp,
         "repeated_spans": q_repeated_spans,
         "minhash_pairs_md5": q_minhash_pairs_md5,
@@ -5998,7 +6054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff": q_stupid_backoff,
         "freq_profile": q_freq_profile,
         "sessions": q_sessions,
-        # -- new in round 4 --------------------------------------------------
         "ivf_recall": q_ivf_recall,
         "sessions_presplit": q_sessions_presplit,
         "psl_domains": q_psl_domains,
@@ -6021,10 +6076,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "script_shares": q_script_shares,
         "magic_gate": q_magic_gate,
-        "token_entropy": q_token_entropy,
-        "lang_confusion": q_lang_confusion,
-        # -- oracled, added after the 50-slot window filled (selfcheck-green;
-        #    rotate into the driver window next round) -----------------------
         "rule_ablation": q_rule_ablation,
         "adaptive_gate": q_adaptive_gate,
         "dedup_xmodal": q_dedup_xmodal,
@@ -6032,7 +6083,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "incr_dedup": q_incr_dedup,
         "caption_skew": q_caption_skew,
-        "heaps_fit": q_heaps_fit,
         "aspect_buckets": q_aspect_buckets,
         "phash_dist_hist": q_phash_dist_hist,
         "split_leakage": q_split_leakage,
@@ -6048,20 +6098,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trend": q_value_trend,
         "score_percentile": q_score_percentile,
         "cluster_purity": q_cluster_purity,
-        "containment": q_containment,
         "mad_outliers": q_mad_outliers,
-        "tfidf_pairs": q_tfidf_pairs,
         "funnel": q_funnel,
         "cohort": q_cohort,
         "calibration": q_calibration,
-        "pagerank": q_pagerank,
         "readability": q_readability,
         "rate_anomaly": q_rate_anomaly,
         "dedup_cascade": q_dedup_cascade,
-        "cube_counts": q_cube_counts,
         "except_intersect": q_except_intersect,
-        "auc": q_auc,
-        "pr_curve": q_pr_curve,
         "weighted_sample": q_weighted_sample,
         "concentration": q_concentration,
         "decayed_mean": q_decayed_mean,
@@ -6073,12 +6117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_alloc": q_neyman_alloc,
         "bootstrap_ci": q_bootstrap_ci,
         "zorder_layout": q_zorder_layout,
-        "fuzzy_pairs": q_fuzzy_pairs,
         "cusum_shift": q_cusum_shift,
         "compress_gate": q_compress_gate,
-        "cms_topk": q_cms_topk,
-        "hll_audit": q_hll_audit,
-        "kmeans_clusters": q_kmeans_clusters,
         "quantile_norm": q_quantile_norm,
         "burstiness": q_burstiness,
         "trimmed_mean": q_trimmed_mean,
@@ -6092,11 +6132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_waterfall": q_drop_waterfall,
         "wasserstein_drift": q_wasserstein_drift,
         "theil_decomp": q_theil_decomp,
-        "k_anonymity": q_k_anonymity,
-        "l_diversity": q_l_diversity,
         "source_overlap": q_source_overlap,
         "bleu_verify": q_bleu_verify,
-        "jaccard_sweep": q_jaccard_sweep,
         "union_keeplist": q_union_keeplist,
         "dedup_by_source": q_dedup_by_source,
         "metric_corr": q_metric_corr,
@@ -6113,7 +6150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_divergence": q_caption_divergence,
         "knn_hubness": q_knn_hubness,
         "label_cohesion": q_label_cohesion,
-        # -- driver-green in r03, refreshed inside the window ----------------
         "dedup_clusters": q_dedup_clusters,
         "dedup_keeplist": q_dedup_keeplist,
         "gopher_rules": q_gopher_rules,
@@ -6135,7 +6171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "subcorpus": q_subcorpus,
         "majority_vote": q_majority_vote,
-        # -- driver-green in r03 (re-verifiable via scripts/selfcheck.py) ----
         "semi_join": q_semi_join,
         "explode_tokens": q_explode_tokens,
         "byte_share": q_byte_share,
@@ -6165,7 +6200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "no_sep_join": q_no_sep_join,
         "json_obj": q_json_obj,
         "html_text": q_html_text,
-        # -- rows-only (no ANSI-SQL twin: model / float / UDF semantics) -----
         "ivf_topk": q_ivf_topk,
         "flagship": q_flagship,
         "narrow_flagship": q_narrow_flagship,
@@ -6184,167 +6218,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
-        # -- X176-X180: weighting/novelty/MI + embedding-health audits -------
         "ess_audit": q_ess_audit,
         "novelty": q_novelty,
         "mutual_info": q_mutual_info,
         "embed_covariance": q_embed_covariance,
         "embed_collapse": q_embed_collapse,
         "top_pc": q_top_pc,
-        # -- X181-X183: privacy EMD gate + image header/pixel audits ---------
         "t_close": q_t_close,
         "header_consistency": q_header_consistency,
         "channel_stats": q_channel_stats,
-        # -- X184: product quantization (memory-bounded ANN tier) ------------
-        "pq_codes": q_pq_codes,
-        "pq_topk": q_pq_topk,
-        # -- X185: multi-probe LSH (recall at constant index memory) ---------
-        "multiprobe_recall": q_multiprobe_recall,
-        # -- X186: blur gate (rows-only: decode UDF) -------------------------
         "sharpness": q_sharpness,
-        # -- X187: axiomatic (Shapley) drop attribution ----------------------
         "shapley_rules": q_shapley_rules,
-        # -- X188: deterministic low-discrepancy mixing schedule -------------
         "interleave": q_interleave,
-        # -- X189: IVFADC (IVF + residual PQ) ANN tier ----------------------
-        "ivfpq_topk": q_ivfpq_topk,
-        # -- X190: PPJoin exact prefix-filtered Jaccard join -----------------
-        "ppjoin": q_ppjoin,
-        # -- X191: one-permutation MinHash + rotation densification ----------
-        "oph_minhash": q_oph_minhash,
-        # -- X192: LSH (b,r) S-curve auto-tuner ------------------------------
         "lsh_band_plan": q_lsh_band_plan,
-        # -- X193: rendezvous (HRW) sharding + minimal-move audit ------------
         "rendezvous": q_rendezvous,
-        # -- X194: split-conformal gate calibration + coverage audit ---------
-        "conformal": q_conformal,
-        # -- X195: Newton-IRLS logistic quality classifier (rows-only) -------
         "logreg_quality": q_logreg_quality,
-        # -- X196: greedy k-center coreset selection --------------------------
         "kcenter": q_kcenter,
-        # -- X197: distributed BPE merge-rule training ------------------------
-        "bpe_merges": q_bpe_merges,
-        # -- X198/X199: image color + border gates (rows-only: decode UDF) ---
         "colorfulness": q_colorfulness,
         "border_audit": q_border_audit,
-        # -- X200: exact duplicate-substring spans (suffix-array ranks) ------
-        "suffix_spans": q_suffix_spans,
-        # -- X201: PageRank over the token co-occurrence graph ---------------
-        "token_pagerank": q_token_pagerank,
-        # -- X202: Z-order vs linear layout scan-pruning audit ---------------
         "pruning_audit": q_pruning_audit,
-        # -- X203: Misra-Gries heavy hitters, exact via candidate verify -----
-        "mg_heavy": q_mg_heavy,
-        # -- X204: spectral audio fingerprint near-dups (rows-only) ----------
         "audio_near_dup": q_audio_near_dup,
-        # -- X205: shot-boundary video segmentation (rows-only) --------------
         "shot_bounds": q_shot_bounds,
-        # -- X206: Sinkhorn entropic-OT histogram distance --------------------
-        "sinkhorn": q_sinkhorn,
-        # -- X207: Fellegi-Sunter EM record-linkage decision table -----------
-        "fs_linkage": q_fs_linkage,
-        # -- X208: BH-FDR control over the per-group KS drift tests ----------
-        "drift_fdr": q_drift_fdr,
-        # -- X209: Good-Turing / Chao1 unseen-vocabulary estimates -----------
         "unseen_vocab": q_unseen_vocab,
-        # -- X210: DP Laplace-mechanism noisy count release -------------------
         "dp_counts": q_dp_counts,
-        # -- X211: reciprocal-rank fusion of quality signals ------------------
-        "rrf_fusion": q_rrf_fusion,
-        # -- X212: exposure/contrast/entropy image gate (rows-only) -----------
         "exposure": q_exposure,
-        # -- X213: margin-based parallel-pair mining (CCMatrix criterion) -----
         "margin_pairs": q_margin_pairs,
-        # -- X214: Local Outlier Factor embedding outliers ---------------------
-        "lof": q_lof,
-        # -- X215: Secret-Sharer canary exposure audit -------------------------
         "canary_exposure": q_canary_exposure,
-        # -- X216: Brier decomposition + ECE/MCE calibration summary ----------
         "brier": q_brier,
-        # -- X217: text-in-image likeness gate (rows-only) ---------------------
         "textiness": q_textiness,
-        # -- X218: isotonic (PAV) score calibration ----------------------------
         "isotonic": q_isotonic,
-        # -- X219: HLL set-algebra source overlap ------------------------------
-        "hll_overlap": q_hll_overlap,
-        # -- X220: content-defined chunking dedup ------------------------------
-        "cdc_dedup": q_cdc_dedup,
-        # -- X221: mined-pair bitext cleaning gates ----------------------------
         "bitext_filter": q_bitext_filter,
-        # -- X222: bloom shard-pruning audit -----------------------------------
-        "bloom_pruning": q_bloom_pruning,
-        # -- X223: Matryoshka dim-truncation retrieval audit -------------------
         "dim_truncation": q_dim_truncation,
-        # -- X224: label-propagation communities --------------------------------
-        "label_prop": q_label_prop,
-        # -- X225: normalized compression distance pairs (rows-only) ----------
         "ncd_pairs": q_ncd_pairs,
-        # -- X226: consistent pseudonymization ----------------------------------
-        "pseudonymize": q_pseudonymize,
         "pseudonym_map": q_pseudonym_map,
-        # -- X227: banded-Hamming per-distance recall audit ---------------------
         "hamming_recall": q_hamming_recall,
-        # -- X228: homoglyph / mixed-script spoofing gate ------------------------
         "confusables": q_confusables,
-        # -- X230: gate-rollout MDE power audit ----------------------------------
         "rollout_power": q_rollout_power,
-        # -- X231: shared-dictionary compression gain (template floods) ----------
-        "dict_build": q_dict_build,
         "dict_gain": q_dict_gain,
-        # -- X232: robots.txt compliance gate -------------------------------------
-        "robots_gate": q_robots_gate,
-        # -- X233: code-vs-prose routing gate --------------------------------------
         "code_detect": q_code_detect,
-        # -- X234: exact weighted group quantiles ----------------------------------
         "weighted_quantiles": q_weighted_quantiles,
-        # -- X235: crawl politeness scheduling ---------------------------------------
         "crawl_schedule": q_crawl_schedule,
         "crawl_audit": q_crawl_audit,
-        # -- X236: phash distortion-robustness audit (rows-only) --------------------
         "phash_robustness": q_phash_robustness,
-        # -- X237: quadrant-phash partial-duplicate pairs (rows-only) ---------------
         "partial_dups": q_partial_dups,
-        # -- X238: water-filling budget allocation ----------------------------------
         "waterfill": q_waterfill,
-        # -- X241: obfuscation-folded lexicon gate ----------------------------------
         "lexicon_gate": q_lexicon_gate,
-        # -- X242: skin-share routing pre-filter (rows-only) ------------------------
         "skin_route": q_skin_route,
-        # -- X243: hierarchical crawl rollup report ---------------------------------
         "crawl_rollup": q_crawl_rollup,
-        # -- X244: host spam-signal triage ------------------------------------------
         "url_spam": q_url_spam,
-        # -- X245: crawl-ops funnel (spam -> robots -> canonical dedup) -------------
         "crawl_funnel": q_crawl_funnel,
-        # -- X247: IVF index staleness audit ----------------------------------------
         "index_staleness": q_index_staleness,
-        # -- X249: differential data-quality states ---------------------------------
         "quality_metrics": q_quality_metrics,
-        # -- X250: pipeline canary validation (rows-only) ---------------------------
         "canary_report": q_canary_report,
-        # -- X252: Iceberg-v2 merge-on-read delete files ----------------------------
-        "mor_read": q_mor_read,
         "mor_audit": q_mor_audit,
-        # -- X253: row-level CDC changelog between snapshots ------------------------
-        "changelog": q_changelog,
-        # -- X256: late-interaction MaxSim retrieval --------------------------------
-        "maxsim": q_maxsim,
-        # -- X258: changelog-driven incremental view maintenance --------------------
-        "ivm_rollup": q_ivm_rollup,
-        # -- X259: graded ANN quality (nDCG@5 vs brute-force ideal) -----------------
-        "ndcg": q_ndcg,
-        # -- X262: cross-modal retrieval recall (CLIP-eval shape) -------------------
-        "xmodal_recall": q_xmodal_recall,
-        # -- X263: Hilbert-curve layout audit ---------------------------------------
-        "hilbert_layout": q_hilbert_layout,
-        # -- X267: three-way layout pruning audit (linear / zorder / hilbert) -------
-        "hilbert_pruning": q_hilbert_pruning,
-        # -- X268: interval overlap join (bucketize-verify, single-bucket claim) ----
-        "overlap_join": q_overlap_join,
-        # -- X270: Mann-Whitney rank-sum test ---------------------------------------
-        "mwu_test": q_mwu_test,
-        # -- X271: sorted-neighborhood blocking -------------------------------------
-        "snb_pairs": q_snb_pairs,
     }
 
 
