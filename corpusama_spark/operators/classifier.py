@@ -220,14 +220,14 @@ def auc_score(
     one rounded division.
 
     Scale shape: one map-side-combinable groupBy collapses the corpus
-    to per-DISTINCT-SCORE counts; the cumulative window then runs over
-    that table. Quantize the score (e.g. 6 dp) upstream so the distinct
-    table is bounded — the window is single-partition by construction
-    (a global CDF is inherently ordered) and must stay tiny.
+    to per-DISTINCT-SCORE counts; the cumulative count then runs over
+    that table via prefixsum.ranged_cumsum (range exchange + parallel
+    per-partition running sums + broadcast offsets) — for CONTINUOUS
+    scores distinct ≈ n, so the round-4 single-partition window here
+    was the same scale bug as mwu_test's and got the same round-5 fix.
+    Counts stay exact integers in doubles below 2^53.
     Returns one row: (n_pos, n_neg, auc).
     """
-    from pyspark.sql.window import Window
-
     per = (
         scored.select(
             F.col(score_col).alias("s"),
@@ -239,8 +239,11 @@ def auc_score(
             F.sum("y").cast("long").alias("pos_s"),
         )
     )
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per.withColumn("cum_n", F.sum("n_s").over(w))
+    from corpusama_spark.operators.prefixsum import ranged_cumsum
+
+    ranked = ranged_cumsum(per, ["s"], ["n_s"]).withColumnRenamed(
+        "cum_n_s", "cum_n"
+    )
     return ranked.agg(
         F.sum("pos_s").cast("long").alias("n_pos"),
         (F.sum("n_s") - F.sum("pos_s")).cast("long").alias("n_neg"),

@@ -220,26 +220,26 @@ def frequency_profile(
     count table (millions of rows at web scale), not the corpus — the
     corpus-sized work is the one groupBy count before it.
     """
-    from pyspark.sql import Window
+    from corpusama_spark.operators.prefixsum import (
+        attach_global_positions,
+        ranged_cumsum,
+    )
 
     uni = (
         docs.select(F.explode(_words(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("freq"))
     )
-    order = Window.orderBy(F.desc("freq"), F.asc("tok"))
-    total = Window.partitionBy()
-    return uni.select(
+    ranked = attach_global_positions(
+        uni, [F.desc("freq"), F.asc("tok")], "rank"
+    )
+    cum = ranged_cumsum(ranked, ["rank"], ["freq"])
+    tot = uni.agg(F.sum("freq").cast("double").alias("_tot"))
+    return cum.crossJoin(F.broadcast(tot)).select(
         "tok",
         "freq",
-        F.row_number().over(order).alias("rank"),
-        F.round(
-            F.sum("freq").over(
-                order.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            / F.sum("freq").over(total),
-            6,
-        ).alias("cum_share"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("cum_freq") / F.col("_tot"), 6).alias("cum_share"),
     )
 
 

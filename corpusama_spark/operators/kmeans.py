@@ -35,7 +35,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_assign", "kcenter_select"]
+__all__ = ["kmeans_assign", "kcenter_select", "lowest_id_seeds"]
+
+
+def lowest_id_seeds(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, cluster) for the k lowest ids, cluster = 0-based rank — the
+    deterministic init table. Round-5 rewrite: the original ran
+    ``row_number`` over an UNPARTITIONED id-ordered window (the whole
+    corpus through one task just to pick k rows); now ``orderBy.limit``
+    compiles to TakeOrderedAndProject (per-partition top-k + driver
+    merge of k·n_partitions candidates) and the k-row result — k is a
+    codebook-sized constant — is rebuilt as a literal DataFrame, the
+    same bounded-collect tier as the PQ codebooks and LUTs."""
+    from pyspark.sql import types as T
+
+    ids = sorted(
+        r[0]
+        for r in df.select(F.col(id_col).alias("id")).orderBy("id").limit(int(k)).collect()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [(i, c) for c, i in enumerate(ids)], schema
+    )
 
 
 def kmeans_assign(
@@ -55,12 +81,7 @@ def kmeans_assign(
         F.posexplode(F.col(vec_col)).alias("dim", "v"),
     ).select("id", "dim", F.col("v").cast("double").alias("v"))
 
-    seed_w = Window.orderBy(F.asc("id"))
-    seeds = (
-        emb.select(F.col(id_col).alias("id"))
-        .withColumn("cluster", F.row_number().over(seed_w) - 1)
-        .where(F.col("cluster") < k)
-    )
+    seeds = lowest_id_seeds(emb, id_col, k)
     centroids = (
         dims.join(F.broadcast(seeds), "id")
         .select("cluster", "dim", F.round(F.col("v"), 6).alias("c"))

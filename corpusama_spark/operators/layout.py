@@ -77,11 +77,15 @@ def zorder_buckets(
     the CONTRACT twin of the write-path layout job; see module
     docstring for why the deployment path is repartitionByRange on the
     same key instead of this window."""
+    from corpusama_spark.operators.prefixsum import ranged_ntile
+
     z = zorder_key(k1, k2, bits=bits)
-    w = Window.orderBy(F.asc("zval"), F.asc(F.col(id_col)))
-    return df.select(F.col(id_col), z).withColumn(
-        "bucket", F.ntile(int(nbuckets)).over(w).cast("long")
-    )
+    return ranged_ntile(
+        df.select(F.col(id_col), z),
+        [F.asc("zval"), F.asc(F.col(id_col))],
+        int(nbuckets),
+        "bucket",
+    ).withColumn("bucket", F.col("bucket").cast("long"))
 
 
 def rendezvous_score(key: Column, shard: int) -> Column:
@@ -205,25 +209,19 @@ def pruning_audit(
         F.col(b_col).cast("long").alias("b"),
     ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
     z = zorder_key(F.col("a"), F.col("b"), bits=bits)
-    w_lin = Window.orderBy("a", "b", "id")
-    w_z = Window.orderBy("zval", "id")
+    from corpusama_spark.operators.prefixsum import ranged_ntile
+
     base = base.withColumn("zval", z)
-    tile_cols = [
-        F.ntile(int(nfiles)).over(w_lin).alias("f_linear"),
-        F.ntile(int(nfiles)).over(w_z).alias("f_zorder"),
-    ]
     if hilbert_bits is not None:
         # third candidate layout (X267): the continuity curve — callers
         # pass keys already within [0, 2^hilbert_bits) for a fair
         # three-way comparison (with_hilbert_key pmods, so wider inputs
         # would wrap rather than clamp like the Morton key)
         base = with_hilbert_key(base, "a", "b", bits=hilbert_bits, out="hval")
-        tile_cols.append(
-            F.ntile(int(nfiles))
-            .over(Window.orderBy("hval", "id"))
-            .alias("f_hilbert")
-        )
-    tagged = base.select("*", *tile_cols)
+    tagged = ranged_ntile(base, ["a", "b", "id"], int(nfiles), "f_linear")
+    tagged = ranged_ntile(tagged, ["zval", "id"], int(nfiles), "f_zorder")
+    if hilbert_bits is not None:
+        tagged = ranged_ntile(tagged, ["hval", "id"], int(nfiles), "f_hilbert")
     sel = (
         F.col("a").between(a_lo, a_hi) & F.col("b").between(b_lo, b_hi)
     ).cast("long")

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from corpusama_spark.operators.kmeans import lowest_id_seeds
+
 __all__ = ["pq_codebook", "pq_codes", "pq_topk", "ivf_coarse", "ivfpq_topk"]
 
 
@@ -86,12 +88,7 @@ def pq_codebook(
         raise ValueError(f"pq: dim={dim} not divisible by m={m}")
     dims = _dims(emb, id_col, vec_col, dim // m)
 
-    seed_w = Window.orderBy(F.asc("id"))
-    seeds = (
-        emb.select(F.col(id_col).alias("id"))
-        .withColumn("cluster", F.row_number().over(seed_w) - 1)
-        .where(F.col("cluster") < k)
-    )
+    seeds = lowest_id_seeds(emb, id_col, k)
     centroids = dims.join(F.broadcast(seeds), "id").select(
         "sub", "cluster", "dim", F.round(F.col("v"), 6).alias("c")
     )
@@ -233,11 +230,8 @@ def ivf_coarse(
         F.posexplode(F.col(vec_col)).alias("dim", "v"),
     ).select("id", "dim", F.col("v").cast("double").alias("v"))
 
-    seed_w = Window.orderBy(F.asc("id"))
-    seeds = (
-        emb.select(F.col(id_col).alias("id"))
-        .withColumn("cell", F.row_number().over(seed_w) - 1)
-        .where(F.col("cell") < kc)
+    seeds = lowest_id_seeds(emb, id_col, kc).withColumnRenamed(
+        "cluster", "cell"
     )
     centroids = dims.join(F.broadcast(seeds), "id").select(
         "cell", "dim", F.round(F.col("v"), 6).alias("c")
@@ -345,12 +339,7 @@ def ivfpq_topk(
 
     # per-subspace PQ codebook on residuals (same loop as pq_codebook,
     # over the residual dims; seeds are the kc-independent lowest ids)
-    seed_w = Window.orderBy(F.asc("id"))
-    seeds = (
-        corpus.select(F.col(id_col).alias("id"))
-        .withColumn("cluster", F.row_number().over(seed_w) - 1)
-        .where(F.col("cluster") < k)
-    )
+    seeds = lowest_id_seeds(corpus, id_col, k)
     codebook = rdims.join(F.broadcast(seeds), "id").select(
         "sub", "cluster", "dim", F.round(F.col("v"), 6).alias("c")
     )

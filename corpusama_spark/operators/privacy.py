@@ -163,14 +163,10 @@ def t_closeness(
             F.count(F.when(F.col("_isnull"), 1)).cast("long").alias("n_null")
         )
     )
-    support = (
-        obs.groupBy("_sv")
-        .agg(F.sum("_c").alias("_gc"))
-        .select(
-            "_sv",
-            "_gc",
-            F.row_number().over(Window.orderBy("_sv")).alias("_rk"),
-        )
+    from corpusama_spark.operators.prefixsum import attach_global_positions
+
+    support = attach_global_positions(
+        obs.groupBy("_sv").agg(F.sum("_c").alias("_gc")), ["_sv"], "_rk"
     )
     tot = support.agg(
         F.sum("_gc").alias("_gn"), F.count("*").alias("_m")

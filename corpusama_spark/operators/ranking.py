@@ -141,11 +141,15 @@ def rbo_vocab_rankings(
             F.countDistinct("id").cast("long").alias("df"),
         )
     )
-    ra = F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok")))
-    rb = F.row_number().over(Window.orderBy(F.desc("df"), F.asc("tok")))
-    ranked = counts.select(
-        "tok", ra.alias("ra"), rb.alias("rb")
-    ).where((F.col("ra") <= k) | (F.col("rb") <= k))
+    from corpusama_spark.operators.prefixsum import attach_global_positions
+
+    ranked = attach_global_positions(
+        attach_global_positions(
+            counts, [F.desc("freq"), F.asc("tok")], "ra"
+        ),
+        [F.desc("df"), F.asc("tok")],
+        "rb",
+    ).where((F.col("ra") <= k) | (F.col("rb") <= k)).select("tok", "ra", "rb")
     both = ranked.where((F.col("ra") <= k) & (F.col("rb") <= k)).select(
         "tok", F.greatest("ra", "rb").alias("enter")
     )

@@ -95,10 +95,15 @@ def cms_heavy_hitters(
     sketch = hashed.groupBy("j", "bucket").agg(
         F.sum("exact").cast("long").alias("cell")
     )
-    top = vocab.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.desc("exact"), F.asc("tok"))),
-    ).where(F.col("rnk") <= k)
+    from corpusama_spark.operators.prefixsum import attach_global_positions
+
+    top = (
+        attach_global_positions(
+            vocab, [F.desc("exact"), F.asc("tok")], "rnk"
+        )
+        .withColumn("rnk", F.col("rnk").cast("int"))
+        .where(F.col("rnk") <= k)
+    )
     est = (
         top.select("tok", "exact", "rnk", F.explode(rows).alias("j"))
         .withColumn(

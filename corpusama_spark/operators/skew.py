@@ -86,8 +86,9 @@ def concentration_stats(df: DataFrame, key_col: str) -> DataFrame:
         F.sum("x").cast("long").alias("tx"),
         F.count("*").cast("long").alias("ng"),
     )
-    w = Window.orderBy(F.asc("x"), F.asc(key_col))
-    ranked = sizes.withColumn("i", F.row_number().over(w).cast("long"))
+    from corpusama_spark.operators.prefixsum import attach_global_positions
+
+    ranked = attach_global_positions(sizes, [F.asc("x"), F.asc(key_col)], "i")
     agg = (
         ranked.crossJoin(F.broadcast(tot))
         .groupBy("ng", "tx")

@@ -87,6 +87,67 @@ def report(df: DataFrame) -> PlanReport:
     )
 
 
+def _first_spec_arg(node: str) -> str | None:
+    """First argument of the first windowspecdefinition(...) in a plan
+    line, split paren-aware (partition cols can be nested expressions
+    like knownfloatingpointnormalized(...))."""
+    i = node.find("windowspecdefinition(")
+    if i < 0:
+        return None
+    j = i + len("windowspecdefinition(")
+    depth, k = 0, j
+    while k < len(node):
+        ch = node[k]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        k += 1
+    return node[j:k].strip()
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window/WindowInPandas nodes with NO partition spec — the shape
+    that makes Spark move the entire input through one task (WindowExec
+    warns "Moving all data to a single partition"). Inside a node's
+    ``windowspecdefinition(partCols..., orderExprs..., frame)`` the
+    partition columns print bare while order expressions carry an
+    ``ASC|DESC NULLS`` suffix — so a spec whose FIRST argument is an
+    order expression (or directly the frame) has an empty partition
+    spec. Returns the offending plan lines (empty = clean). Bounded
+    inputs (bin/stage/k-sized tables) are legitimate single-task sites
+    and belong in the caller's whitelist — corpus-sized ones are the
+    scale bug this audit exists to catch (see operators/prefixsum.py
+    for the fix pattern)."""
+    lines = plan_text(df, mode="executed").splitlines()
+    bad = []
+    for ln in lines:
+        node = re.sub(r"^[\s:+*()\d-]*", "", ln)
+        if not node.startswith(("Window ", "WindowInPandas ")):
+            continue
+        first = _first_spec_arg(node)
+        if first is None:
+            continue
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"\s(ASC|DESC) NULLS (FIRST|LAST)$", first
+        ):
+            bad.append(ln.strip())
+    return bad
+
+
+def assert_no_unpartitioned_window(df: DataFrame) -> None:
+    """Raise if any window in the plan has no partition spec."""
+    bad = unpartitioned_windows(df)
+    assert not bad, (
+        "unpartitioned Window in plan (single-partition execution):\n"
+        + "\n".join(bad)
+    )
+
+
 def assert_filter_pushed(df: DataFrame, column: str) -> None:
     """The scan must receive a pushed filter mentioning `column`."""
     rep = report(df)

@@ -182,6 +182,51 @@ def test_no_row_python_in_any_contract_query(spark):
     assert not offenders, offenders
 
 
+# Every contract query whose plan may carry an unpartitioned window, with the
+# reason its input is BOUNDED (not corpus-sized) — the only legitimate
+# single-task windows in the engine. Anything else flagging here is the
+# snb_pairs class of scale defect (round-4 verdict) and must be rewritten
+# via operators/prefixsum.py instead of added below.
+UNPARTITIONED_WINDOW_WHITELIST = {
+    "aspect_buckets": "global share over the SDXL bucket table (~dozens of aspect buckets)",
+    "neyman_alloc": "largest-remainder rank over the per-stratum allocation table (|strata| rows)",
+    "drop_waterfall": "cumulative drops over pipeline STAGES (single-digit rows)",
+    "acf_daily": "lag window over the daily series (|days| rows)",
+    "band_occupancy": "cumulative share over the bucket-size histogram (|distinct sizes| rows)",
+    "novelty": "cumulative novelty over time buckets (|buckets| rows)",
+    "rendezvous": "global share over the shard table (n_shards rows)",
+    "isotonic": "PAVA pool scan over calibration BINS (fixed bin count)",
+    "waterfill": "water-filling iterations over the k-group budget-cap table",
+    "index_staleness": "global totals over the IVF cell-stats table (codebook-sized)",
+}
+
+
+def test_no_unpartitioned_window_in_any_contract_query(spark):
+    """Blanket pin for the round-4 verdict's X271-class defect: no contract
+    query may move corpus-sized data through a single-task window. Every
+    queries() entry is plan-audited; the only allowed unpartitioned windows
+    are the whitelisted bounded-input sites above (bin/stage/day/k-sized
+    tables, documented per query). heaps_fit / mwu_test / snb_pairs — the
+    three operators round 4 flagged — must stay CLEAN, not whitelisted."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    offenders, stale = [], []
+    flagged = set()
+    for name, fn in E.queries().items():
+        bad = audit.unpartitioned_windows(fn(spark, sf))
+        if bad:
+            flagged.add(name)
+            if name not in UNPARTITIONED_WINDOW_WHITELIST:
+                offenders.append((name, bad[0][:120]))
+    stale = sorted(set(UNPARTITIONED_WINDOW_WHITELIST) - flagged)
+    assert not offenders, offenders
+    # the whitelist must not rot: every entry still flags (else remove it)
+    assert not stale, f"whitelist entries no longer needed: {stale}"
+    for fixed in ("snb_pairs", "heaps_fit", "mwu_test"):
+        assert fixed not in flagged
+
+
 def test_curation_plan_shapes(spark, tmp_path):
     """Plan pins for the curation family: the data-mixing sample is a pure
     scan-stage predicate (ZERO exchanges); decontamination's bench-gram
