@@ -298,6 +298,26 @@ def expire_snapshots(snap_dir: str, keep_last: int = 2) -> dict:
             "n_keep": sum(s["summary"]["n_keep"] for s in old),
         },
     }
+    # partition-spec state must survive the squash: which specs (and
+    # committed rewrite staging pspecs) still own rows, minus those the
+    # expired range itself retired — otherwise compacting a
+    # rewrite_spec snapshot away would resurrect retired specs
+    # (duplicates) or orphan staged rows (loss). live_specs reads the
+    # plural fields below alongside the per-commit singular ones.
+    retired_all = sorted(
+        {r for s in old for r in s.get("retired_specs", [])}
+    )
+    spec_live = sorted(
+        (
+            {s["spec_id"] for s in old if "spec_id" in s}
+            | {s["staging_pspec"] for s in old if "staging_pspec" in s}
+        )
+        - set(retired_all)
+    )
+    if spec_live:
+        base["spec_ids"] = spec_live
+    if retired_all:
+        base["retired_specs"] = retired_all
     old_schemas = [s["schema"] for s in old if "schema" in s]
     if old_schemas:
         # the schema in effect at the squash horizon — keeps
@@ -498,6 +518,12 @@ def live_specs(snap_dir: str, snapshot_id: int | None = None) -> set[int]:
             continue
         if "spec_id" in s:
             live.add(s["spec_id"])
+        if "staging_pspec" in s:
+            # rows a committed rewrite_spec migrated: owned by the
+            # negative staging pspec, visible from this snapshot on
+            live.add(s["staging_pspec"])
+        # squashed bases carry the merged state of their expired range
+        live.update(s.get("spec_ids", []))
         for r in s.get("retired_specs", []):
             live.discard(r)
     return live
@@ -515,7 +541,9 @@ def plan_scan_for_key(
     specs = partition_specs(snap_dir)
     out = []
     for sid in sorted(live_specs(snap_dir, snapshot_id)):
-        n = specs[sid]["nbuckets"]
+        # a negative sid is a committed rewrite's staging pspec; its rows
+        # were bucketed under the target spec's width (-sid - 1)
+        n = specs[sid if sid >= 0 else -sid - 1]["nbuckets"]
         out.append((sid, int(phash) % n))
     return out
 
@@ -560,16 +588,32 @@ def rewrite_spec(
     df = spark.read.parquet(out_path).where(F.col("pspec").isin(old))
     moved = df.drop("bucket", "pspec")
     n = moved.count()
+    # Stage the migrated rows INVISIBLY: they land under a staging pspec
+    # (-(spec_id+1), never a registered spec id, so no reader's
+    # live-spec filter matches) and become visible in the SAME atomic
+    # rename that retires the old specs — the snapshot doc records the
+    # staging pspec and live_specs starts returning it only once the
+    # doc exists. A crash between this append and the commit leaves
+    # only invisible staged files (dead data for the orphan vacuum),
+    # never duplicates; before the fix the rows appended under the
+    # already-live current spec and readers saw them TWICE until the
+    # retirement committed (ADVICE r4, commit-then-visible violation).
+    staging = -(spec["spec_id"] + 1)
     (
         moved.withColumn(
             "bucket",
             F.pmod(F.col("phash"), F.lit(spec["nbuckets"])).cast("int"),
         )
-        .withColumn("pspec", F.lit(spec["spec_id"]))
+        .withColumn("pspec", F.lit(staging))
         .write.partitionBy("pspec", "bucket")
-        .mode("append")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
         .parquet(out_path)
     )
+    # dynamic overwrite (not append) so a crashed earlier attempt's
+    # staged files are replaced, never double-counted, on retry — the
+    # old-spec input is frozen, so the retry rewrites the exact same
+    # (staging, bucket) partitions
     parent = latest_snapshot_id(snap_dir)
     snap_id = (parent or 0) + 1
     p = pathlib.Path(snap_dir)
@@ -580,6 +624,7 @@ def rewrite_spec(
         "buckets": [],
         "spec_id": spec["spec_id"],
         "retired_specs": old,
+        "staging_pspec": staging,
         "summary": {"n_rows": int(n), "n_keep": int(n)},
     }
     tmp = p / f".tmp-{_PREFIX}{snap_id:06d}.json"
@@ -879,9 +924,12 @@ def metadata_history(spark: SparkSession, snap_dir: str) -> DataFrame:
 def metadata_partitions(
     spark: SparkSession, snap_dir: str, out_path: str
 ) -> DataFrame:
-    """One row per committed bucket: owning (last-committing) snapshot
-    plus physical file count and bytes from the listing."""
+    """One row per committed bucket: owning (last-committing) snapshot,
+    physical file count and bytes from the listing, and whether the
+    bucket has been logically dropped (drop-retained files kept for
+    time travel until expiry, but not a current table partition)."""
     seq = bucket_commit_seq(snap_dir)
+    live = buckets_as_of(snap_dir)
     root = pathlib.Path(out_path)
     rows = []
     for b, sid in sorted(seq.items()):
@@ -892,10 +940,22 @@ def metadata_partitions(
             else []
         )
         rows.append(
-            (b, sid, len(files), sum(f.stat().st_size for f in files))
+            (
+                b,
+                sid,
+                len(files),
+                sum(f.stat().st_size for f in files),
+                b not in live,
+            )
         )
+    # `dropped` replays dropped_buckets (which bucket_commit_seq does
+    # not): a TTL'd partition still shows its drop-retained files but is
+    # no longer a CURRENT table partition (ADVICE r4 — without the flag
+    # logically dropped buckets read as live)
     return spark.createDataFrame(
-        rows, "bucket long, committed_by long, n_files long, bytes long"
+        rows,
+        "bucket long, committed_by long, n_files long, bytes long, "
+        "dropped boolean",
     )
 
 
@@ -1037,6 +1097,20 @@ def commit_to_branch(
     branch accumulates a LINEAGE of such commits, each parented on the
     branch's previous head."""
     info = branch_info(snap_dir, name)
+    conflict = sorted(
+        set(int(b) for b in buckets) & buckets_as_of(snap_dir)
+    )
+    if conflict:
+        # isolation is bucket-granular: a branch wave writing into a
+        # bucket main already owns would physically append into a
+        # directory main's bucket-pruned readers scan IMMEDIATELY,
+        # breaking "main stays frozen until fast-forward" — fail loudly
+        # (the drop_partitions stance) instead of silently leaking
+        # (ADVICE r4). Branches own NEW buckets only.
+        raise ValueError(
+            f"branch {name!r} may not write into main's live buckets "
+            f"{conflict}: branch commits must target new buckets only"
+        )
     parent = info["head_id"]
     snap_id = (latest_snapshot_id(snap_dir) or 0) + 1
     p = pathlib.Path(snap_dir)
@@ -1096,9 +1170,18 @@ def fast_forward(snap_dir: str, name: str) -> list[int]:
     visible to every main reader in chain order; the branch ref is then
     deleted. Returns the published snapshot ids."""
     info = branch_info(snap_dir, name)
+    own = set(info["commits"])
     main_head = 0
     for s in snapshots(snap_dir):
-        if not s.get("branch") and not s.get("staged"):
+        if (
+            not s.get("branch")
+            and not s.get("staged")
+            and s["snapshot_id"] not in own
+        ):
+            # the branch's own commits are excluded so a crash mid-publish
+            # (some markers already removed) does not make main look
+            # advanced and strand the branch behind a permanent
+            # "not fast-forwardable" on retry (ADVICE r4)
             main_head = s["snapshot_id"]
     if main_head != info["base_id"]:
         raise RuntimeError(
@@ -1110,6 +1193,11 @@ def fast_forward(snap_dir: str, name: str) -> list[int]:
         path = _snap_path(snap_dir, sid)
         with open(path, encoding="utf-8") as fh:
             doc = json.load(fh)
+        if "branch" not in doc:
+            # already published by a previous, interrupted fast_forward —
+            # retry is idempotent, count it and move on
+            published.append(sid)
+            continue
         doc.pop("branch", None)
         tmp = path.parent / f".tmp-ff-{sid:06d}.json"
         with open(tmp, "w", encoding="utf-8") as fh:

@@ -50,8 +50,11 @@ def test_spec_evolution_end_to_end(spark, tmp_path):
         r.image_id for r in read_with_specs(spark, out, snaps).collect()
     )
     s3 = rewrite_spec(spark, out, snaps, "migrate")
-    assert live_specs(snaps) == {1}
-    assert plan_scan_for_key(snaps, key) == [(1, key % 16)]
+    # migrated rows are owned by the committed staging pspec (-2): the
+    # retirement snapshot flips spec-0 out and the staged copies in
+    # ATOMICALLY (round-5 ADVICE fix — no window where readers see both)
+    assert live_specs(snaps) == {1, -2}
+    assert plan_scan_for_key(snaps, key) == [(-2, key % 16), (1, key % 16)]
     after_rows = sorted(
         r.image_id for r in read_with_specs(spark, out, snaps).collect()
     )
