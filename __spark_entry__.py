@@ -5562,6 +5562,50 @@ def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping audit (X273 — the Iceberg manifest
+    lower/upper-bounds shape, snapshots.compute_column_stats /
+    plan_scan_for_range / read_range; the physical bucket-skip lane is
+    pytest-driven in test_zonemap_rollback.py, this is its exact
+    relational twin over a time-clustered layout): orders bucketed by
+    order YEAR, per-bucket [min, max] of o_orderdate, a quarter-sized
+    range predicate, the can_match pruning verdict per bucket (bounds
+    intersect ⇔ mn ≤ hi AND mx ≥ lo), and the verified per-bucket match
+    count — equal to the full-scan answer, proving pruning loses
+    nothing. One groupBy for bounds, one for matches, one broadcast-able
+    join; at 10^12 rows the bounds table is |buckets| rows and the scan
+    side prunes physically via the partition layout."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("bucket"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    stats = o.groupBy("bucket").agg(
+        F.min("d").alias("mn_d"),
+        F.max("d").alias("mx_d"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    lo, hi = F.lit("1995-03-01").cast("date"), F.lit("1995-06-30").cast("date")
+    matches = (
+        o.where(F.col("d").between(lo, hi))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    return (
+        stats.join(F.broadcast(matches), "bucket", "left")
+        .select(
+            "bucket",
+            F.col("mn_d").cast("string").alias("mn_d"),
+            F.col("mx_d").cast("string").alias("mx_d"),
+            ((F.col("mn_d") <= hi) & (F.col("mx_d") >= lo)).alias(
+                "can_match"
+            ),
+            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_match"),
+            "n_rows",
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_canary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline canary validation (X250; rows-only: full pipeline with
     decode/LID UDFs): five known-verdict synthetic rows ride the real
@@ -6271,6 +6315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": q_quality_metrics,
         "canary_report": q_canary_report,
         "mor_audit": q_mor_audit,
+        # -- X273: zone-map data skipping audit ------------------------------
+        "zonemap_scan": q_zonemap_scan,
     }
 
 
@@ -14299,5 +14345,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT least(id, other) AS id_a,
                         greatest(id, other) AS id_b
         FROM stacked ORDER BY id_a, id_b
+    """
+    out["zonemap_scan"] = """
+        WITH o AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS bucket,
+                   CAST(o_orderdate AS DATE) AS d
+            FROM orders),
+        s AS (
+            SELECT bucket, min(d) AS mn_d, max(d) AS mx_d,
+                   COUNT(*) AS n_rows
+            FROM o GROUP BY bucket),
+        m AS (
+            SELECT bucket, COUNT(*) AS n_match FROM o
+            WHERE d BETWEEN DATE '1995-03-01' AND DATE '1995-06-30'
+            GROUP BY bucket)
+        SELECT s.bucket,
+               CAST(s.mn_d AS VARCHAR) AS mn_d,
+               CAST(s.mx_d AS VARCHAR) AS mx_d,
+               (s.mn_d <= DATE '1995-06-30'
+                AND s.mx_d >= DATE '1995-03-01') AS can_match,
+               COALESCE(m.n_match, 0) AS n_match,
+               s.n_rows
+        FROM s LEFT JOIN m USING (bucket)
+        ORDER BY s.bucket
     """
     return out

@@ -65,6 +65,7 @@ def commit_snapshot(
     n_keep: int,
     schema: list[dict] | None = None,
     spec_id: int | None = None,
+    column_stats: dict | None = None,
 ) -> int:
     """Atomically append one snapshot; returns its id. Parent pointer is
     the current latest (None for the first commit).
@@ -102,6 +103,16 @@ def commit_snapshot(
         if spec_id not in partition_specs(snap_dir):
             raise ValueError(f"unregistered spec_id {spec_id}")
         doc["spec_id"] = int(spec_id)
+    if column_stats is not None:
+        # X273 zone maps: {bucket: {col: [min, max]}} for THIS wave's
+        # buckets (the Iceberg manifest lower_bounds/upper_bounds shape);
+        # stats follow bucket-overwrite semantics exactly like rows do
+        doc["column_stats"] = {
+            str(int(b)): {
+                c: [v[0], v[1]] for c, v in cols.items()
+            }
+            for b, cols in column_stats.items()
+        }
     tmp = p / f".tmp-{_PREFIX}{snap_id:06d}.json"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(doc, fh)
@@ -1236,7 +1247,12 @@ def fast_count(snap_dir: str, snapshot_id: int | None = None) -> int | None:
         if not (s.get("staged") or s.get("branch"))
         and (snapshot_id is None or s["snapshot_id"] <= snapshot_id)
     ]
-    if any("eq_delete" in s or s.get("squashed") for s in snaps):
+    if any(
+        "eq_delete" in s or s.get("squashed") or "rollback_to" in s
+        for s in snaps
+    ):
+        # rollback re-adds buckets under a zero-summary commit, so
+        # per-wave attribution is no longer additive — decline
         return None
     owner: dict[int, int] = {}  # bucket -> owning snapshot id
     dropped: set[int] = set()
@@ -1261,3 +1277,171 @@ def fast_count(snap_dir: str, snapshot_id: int | None = None) -> int | None:
             # partially overwritten wave: per-bucket split unknown
             return None
     return total
+
+
+# ---------------------------------------------------------------------------
+# X273: zone-map data skipping — the Iceberg manifest column-bounds shape.
+# Each data commit may carry per-bucket [min, max] bounds for value
+# columns; a range predicate then plans exactly the buckets whose bounds
+# intersect it, and buckets with NO recorded bounds must scan (missing
+# stats never silently prune — the same honesty stance as fast_count).
+# Bounds replay with bucket-overwrite semantics: the last committing
+# snapshot of a bucket owns its stats, drops remove them.
+# ---------------------------------------------------------------------------
+
+
+def compute_column_stats(
+    df: DataFrame, cols: list[str], bucket_col: str = "bucket"
+) -> dict:
+    """Per-bucket [min, max] of ``cols``: one map-side-combinable
+    groupBy collapsed to a bucket-count-sized collect (the listing-scale
+    cost model of manifest stats — never corpus rows to the driver)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    out: dict = {}
+    for r in df.groupBy(bucket_col).agg(*aggs).collect():
+        out[int(r[bucket_col])] = {
+            c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in cols
+        }
+    return out
+
+
+def column_stats_as_of(
+    snap_dir: str, snapshot_id: int | None = None
+) -> dict[int, dict]:
+    """bucket -> {col: [min, max]} at the horizon: last-committer-wins
+    per bucket (a re-committed bucket's old bounds are as dead as its
+    old rows), dropped buckets lose their stats, and a re-commit
+    WITHOUT stats clears them (the bucket's content changed; stale
+    bounds would prune wrongly — the one failure mode a zone map must
+    never have)."""
+    out: dict[int, dict] = {}
+    for snap in snapshots(snap_dir):
+        if snapshot_id is not None and snap["snapshot_id"] > snapshot_id:
+            break
+        if snap.get("staged") or snap.get("branch"):
+            continue
+        stats = snap.get("column_stats", {})
+        for b in snap["buckets"]:
+            if str(b) in stats:
+                out[b] = stats[str(b)]
+            else:
+                out.pop(b, None)
+        for b in snap.get("dropped_buckets", []):
+            out.pop(b, None)
+    return out
+
+
+def plan_scan_for_range(
+    snap_dir: str,
+    col: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+) -> dict:
+    """Split planning for ``col BETWEEN lo AND hi``: partitions the live
+    bucket set into ``scan`` (bounds intersect the range, or no bounds
+    recorded — must scan) and ``pruned`` (bounds prove emptiness).
+    Returns {"scan": [...], "pruned": [...], "unbounded": [...]} with
+    unbounded ⊆ scan (the buckets scanned only because stats are
+    missing — the maintenance signal to backfill bounds)."""
+    live = buckets_as_of(snap_dir, snapshot_id)
+    stats = column_stats_as_of(snap_dir, snapshot_id)
+    scan, pruned, unbounded = [], [], []
+    for b in sorted(live):
+        bounds = stats.get(b, {}).get(col)
+        if bounds is None or bounds[0] is None or bounds[1] is None:
+            scan.append(b)
+            unbounded.append(b)
+        elif bounds[1] < lo or bounds[0] > hi:
+            pruned.append(b)
+        else:
+            scan.append(b)
+    return {"scan": scan, "pruned": pruned, "unbounded": unbounded}
+
+
+def read_range(
+    spark: SparkSession,
+    out_path: str,
+    snap_dir: str,
+    col: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Zone-map-pruned range read: scan only the buckets
+    ``plan_scan_for_range`` keeps (partition pruning on the bucket
+    directory layout makes the skip physical), then apply the residual
+    predicate — by construction identical row set to filtering the full
+    ``read_as_of`` scan, at a fraction of the bytes when bounds are
+    tight (clustered layouts: see operators/layout.py)."""
+    plan = plan_scan_for_range(snap_dir, col, lo, hi, snapshot_id)
+    df = read_as_of(spark, out_path, snap_dir, snapshot_id)
+    if not plan["scan"]:
+        return df.where(F.lit(False))
+    return df.where(
+        F.col("bucket").isin(plan["scan"])
+        & F.col(col).between(F.lit(lo), F.lit(hi))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X274: snapshot rollback — Iceberg's rollback_to_snapshot: a NEW
+# metadata-only commit restores the table's bucket state to a past
+# snapshot without rewriting history (time travel still sees the bad
+# wave; current readers do not). Rollback is only possible while the
+# target state's data files are intact: buckets physically re-committed
+# since the target were OVERWRITTEN on disk, and the rollback refuses
+# loudly rather than resurrecting wrong bytes.
+# ---------------------------------------------------------------------------
+
+
+def rollback(snap_dir: str, run_id: str, snapshot_id: int) -> int:
+    """Commit a rollback snapshot: current state := state as of
+    ``snapshot_id``. Buckets added since the target are dropped
+    (metadata-only; their files await expiry+vacuum like any drop);
+    buckets dropped since the target are re-added (their files are
+    intact — drops never touch data). Raises if any bucket live at the
+    target was RE-COMMITTED since (its files were replaced by dynamic
+    partition overwrite; the old bytes are gone and a metadata rollback
+    cannot restore them). fast_count declines across rollback commits —
+    ownership attribution is no longer per-wave additive."""
+    target = buckets_as_of(snap_dir, snapshot_id)
+    if snapshot_id > (latest_snapshot_id(snap_dir) or 0):
+        raise ValueError(f"cannot roll back to future snapshot {snapshot_id}")
+    seq_t = bucket_commit_seq(snap_dir, snapshot_id)
+    seq_now = bucket_commit_seq(snap_dir)
+    overwritten = sorted(
+        b for b in target if seq_now.get(b, seq_t[b]) != seq_t[b]
+    )
+    if overwritten:
+        raise ValueError(
+            f"buckets {overwritten} were re-committed after snapshot "
+            f"{snapshot_id}: their files were overwritten, rollback "
+            "cannot restore them (restore from a branch/tag instead)"
+        )
+    current = buckets_as_of(snap_dir)
+    parent = latest_snapshot_id(snap_dir)
+    snap_id = (parent or 0) + 1
+    p = pathlib.Path(snap_dir)
+    doc = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "run_id": run_id,
+        "rollback_to": int(snapshot_id),
+        "buckets": sorted(target - current),
+        "dropped_buckets": sorted(current - target),
+        "summary": {"n_rows": 0, "n_keep": 0},
+    }
+    tmp = p / f".tmp-{_PREFIX}{snap_id:06d}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    target_path = _snap_path(snap_dir, snap_id)
+    if target_path.exists():
+        tmp.unlink()
+        raise RuntimeError(f"snapshot {snap_id} already committed")
+    os.rename(tmp, target_path)
+    return snap_id
