@@ -5606,6 +5606,41 @@ def q_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bound_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit (X276, layout.bound_overlap_audit): the
+    same orders rows bucketed two ways — time-clustered (order year)
+    vs hashed (pmod(o_orderkey, 7)) — and per bucket the [min, max]
+    date bounds plus how many other buckets' intervals overlap. The
+    clustered layout's depth is 0 (years partition dates: every range
+    predicate can prune), the hashed layout's is nbuckets-1 (nothing
+    ever prunes) — the quantified reason layout.py's write path
+    clusters before snapshots.py's zone maps can skip (X273)."""
+    from corpusama_spark.operators.layout import bound_overlap_audit
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    clustered = bound_overlap_audit(
+        o.withColumn("b", (F.year("d") - F.lit(1992)).cast("int")), "b", "d"
+    ).withColumn("layout", F.lit("clustered"))
+    hashed = bound_overlap_audit(
+        o.withColumn("b", F.pmod("k", F.lit(7)).cast("int")), "b", "d"
+    ).withColumn("layout", F.lit("hashed"))
+    return (
+        clustered.unionByName(hashed)
+        .select(
+            "layout",
+            "bucket",
+            F.col("mn").cast("string").alias("mn_d"),
+            F.col("mx").cast("string").alias("mx_d"),
+            "n_rows",
+            "n_overlaps",
+        )
+        .orderBy("layout", "bucket")
+    )
+
+
 def q_canary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline canary validation (X250; rows-only: full pipeline with
     decode/LID UDFs): five known-verdict synthetic rows ride the real
@@ -6317,6 +6352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_audit": q_mor_audit,
         # -- X273: zone-map data skipping audit ------------------------------
         "zonemap_scan": q_zonemap_scan,
+        # -- X276: clustering-depth (bound-overlap) audit --------------------
+        "bound_overlap": q_bound_overlap,
     }
 
 
@@ -14368,5 +14405,37 @@ def oracle_sql() -> dict[str, str]:
                s.n_rows
         FROM s LEFT JOIN m USING (bucket)
         ORDER BY s.bucket
+    """
+    out["bound_overlap"] = """
+        WITH o AS (
+            SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d
+            FROM orders),
+        cb AS (
+            SELECT CAST(year(d) - 1992 AS INTEGER) AS bucket,
+                   min(d) AS mn, max(d) AS mx, COUNT(*) AS n_rows
+            FROM o GROUP BY 1),
+        hb AS (
+            SELECT CAST(k % 7 AS INTEGER) AS bucket,
+                   min(d) AS mn, max(d) AS mx, COUNT(*) AS n_rows
+            FROM o GROUP BY 1),
+        co AS (
+            SELECT a.bucket, a.mn, a.mx, a.n_rows,
+                   COUNT(b.bucket) AS n_overlaps
+            FROM cb a LEFT JOIN cb b
+              ON a.bucket <> b.bucket AND a.mn <= b.mx AND b.mn <= a.mx
+            GROUP BY 1, 2, 3, 4),
+        ho AS (
+            SELECT a.bucket, a.mn, a.mx, a.n_rows,
+                   COUNT(b.bucket) AS n_overlaps
+            FROM hb a LEFT JOIN hb b
+              ON a.bucket <> b.bucket AND a.mn <= b.mx AND b.mn <= a.mx
+            GROUP BY 1, 2, 3, 4)
+        SELECT layout, bucket,
+               CAST(mn AS VARCHAR) AS mn_d, CAST(mx AS VARCHAR) AS mx_d,
+               n_rows, n_overlaps
+        FROM (
+            SELECT 'clustered' AS layout, * FROM co
+            UNION ALL SELECT 'hashed', * FROM ho)
+        ORDER BY layout, bucket
     """
     return out

@@ -342,3 +342,45 @@ def hilbert_py(x: int, y: int, bits: int = 8) -> int:
             x, y = y, x
         s //= 2
     return d
+
+
+def bound_overlap_audit(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Clustering depth (X276 — the metric zone-map pruning lives or
+    dies by, Snowflake's clustering-depth / Iceberg's file-overlap idea
+    over this engine's bucket bounds): per bucket, its [min, max] of
+    ``value_col`` and how many OTHER buckets' intervals overlap it. A
+    hash layout interleaves values so every bucket overlaps every other
+    (depth = nbuckets-1: a range predicate prunes NOTHING no matter how
+    good the stats); a range/Z/Hilbert-clustered layout (layout.py's
+    write path) drives depth toward 0, which is exactly when X273's
+    plan_scan_for_range starts skipping. Corpus collapses to one row
+    per bucket first; the interval self-join is bucket-count² at most
+    and broadcast. Output: (bucket, mn, mx, n_rows, n_overlaps)."""
+    bounds = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    other = F.broadcast(
+        bounds.select(
+            F.col("bucket").alias("_ob"),
+            F.col("mn").alias("_omn"),
+            F.col("mx").alias("_omx"),
+        )
+    )
+    pairs = bounds.join(
+        other,
+        (F.col("bucket") != F.col("_ob"))
+        & (F.col("mn") <= F.col("_omx"))
+        & (F.col("_omn") <= F.col("mx")),
+        "left",
+    )
+    return (
+        pairs.groupBy("bucket", "mn", "mx", "n_rows")
+        .agg(F.count("_ob").alias("n_overlaps"))
+        .orderBy("bucket")
+    )

@@ -329,6 +329,28 @@ def expire_snapshots(snap_dir: str, keep_last: int = 2) -> dict:
         base["spec_ids"] = spec_live
     if retired_all:
         base["retired_specs"] = retired_all
+    # zone-map bounds replay (X273/X275): without this a squash would
+    # silently degrade every expired-range bound to must-scan
+    stats_state: dict = {}
+    for snap in old:
+        st = snap.get("column_stats", {})
+        if snap.get("stats_only"):
+            for bs, v in st.items():
+                stats_state[int(bs)] = v
+        else:
+            for b in snap["buckets"]:
+                if str(b) in st:
+                    stats_state[b] = st[str(b)]
+                else:
+                    stats_state.pop(b, None)
+        for b in snap.get("dropped_buckets", []):
+            stats_state.pop(b, None)
+        for bs, v in snap.get("column_stats_state", {}).items():
+            stats_state[int(bs)] = v
+    if stats_state:
+        base["column_stats_state"] = {
+            str(b): v for b, v in stats_state.items()
+        }
     old_schemas = [s["schema"] for s in old if "schema" in s]
     if old_schemas:
         # the schema in effect at the squash horizon — keeps
@@ -1323,13 +1345,24 @@ def column_stats_as_of(
         if snap.get("staged") or snap.get("branch"):
             continue
         stats = snap.get("column_stats", {})
-        for b in snap["buckets"]:
-            if str(b) in stats:
-                out[b] = stats[str(b)]
-            else:
-                out.pop(b, None)
+        if snap.get("stats_only"):
+            # X275 backfill: bounds recorded WITHOUT re-committing the
+            # buckets (ownership, fast_count attribution and
+            # bucket_commit_seq untouched — an ANALYZE, not a write)
+            for bs, v in stats.items():
+                out[int(bs)] = v
+        else:
+            for b in snap["buckets"]:
+                if str(b) in stats:
+                    out[b] = stats[str(b)]
+                else:
+                    out.pop(b, None)
         for b in snap.get("dropped_buckets", []):
             out.pop(b, None)
+        # squashed bases carry the replayed bounds state of their
+        # expired prefix (set last: it already reflects pops/drops)
+        for bs, v in snap.get("column_stats_state", {}).items():
+            out[int(bs)] = v
     return out
 
 
@@ -1444,4 +1477,66 @@ def rollback(snap_dir: str, run_id: str, snapshot_id: int) -> int:
         tmp.unlink()
         raise RuntimeError(f"snapshot {snap_id} already committed")
     os.rename(tmp, target_path)
+    return snap_id
+
+
+def backfill_column_stats(
+    spark: SparkSession,
+    out_path: str,
+    snap_dir: str,
+    run_id: str,
+    cols: list[str],
+) -> int | None:
+    """X275 — the ANALYZE-table maintenance op that consumes
+    plan_scan_for_range's ``unbounded`` signal: compute [min, max]
+    bounds for every LIVE bucket that has none, from the committed
+    files themselves, and record them in a ``stats_only`` snapshot that
+    changes NOTHING else (no bucket ownership, no fast_count effect —
+    bucket_commit_seq ignores it because its ``buckets`` list is
+    empty). Returns the new snapshot id, or None when every live
+    bucket already carries bounds for every requested column. The scan
+    is bucket-pruned to exactly the unbounded buckets."""
+    live = buckets_as_of(snap_dir)
+    have = column_stats_as_of(snap_dir)
+    missing = sorted(
+        b
+        for b in live
+        if any(
+            have.get(b, {}).get(c) is None
+            or have[b][c][0] is None
+            or have[b][c][1] is None
+            for c in cols
+        )
+    )
+    if not missing:
+        return None
+    df = read_as_of(spark, out_path, snap_dir).where(
+        F.col("bucket").isin(missing)
+    )
+    stats = compute_column_stats(df, cols)
+    parent = latest_snapshot_id(snap_dir)
+    snap_id = (parent or 0) + 1
+    p = pathlib.Path(snap_dir)
+    doc = {
+        "snapshot_id": snap_id,
+        "parent_id": parent,
+        "run_id": run_id,
+        "stats_only": True,
+        "buckets": [],
+        "column_stats": {
+            str(int(b)): {c: [v[0], v[1]] for c, v in colmap.items()}
+            for b, colmap in stats.items()
+        },
+        "summary": {"n_rows": 0, "n_keep": 0},
+    }
+    tmp = p / f".tmp-{_PREFIX}{snap_id:06d}.json"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    target = _snap_path(snap_dir, snap_id)
+    if target.exists():
+        tmp.unlink()
+        raise RuntimeError(f"snapshot {snap_id} already committed")
+    os.rename(tmp, target)
     return snap_id

@@ -12,6 +12,7 @@ physically overwritten since.
 import pytest
 
 from corpusama_spark.snapshots import (
+    backfill_column_stats,
     buckets_as_of,
     column_stats_as_of,
     commit_snapshot,
@@ -117,3 +118,42 @@ def test_rollback_restores_and_refuses(spark, tmp_path):
         rollback(snaps, "undo2", s1)
     with pytest.raises(ValueError, match="future"):
         rollback(snaps, "undo3", 99)
+
+
+def test_backfill_stats_only_snapshot(spark, tmp_path):
+    """X275: ANALYZE parity — bounds for unbounded live buckets are
+    computed from committed files and recorded WITHOUT touching
+    ownership (fast_count still answers; a second backfill is a no-op)."""
+    out, snaps = str(tmp_path / "out"), str(tmp_path / "snaps")
+    df = _write(spark, out, 0, 40)
+    commit_snapshot(
+        snaps, "r1", [0, 1, 2, 3], 40, 40,
+        column_stats=compute_column_stats(df.where("bucket < 2"), ["v"]),
+    )
+    assert plan_scan_for_range(snaps, "v", 0, 5)["unbounded"] == [2, 3]
+
+    sid = backfill_column_stats(spark, out, snaps, "analyze", ["v"])
+    assert sid is not None
+    plan = plan_scan_for_range(snaps, "v", 0, 5)
+    assert plan["unbounded"] == [] and plan["scan"] == [0]
+    # ownership and metadata counting untouched by the stats commit
+    assert fast_count(snaps) == 40
+    assert backfill_column_stats(spark, out, snaps, "again", ["v"]) is None
+
+
+def test_expiry_squash_preserves_bounds(spark, tmp_path):
+    from corpusama_spark.snapshots import expire_snapshots
+
+    out, snaps = str(tmp_path / "out"), str(tmp_path / "snaps")
+    df = _write(spark, out, 0, 40)
+    commit_snapshot(
+        snaps, "r1", [0, 1, 2, 3], 40, 40,
+        column_stats=compute_column_stats(df, ["v"]),
+    )
+    commit_snapshot(snaps, "r2", [], 0, 0)
+    commit_snapshot(snaps, "r3", [], 0, 0)
+    before = column_stats_as_of(snaps)
+    plan = expire_snapshots(snaps, keep_last=2)
+    assert plan["expire_ids"]
+    assert column_stats_as_of(snaps) == before
+    assert plan_scan_for_range(snaps, "v", 0, 5)["pruned"] == [1, 2, 3]
