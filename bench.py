@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "hilbert_pruning",
     "overlap_join",
     "snb_pairs",
+    # round-5 additions: zone-map algebra + clustering-depth audits
+    "zonemap_scan",
+    "bound_overlap",
 ]
 
 # The STABLE round-over-round comparison set (round-5 bench split): the

@@ -216,9 +216,11 @@ def frequency_profile(
     broadcast-model pruning in classifier/lm degrades so little).
 
     Ties break (freq desc, tok asc) so ranks are deterministic. Scale
-    note: the window is GLOBAL, but it runs over the VOCABULARY-sized
-    count table (millions of rows at web scale), not the corpus — the
-    corpus-sized work is the one groupBy count before it.
+    note (round-5 rewrite): ranks and running sums over the
+    vocabulary-sized count table (millions of rows at web scale) go
+    through prefixsum's range-partitioned two-phase pass, and the
+    grand total is an aggregate broadcast — no single-task window
+    anywhere; the corpus-sized work is the one groupBy count before it.
     """
     from corpusama_spark.operators.prefixsum import (
         attach_global_positions,
