@@ -34,14 +34,76 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# multi-part public suffixes where eTLD+1 is three labels, not two — the
-# mechanism-exercising subset for the Column-only API; deployments with
-# the full publicsuffix.org file should use ``with_registered_domain``.
+# Multi-part public suffixes where eTLD+1 is three labels, not two.
+# Round-5 widening: the default now covers the high-traffic multi-part
+# ccTLD second levels plus the major hosted-platform suffixes (all
+# public facts from the publicsuffix.org registry's common entries) —
+# enough that crawl-scale host grouping is right for the overwhelming
+# share of real URLs out of the box. Still a SUBSET by design:
+# deployments with the full publicsuffix.org file (wildcard and
+# exception rules included) should pass it to
+# ``with_registered_domain`` / ``psl_registered_domain``.
 MULTIPART_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp",
-    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    # UK / Ireland
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "nhs.uk", "police.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    # Japan / Korea / China / Taiwan / Hong Kong / Singapore
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ed.jp", "lg.jp",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk",
+    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
+    # South Asia
+    "co.in", "net.in", "org.in", "ac.in", "gov.in", "res.in", "edu.in",
+    "com.pk", "org.pk", "com.bd", "com.lk",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "org.co", "gov.co", "edu.co",
+    "com.pe", "com.ve", "com.ec", "com.uy", "com.bo", "com.py",
+    "com.gt", "com.do", "com.sv", "com.ni", "com.pa", "com.hn",
+    "co.cr", "com.cu", "com.jm",
+    # Europe (multi-part registries)
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "com.pt", "org.pt", "edu.pt", "gov.pt",
+    "com.gr", "org.gr", "net.gr", "edu.gr", "gov.gr",
+    "com.ro", "org.ro", "com.ua", "net.ua", "org.ua", "gov.ua",
+    "in.ua", "kiev.ua", "com.ru", "net.ru", "org.ru", "msk.ru",
+    "spb.ru", "com.tr", "org.tr", "net.tr", "gov.tr", "edu.tr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "co.hu", "org.hu",
+    # Africa / Middle East
+    "co.za", "org.za", "net.za", "web.za", "gov.za", "ac.za",
+    "com.ng", "org.ng", "gov.ng", "edu.ng",
+    "com.eg", "org.eg", "gov.eg", "edu.eg",
+    "co.ke", "or.ke", "ac.ke", "go.ke",
+    "com.gh", "com.et", "co.tz", "co.ug", "co.zw", "co.bw",
+    "com.sa", "org.sa", "gov.sa", "edu.sa",
+    "com.ae", "org.ae", "gov.ae", "ac.ae",
+    "com.kw", "com.qa", "com.bh", "com.om", "com.jo", "com.lb",
+    "com.ma", "co.ma", "com.tn", "com.dz", "com.ly",
+    # Southeast Asia
+    "co.th", "or.th", "ac.th", "go.th", "in.th",
+    "com.my", "org.my", "net.my", "edu.my", "gov.my",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "my.id",
+    "com.ph", "org.ph", "net.ph", "gov.ph", "edu.ph",
+    "com.vn", "org.vn", "net.vn", "edu.vn", "gov.vn",
+    "com.kh", "com.mm", "com.np",
+    # hosted-platform private-registry suffixes (PSL "private" section
+    # heads every crawl pipeline groups by — each user site is an
+    # independent publisher)
+    "github.io", "gitlab.io", "pages.dev", "netlify.app", "vercel.app",
+    "herokuapp.com", "appspot.com", "web.app", "firebaseapp.com",
+    "blogspot.com", "wordpress.com", "tumblr.com", "wixsite.com",
+    "weebly.com", "squarespace.com", "neocities.org", "readthedocs.io",
+    "s3.amazonaws.com", "cloudfront.net", "azurewebsites.net",
+    "cloudapp.net", "fastly.net", "workers.dev", "repl.co", "glitch.me",
 )
 
 # Bracketed IPv6 literal first (the generic class stops at ':' and would
