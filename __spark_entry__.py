@@ -6043,14 +6043,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     harness verifies a 50-query window from the front, so each round the
     dict is rotated to lead with 50 oracled queries that have never had a
     driver row (r03 and r04 verified 100 disjoint ones; this round-5
-    window adds 50 more, for 150/260 cumulative). Everything after the
+    window adds 50 more, for 150/262 oracled cumulative). Everything after the
     window is previously driver-green or selfcheck-verified; every
     oracled entry is re-verifiable any time via scripts/selfcheck.py
-    (the full 295-query sweep ran green, RC=0, on 2026-08-21)."""
+    (the full 295-query sweep ran green, RC=0, on 2026-08-21; the two
+    round-5 additions zonemap_scan / bound_overlap verified on landing,
+    bringing the registry to 297 queries, 262 oracled)."""
     return {
         # -- ROUND-5 DRIVER WINDOW: 50 oracled queries with no driver row in
         #    r01-r04 (r03+r04 covered 100 disjoint ones; this third rotation
-        #    brings cumulative driver coverage to 150/260 oracled). Includes the
+        #    brings cumulative driver coverage to 150/262 oracled). Includes the
         #    three round-5 plan-shape fixes (snb_pairs, heaps_fit, mwu_test) so
         #    their repartitioned rewrites get official driver rows. --------------
         "kmeans_clusters": q_kmeans_clusters,
