@@ -63,7 +63,41 @@ def _offsets(
     for t in totals:
         rows.append((t[0], *running))
         running = [a + (b if b is not None else zero) for a, b in zip(running, t[1:])]
-    return spark.createDataFrame(rows, schema)
+    # `running` now holds the GRAND totals per agg column — returned so
+    # callers needing N (ranged_ntile) pay no extra pass
+    return spark.createDataFrame(rows, schema), running
+
+
+def _positions_with_total(
+    df: DataFrame,
+    order_cols: list,
+    pos_col: str,
+    n_parts: int | None,
+):
+    """(positions df, total row count) — the total falls out of the
+    offsets collect for free, so callers that need N (ranged_ntile)
+    avoid a whole extra pass over the data."""
+    from pyspark.sql.window import Window
+
+    spark, ranged = _ranged(df, order_cols, n_parts)
+    off, grand = _offsets(
+        spark,
+        ranged,
+        [F.count(F.lit(1)).cast("long").alias("n")],
+        f"{_PID} int, {_OFF} long",
+        0,
+    )
+    total = int(grand[0])
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    out = (
+        ranged.join(F.broadcast(off), _PID)
+        .withColumn(
+            pos_col,
+            (F.col(_OFF) + F.row_number().over(w)).cast("long"),
+        )
+        .drop(_PID, _OFF)
+    )
+    return out, total
 
 
 def attach_global_positions(
@@ -77,25 +111,8 @@ def attach_global_positions(
     ``row_number()`` window but computed with a range exchange +
     parallel per-partition row_number + broadcast prefix-sum offsets.
     ``order_cols`` must uniquely order rows (tie-break with an id)."""
-    from pyspark.sql.window import Window
-
-    spark, ranged = _ranged(df, order_cols, n_parts)
-    off = _offsets(
-        spark,
-        ranged,
-        [F.count(F.lit(1)).cast("long").alias("n")],
-        f"{_PID} int, {_OFF} long",
-        0,
-    )
-    w = Window.partitionBy(_PID).orderBy(*order_cols)
-    return (
-        ranged.join(F.broadcast(off), _PID)
-        .withColumn(
-            pos_col,
-            (F.col(_OFF) + F.row_number().over(w)).cast("long"),
-        )
-        .drop(_PID, _OFF)
-    )
+    out, _ = _positions_with_total(df, order_cols, pos_col, n_parts)
+    return out
 
 
 def ranged_cumsum(
@@ -115,7 +132,7 @@ def ranged_cumsum(
     from pyspark.sql.window import Window
 
     spark, ranged = _ranged(df, order_cols, n_parts)
-    off = _offsets(
+    off, _ = _offsets(
         spark,
         ranged,
         [F.sum(F.col(c).cast("double")).alias(c) for c in sum_cols],
@@ -149,20 +166,18 @@ def ranged_ntile(
     the first r tiles hold q+1 rows: tile(pos) = (pos-1) div (q+1) + 1
     when pos ≤ r·(q+1), else r + (pos - r·(q+1) - 1) div q + 1 — the
     standard remainder-first-buckets rule, bit-identical to ntile().
-    N arrives as a broadcast single-row aggregate so the whole thing
-    stays one lazy plan (range exchange + parallel rank + one count)."""
-    pos = attach_global_positions(df, order_cols, "_nt_pos", n_parts)
-    tot = pos.agg(F.max("_nt_pos").alias("_nt_n"))
-    nn = F.lit(int(n))
-    q = F.floor(F.col("_nt_n") / nn).cast("long")
-    r = (F.col("_nt_n") % nn).cast("long")
+    N falls out of the positions pass's own offsets collect (no extra
+    pass over the data — it arrives as a plan literal), so the whole
+    thing is one range exchange + one parallel rank."""
+    pos, total = _positions_with_total(df, order_cols, "_nt_pos", n_parts)
+    n = int(n)
+    q, r = total // n, total % n
     p = F.col("_nt_pos")
     first = r * (q + 1)
-    tile = F.when(
-        p <= first, F.floor((p - 1) / (q + 1)) + 1
-    ).otherwise(r + F.floor((p - first - 1) / q) + 1)
-    return (
-        pos.crossJoin(F.broadcast(tot))
-        .withColumn(out_col, tile.cast("int"))
-        .drop("_nt_pos", "_nt_n")
-    )
+    if q == 0:
+        tile = p
+    else:
+        tile = F.when(
+            p <= first, F.floor((p - 1) / (q + 1)) + 1
+        ).otherwise(r + F.floor((p - first - 1) / q) + 1)
+    return pos.withColumn(out_col, tile.cast("int")).drop("_nt_pos")
